@@ -1,0 +1,172 @@
+"""Joins — where this engine *exceeds* the reference.
+
+The reference declares ``join/left_join/inner_join/outer_join`` but the
+strategies raise ``NotImplementedError`` (``faust/joins.py:14-49``,
+asserted by its own test ``t/unit/test_joins.py:20-27``). Spark gives us the
+whole family natively; this module adds the idioms faust users actually
+relied on (table lookup, GlobalTable broadcast, SlidingWindow interval
+semantics) plus as-of joins, which neither faust nor vanilla Spark APIs
+expose directly.
+
+Scale notes baked in:
+- ``global_lookup`` broadcasts the dimension — zero shuffle on the fact side.
+- ``interval_join`` pre-filters with a coarse bucket equi-key so Catalyst
+  gets an equi-join + range residual instead of a pure range (cartesian)
+  join; at 100 TB a raw theta-join is a non-starter.
+- ``asof_join`` uses the union+window trick (no cartesian, one shuffle by
+  key) rather than per-key pandas merges.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def stream_table_join(
+    stream: DataFrame,
+    table: DataFrame,
+    on: Union[str, Sequence[str], Column],
+    how: str = "left",
+) -> DataFrame:
+    """Stream–table lookup (the reference idiom ``table[key]`` in an agent
+    body, e.g. its examples/withdrawals.py) as a stream-static join."""
+    return stream.join(table, on=on, how=how)
+
+
+def global_lookup(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Union[str, Sequence[str], Column],
+    how: str = "left",
+) -> DataFrame:
+    """GlobalTable enrichment: dimension replicated to every task.
+
+    Reference: GlobalTable is fully replicated to every worker
+    (``faust/tables/globaltable.py:5``). Spark equivalent: broadcast join —
+    the explicit ``F.broadcast`` hint guarantees map-side execution even if
+    stats are stale at plan time.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    before: float,
+    after: float,
+    on: Optional[Union[str, Sequence[str]]] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """SlidingWindow-semantics join:
+    ``right.ts BETWEEN left.ts - before AND left.ts + after``
+    (spec: reference ``faust/windows.py:116-132`` docstring SQL).
+
+    When ``on`` keys are provided the range predicate rides on the equi-join
+    (hash join + residual filter — shuffle by key, no cartesian). A pure
+    range join without keys is bucketized: both sides get coarse time-bucket
+    keys (bucket width = before+after) and each left row joins its own and
+    neighboring buckets, turning O(n·m) into an equi-join.
+    """
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    l, r = left.alias("l"), right.alias("r")
+    rng = (rts >= lts - F.expr(f"INTERVAL {before} SECONDS")) & (
+        rts <= lts + F.expr(f"INTERVAL {after} SECONDS")
+    )
+    if on:
+        keys = [on] if isinstance(on, str) else list(on)
+        eq = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+        cond = eq[0]
+        for e in eq[1:]:
+            cond = cond & e
+        return l.join(r, cond & rng, how)
+    # keyless: bucketize to avoid a cartesian product
+    width = max(before + after, 1.0)
+    lb = l.withColumn(
+        "__lbucket", F.floor(F.unix_timestamp(F.col(f"l.{left_ts}")) / F.lit(width))
+    )
+    rb = r.withColumn(
+        "__rbucket", F.floor(F.unix_timestamp(F.col(f"r.{right_ts}")) / F.lit(width))
+    )
+    rb = rb.withColumn(
+        "__probe", F.explode(F.array(F.col("__rbucket") - 1, F.col("__rbucket"), F.col("__rbucket") + 1))
+    )
+    joined = lb.join(rb, (F.col("__lbucket") == F.col("__probe")) & rng, how)
+    return joined.drop("__lbucket", "__rbucket", "__probe")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    right_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (backward) per key — absent from both faust and
+    the DataFrame API (Spark exposes it only in pandas-on-Spark).
+
+    Implementation: union both sides tagged, sort within key by time, and
+    carry the last right value forward with a window ``last(..., ignorenulls)``
+    — one shuffle on the key, no range join, scales linearly.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+
+    lt = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of implemented")
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts → ties match (<=);
+    # among right rows at equal ts, the max tiebreak value wins.
+    order = [F.col("__ts"), F.col("__is_left")]
+    if right_tiebreak:
+        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in rcols
+        ],
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__f_{c}").alias(c) for c in rcols],
+    )
+    return out
+
+
+__all__ = [
+    "stream_table_join",
+    "global_lookup",
+    "interval_join",
+    "asof_join",
+]

@@ -1,0 +1,212 @@
+"""``Record`` → ``StructType`` schema compiler.
+
+The reference's typed model layer (``faust/models/record.py:62-95``,
+type-expression compiler ``faust/models/typing.py``) turns annotated Python
+classes into codegen'd serializers. Here the same declaration compiles to a
+Spark ``StructType`` plus ``from_json`` / ``to_json`` expressions — Catalyst
+then owns (de)serialization, which is the Spark-native equivalent of faust's
+generated ``__init__``/``asdict``.
+
+Type mapping (SURVEY.md §1.3):
+bool→Boolean, int→Long, float→Double, Decimal→Decimal(38,18), str→String,
+bytes→Binary, datetime→Timestamp, date→Date, nested Record→Struct,
+List/Tuple/Set→Array, Dict/Mapping→Map, Optional[X]→nullable.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import typing
+from typing import Any, Mapping, Optional, get_args, get_origin, get_type_hints
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_SCALARS: dict[type, DataType] = {
+    bool: BooleanType(),
+    int: LongType(),
+    float: DoubleType(),
+    str: StringType(),
+    bytes: BinaryType(),
+    datetime.datetime: TimestampType(),
+    datetime.date: DateType(),
+    decimal.Decimal: DecimalType(38, 18),
+}
+
+_MISSING = object()
+
+
+def _compile_type(tp: Any) -> tuple[DataType, bool]:
+    """Compile one Python type annotation → (spark type, nullable)."""
+    import types as _types
+
+    origin = get_origin(tp)
+    if origin is typing.Union or origin is getattr(_types, "UnionType", object()):
+        args = [a for a in get_args(tp) if a is not type(None)]
+        nullable = len(args) != len(get_args(tp))
+        if len(args) != 1:
+            raise TypeError(f"unsupported union: {tp}")
+        inner, inner_null = _compile_type(args[0])
+        return inner, nullable or inner_null
+    if origin in (list, tuple, set, frozenset):
+        args = get_args(tp) or (str,)
+        elem, elem_null = _compile_type(args[0])
+        return ArrayType(elem, containsNull=elem_null), False
+    if origin in (dict, Mapping) or origin is typing.Mapping:
+        args = get_args(tp) or (str, str)
+        kt, _ = _compile_type(args[0])
+        vt, v_null = _compile_type(args[1])
+        return MapType(kt, vt, valueContainsNull=v_null), False
+    if isinstance(tp, type) and issubclass(tp, Record):
+        return tp.spark_schema(), False
+    if tp in _SCALARS:
+        return _SCALARS[tp], False
+    raise TypeError(f"unsupported field type: {tp!r}")
+
+
+class FieldDescriptor:
+    """Descriptor for a Record field; usable as a grouping key reference.
+
+    Mirrors the reference's field-descriptor idiom
+    (``stream.group_by(Withdrawal.user)``): at class level, attribute access
+    returns the descriptor, whose ``col()`` yields the Spark Column.
+    """
+
+    def __init__(self, name: str, dtype: DataType, nullable: bool, default: Any):
+        self.name = name
+        self.dtype = dtype
+        self.nullable = nullable
+        self.default = default
+
+    def col(self) -> Column:
+        return F.col(self.name)
+
+    def __repr__(self) -> str:
+        return f"<field {self.name}: {self.dtype.simpleString()}>"
+
+
+class Record:
+    """Typed schema declaration compiled once to a ``StructType``.
+
+    Example::
+
+        class Withdrawal(Record):
+            user: str
+            country: str
+            amount: float
+            date: datetime.datetime
+
+        Withdrawal.spark_schema()   # StructType(...)
+        Withdrawal.from_json(col)   # Column parsing a JSON string
+    """
+
+    _schema_cache: typing.ClassVar[Optional[StructType]] = None
+
+    def __init_subclass__(cls, **kw: Any) -> None:
+        super().__init_subclass__(**kw)
+        cls._schema_cache = None
+        # attach descriptors for field references at class level
+        hints = {}
+        try:
+            hints = get_type_hints(cls)
+        except Exception:
+            pass
+        order: list[str] = []
+        for name, tp in hints.items():
+            if name.startswith("_"):
+                continue
+            dtype, nullable = _compile_type(tp)
+            default = getattr(cls, name, _MISSING)
+            if isinstance(default, FieldDescriptor):  # inherited descriptor
+                default = default.default
+            if default is not _MISSING:
+                nullable = True
+            setattr(cls, name, FieldDescriptor(name, dtype, nullable, default))
+            order.append(name)
+        cls._field_order = order
+
+    def __init__(self, **kwargs: Any) -> None:
+        schema = type(self).spark_schema()
+        for f in schema.fields:
+            desc = getattr(type(self), f.name)
+            if f.name in kwargs:
+                v = kwargs.pop(f.name)
+            elif isinstance(desc, FieldDescriptor) and desc.default is not _MISSING:
+                v = desc.default
+            elif f.nullable:
+                v = None
+            else:
+                raise TypeError(f"missing required field {f.name!r}")
+            object.__setattr__(self, f.name, v)
+        if kwargs:
+            raise TypeError(f"unknown fields: {sorted(kwargs)}")
+
+    @classmethod
+    def fields(cls) -> dict[str, FieldDescriptor]:
+        cls.spark_schema()
+        return {
+            f.name: getattr(cls, f.name) for f in cls.spark_schema().fields
+        }
+
+    @classmethod
+    def spark_schema(cls) -> StructType:
+        if cls._schema_cache is None:
+            struct_fields = []
+            for name in getattr(cls, "_field_order", ()):
+                desc = getattr(cls, name)
+                if isinstance(desc, FieldDescriptor):
+                    struct_fields.append(
+                        StructField(desc.name, desc.dtype, desc.nullable)
+                    )
+            cls._schema_cache = StructType(struct_fields)
+        return cls._schema_cache
+
+    def asdict(self) -> dict[str, Any]:
+        return {
+            f.name: getattr(self, f.name)
+            for f in type(self).spark_schema().fields
+        }
+
+    # --- Catalyst (de)serialization ---------------------------------------
+    @classmethod
+    def from_json(cls, col: Column | str) -> Column:
+        """Parse a JSON string column into a struct of this schema."""
+        return F.from_json(col, cls.spark_schema())
+
+    @classmethod
+    def to_json(cls, col: Column | str) -> Column:
+        return F.to_json(col)
+
+    @classmethod
+    def decode(cls, df, value_col: str = "value", flatten: bool = True):
+        """Decode a (Kafka-style) DataFrame's JSON value column.
+
+        Returns the DataFrame with the parsed struct flattened into top-level
+        columns (one shared decode before fan-out — the analogue of the
+        reference conductor's single shared deserialization,
+        ``faust/transport/consumer.py:29-30``).
+        """
+        parsed = df.withColumn("__rec", cls.from_json(F.col(value_col).cast("string")))
+        if not flatten:
+            return parsed
+        keep = [c for c in df.columns if c != value_col]
+        return parsed.select(*keep, "__rec.*")
+
+
+__all__ = ["Record", "FieldDescriptor"]

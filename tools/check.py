@@ -1,0 +1,136 @@
+"""Local driver-sim: run queries() vs oracle_sql() and compare via DuckDB.
+
+Mimics the driver's t2 correctness gate: for each query key, run the Spark
+DataFrame and the DuckDB oracle SQL on the same parquet tables, then compare
+row count, sorted column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values stringified with stable float
+formatting).
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v) -> str:
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision; engines must match bit-for-bit
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from faust_spark.session import get_spark
+
+    spark = get_spark("check")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    keys = args.keys or list(qs)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = 0
+    for key in keys:
+        t0 = time.time()
+        try:
+            sdf = qs[key](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {key}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"okro {key}: rows-only ({len(srows)} rows) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(oracles[key])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception:
+            print(f"FAIL {key}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash {sh} != {oh}")
+                # show first differing rows for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                a = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
+                b = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                for x, y in zip(a, b):
+                    if x != y:
+                        problems.append(f"  spark: {x}\n  duck : {y}")
+                        break
+        if problems:
+            print(f"FAIL {key}: " + "; ".join(problems[:3]))
+            n_fail += 1
+        else:
+            print(f"PASS {key} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
