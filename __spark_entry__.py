@@ -714,6 +714,326 @@ def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# LLM-data-pipeline operators (beyond the reference; BASELINE.json north
+# star): dedup / similarity / text analysis / multimodal
+# =====================================================================
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content md5; shuffles (hash, id) pairs
+    only, never the text."""
+    from faust_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+"""
+
+
+@_q(
+    "dedup_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) AS jaccard
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = doc1
+    JOIN sz s2 ON s2.doc_id = doc2
+    WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram-shingle Jaccard ≥ 0.5: shingle equi-join
+    computes co-occurrence without any pairwise loop (operators/dedup.py)."""
+    from faust_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sig AS (
+      SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    band AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+      FROM band b1 JOIN band b2
+        ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+       AND b1.doc_id < b2.doc_id
+    ),
+    inter AS (
+      SELECT c.doc1, c.doc2, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc1
+      JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) AS jaccard
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = doc1
+    JOIN sz s2 ON s2.doc_id = doc2
+    WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard
+    verified — the sub-quadratic near-dup path. The oracle replicates the
+    identical algorithm (md5 min-hashing is engine-portable), so the
+    check verifies the full pipeline, not just the final pairs."""
+    from faust_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=16,
+        band_size=4,
+    )
+
+
+@_q(
+    "simhash_fp",
+    """
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wh AS (SELECT doc_id, md5(word) AS h FROM w),
+    bits AS (
+      SELECT doc_id, k,
+             ((instr('0123456789abcdef', substr(h, (k // 4) + 1, 1)) - 1)
+              // CAST(pow(2, 3 - (k % 4)) AS INT)) % 2 AS bit
+      FROM wh, unnest(generate_series(0, 31)) t(k)
+    ),
+    votes AS (
+      SELECT doc_id, k, SUM(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN pow(2, k) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints from md5 bit votes (operators/dedup.py).
+    Fingerprint equality (or Hamming-banded neighborhoods) drives near-dup
+    clustering at scale."""
+    from faust_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           (SELECT SUM(CAST(ceil(length(w) / 4.0) AS BIGINT))
+            FROM unnest(string_split(text, ' ')) t(w)) AS n_subwords
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate, all in
+    whole-stage codegen (operators/text.py)."""
+    from faust_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in','is'))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+           CAST(n_tokens >= 10
+                AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+                    BETWEEN 2.0 AND 12.0
+                AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01
+                AS INT) AS quality_ok
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword / alpha ratios + accept flag
+    (C4/Gopher-style filters as pure column expressions)."""
+    from faust_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lang_id",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    s AS (
+      SELECT doc_id,
+        COUNT(CASE WHEN w IN ('der','die','das','und','ist','ein') THEN 1 END) AS de,
+        COUNT(CASE WHEN w IN ('the','a','of','and','to','in','is') THEN 1 END) AS en,
+        COUNT(CASE WHEN w IN ('el','la','los','y','es','un') THEN 1 END) AS es,
+        COUNT(CASE WHEN w IN ('le','la','les','et','est','un') THEN 1 END) AS fr,
+        COUNT(CASE WHEN w IN ('de5','shi4','le5') THEN 1 END) AS zh
+      FROM t GROUP BY 1
+    )
+    SELECT doc_id,
+      CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+           WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+           WHEN es >= fr AND es >= zh THEN 'es'
+           WHEN fr >= zh THEN 'fr'
+           ELSE 'zh' END AS pred_lang,
+      greatest(de, en, es, fr, zh) AS marker_hits
+    FROM s
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: marker-hit argmax with alphabetical tie-break
+    (operators/text.py). Vectorized struct-greatest, no UDF."""
+    from faust_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS norm_chars
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (operators/text.py)."""
+    from faust_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    s AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_cosine_similarity(q.qv, e.embedding) AS sim
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    ),
+    r AS (SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, nid) AS rank
+          FROM s)
+    SELECT qid, nid, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast queries,
+    one corpus scan, window rank (operators/similarity.py). Ranks only —
+    float-sum rounding differs across engines, rank order does not."""
+    from faust_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@_q("ann_lsh_topk")  # rows-only: hyperplane constants impractical in SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the scale path): signature bucketing +
+    in-bucket exact re-rank. Recall vs brute force asserted in
+    tests/test_similarity.py; rows-only here."""
+    from faust_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+@_q(
+    "multimodal_decode",
+    """
+    WITH p AS (
+      SELECT doc_id, 'image/fake' AS media_type,
+             encode(text) AS payload, md5(text) AS h,
+             octet_length(encode(text)) AS payload_bytes
+      FROM documents
+    )
+    SELECT doc_id, media_type, payload_bytes,
+           CAST((
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(h, 4, 1)) - 1)
+           ) % 1920 + 1 AS INT) AS width,
+           CAST((
+             (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(h, 8, 1)) - 1)
+           ) % 1080 + 1 AS INT) AS height,
+           h AS content_hash
+    FROM p
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column → Arrow-batched
+    mapInPandas decode → typed metadata (operators/multimodal.py). The
+    decode kernel is the deterministic md5 fake (real libs absent in this
+    container); the oracle recomputes it in SQL, proving the batch path,
+    schemas, and hashing are exactly right."""
+    from faust_spark.operators.multimodal import attach_payload, decode_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_metadata(attach_payload(docs))
+
+
+# =====================================================================
 # driver contract
 # =====================================================================
 

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each implementation):
+
+- **exact_dedup**: hash-groupBy on md5(text) — one shuffle of (hash, id)
+  pairs with map-side combine; never moves the text itself.
+- **jaccard_pairs**: shingle → self-equi-join on shingle → per-pair
+  intersection counts. The join key is the shingle hash, so co-occurrence
+  is computed without any pairwise loop; frequency-capped shingles (df
+  bound) keep hub shingles from exploding the join at corpus scale.
+- **minhash_lsh**: k independent min-hashes from one explode, banded into
+  b groups; candidate pairs only where a full band collides — the classic
+  sub-quadratic near-dup path for 100 TB corpora. Exact Jaccard verifies
+  candidates afterward (cheap: candidates ≪ pairs).
+- **simhash**: 32-bit weighted-bit fingerprint; Hamming-adjacent banding
+  is left to the caller (fingerprint equality already catches heavy dups).
+- All hashes are md5-derived → reproducible in DuckDB for oracles and in
+  any other engine for cross-system audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content hash: keeper id (min), group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram-shingle Jaccard similarity.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the self-join — the standard hub-key guard: a stop-shingle
+    occurring in 1M docs would otherwise contribute 10^12 join rows.
+    """
+    sh = shingles(df, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+            .select(id_col, "shingle")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    out = (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc1", "doc2", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, seed, minhash) — min over shingles of md5(seed || ':' || s).
+
+    One explode of (shingle × seed) followed by a min-agg: partial
+    aggregation makes the shuffle carry only (id, seed, current-min).
+    """
+    sh = shingles(df, n, text_col, id_col)
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    ).alias("seed")
+    exploded = sh.select(F.col(id_col), F.col("shingle"), seeds)
+    return exploded.groupBy(id_col, "seed").agg(
+        F.min(
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+        ).alias("mh")
+    )
+
+
+def lsh_bands(
+    sigs: DataFrame,
+    band_size: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig): md5 over the band's minhashes in seed order."""
+    banded = sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+        ),
+        lambda s: s["mh"],
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", ordered)).alias("band_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from LSH band collisions, verified by exact Jaccard.
+
+    With k=16, b=4 bands of r=4 rows the collision curve is
+    P(candidate) = 1-(1-j^4)^4 — steep around j≈0.5, the usual near-dup
+    operating point. Verification joins shingle sets only for candidates.
+    """
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    bands = lsh_bands(sigs, band_size, id_col)
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cands = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+            & (F.col(f"b1.{id_col}") < F.col(f"b2.{id_col}")),
+        )
+        .select(
+            F.col(f"b1.{id_col}").alias("doc1"),
+            F.col(f"b2.{id_col}").alias("doc2"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification on candidates only
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc1"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("doc2"), F.col("shingle"))
+    inter = (
+        cands.join(a, "doc1")
+        .join(b, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """32-bit SimHash fingerprint from distinct-word md5 bit votes.
+
+    bit k of word-hash = nibble ``instr``-decoded from hex char k/4 of
+    md5(word) — md5-derived so the DuckDB oracle can reproduce it exactly.
+    Implementation is a single explode(word × bit) + signed-vote agg.
+    """
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    w = df.select(F.col(id_col), F.explode(words).alias("word")).withColumn(
+        "h", F.md5(F.col("word"))
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k")
+    wk = w.select(F.col(id_col), F.col("h"), k)
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), (F.col("k") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    bit = F.floor(
+        nibble / F.pow(F.lit(2.0), (3 - F.col("k") % 4).cast("double"))
+    ).cast("int") % 2
+    votes = wk.select(
+        F.col(id_col), F.col("k"), (bit * 2 - 1).alias("vote")
+    )
+    return (
+        votes.groupBy(id_col, "k")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("k")))
+                .otherwise(F.lit(0.0))
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity over an embedding column.
+
+    Brute-force O(n²) form — correct baseline for modest n; at corpus
+    scale route candidates through :func:`similarity.hyperplane_lsh`
+    buckets first and apply this only within buckets.
+    """
+    from faust_spark.operators.similarity import cosine_expr
+
+    a = emb.select(
+        F.col(id_col).alias("doc1"), F.col(vec_col).alias("v1")
+    )
+    b = emb.select(
+        F.col(id_col).alias("doc2"), F.col(vec_col).alias("v2")
+    )
+    return (
+        a.join(b, F.col("doc1") < F.col("doc2"))
+        .withColumn("cosine", cosine_expr(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc1", "doc2", "cosine")
+    )
+
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_bands",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_dup_pairs",
+]

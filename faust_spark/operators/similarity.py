@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB design requires:
+
+- **cosine_topk** — exact brute force: broadcast the (small) query set,
+  one scan of the corpus, per-query top-k via window rank. The corpus is
+  never shuffled by pair; the only exchange is the tiny (query, candidate)
+  result. This is the correctness baseline and is already the right plan
+  when |queries| is small.
+- **hyperplane_lsh_topk** — sub-linear scale path: deterministic
+  random-hyperplane signatures bucket the corpus (one narrow map), queries
+  probe only their own bucket (equi-join on the signature), exact cosine
+  re-ranks within the bucket. Recall is tunable via ``planes`` (fewer bits
+  → bigger buckets → higher recall, more compute).
+
+The dot product stays JVM-side via ``F.zip_with`` + ``F.aggregate`` —
+no Python, no UDF, vectorizable by codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Result: (qid, nid, rank), rank 1..k by descending similarity with id
+    tie-break. Scores are intentionally not exposed: engines disagree on
+    float-sum rounding, ranks are stable.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes derived from md5 — identical across runs,
+    machines, and engines (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            # map 8 hex chars → [-1, 1)
+            row.append(int(h[:8], 16) / float(2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: sign-bit string of projections onto
+    deterministic hyperplanes. A narrow map — no shuffle."""
+    planes = _deterministic_planes(n_planes, dim)
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(v) for v in row])
+        bits.append(
+            F.when(dot_expr(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own LSH bucket, exact
+    cosine re-rank inside. (qid, nid, rank, bucket)."""
+    c = hyperplane_signature(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+        n_planes,
+        dim,
+        "cv",
+    )
+    q = hyperplane_signature(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ),
+        n_planes,
+        dim,
+        "qv",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "bucket")
+    )
+
+
+__all__ = [
+    "dot_expr",
+    "norm_expr",
+    "cosine_expr",
+    "cosine_topk",
+    "hyperplane_signature",
+    "hyperplane_lsh_topk",
+]

@@ -1,0 +1,149 @@
+"""Text analysis operators for document tables.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` — no Python in
+the hot path — so the whole stage stays inside whole-stage codegen and
+scales linearly with a parquet scan. Token model: the fixture corpus is
+single-space separated; ``tokenize`` splits on a literal space so the
+DuckDB oracle (``string_split(text, ' ')``) agrees byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic. Real corpora would load larger lists; the mechanism (score =
+# marker hits / tokens, argmax with deterministic tie-break) is what scales.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+    "zh": ("de5", "shi4", "le5"),  # pinyin-ish placeholders
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate.
+
+    ``n_subwords`` approximates BPE token count as ceil(chars/4) per word
+    summed — the standard rough heuristic — entirely in codegen.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_calc"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("bigint"),
+        ).alias("n_subwords"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios + a flag.
+
+    Mirrors the C4/Gopher-style filters (length bounds, symbol ratio,
+    stopword presence) as pure column expressions.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(*STOPWORDS))
+    )
+    mean_word_len = (
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    )
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        (
+            (n_tokens >= 10)
+            & (mean_word_len >= 2.0)
+            & (mean_word_len <= 12.0)
+            & (stop_ratio >= 0.01)
+        )
+        .cast("int")
+        .alias("quality_ok"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: per-language marker-hit counts, argmax with
+    alphabetical tie-break. Deterministic and fully vectorized (a struct
+    ``greatest``-style reduction, no UDF)."""
+    toks = F.split(F.col(text_col), " ")
+
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = [
+        _hits(markers).alias(lang)
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    # argmax via greatest over (score, reversed-lang) structs: ties resolve
+    # to the alphabetically-first language.
+    langs = sorted(LANG_MARKERS)
+    pairs = [
+        F.struct(
+            F.col(lang).alias("s"),
+            # invert lang so that struct-max picks alphabetically-first on tie
+            F.lit(-i).alias("o"),
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return scored.select(
+        F.col(id_col),
+        best["l"].alias("pred_lang"),
+        best["s"].alias("marker_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lowercased,
+    whitespace-collapsed) — the cheap content-identity key used upstream
+    of exact dedup and CDC-style diffing."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp"),
+        F.length(norm).alias("norm_chars"),
+    )
+
+
+__all__ = [
+    "tokenize",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "LANG_MARKERS",
+    "STOPWORDS",
+]
