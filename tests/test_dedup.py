@@ -1,0 +1,68 @@
+"""Dedup operators: planted duplicates must be found."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from faust_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun near the old barn door"
+)
+NEAR = DOC.replace("lazy", "sleepy")  # one word differs → high jaccard
+OTHER = (
+    "completely different content about spark structured streaming "
+    "state stores checkpoints and watermark semantics at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, DOC), (1, DOC), (2, NEAR), (3, OTHER)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r.keeper_id: r.n_dups for r in exact_dedup(docs).collect()}
+    assert rows[0] == 2       # docs 0,1 identical
+    assert rows[2] == 1 and rows[3] == 1
+
+
+def test_shingles_count(docs, spark):
+    n_words = len(DOC.split())
+    got = shingles(docs.filter("doc_id = 0")).count()
+    assert got <= n_words - 2  # distinct ≤ positional count
+
+
+def test_jaccard_finds_exact_and_near(docs):
+    pairs = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = {
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs          # identical docs always collide
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprint(docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+    assert 0 <= fps[0] < 2**32

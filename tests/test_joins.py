@@ -1,0 +1,70 @@
+"""Join operators on hand-built data: as-of, interval, broadcast."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from faust_spark.joins import asof_join, global_lookup, interval_join
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [("k", ts(10), "L10"), ("k", ts(20), "L20"), ("k", ts(5), "L5")],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("k", ts(8), "R8"), ("k", ts(15), "R15"), ("k", ts(20), "R20")],
+        ["k", "t", "rv"],
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(left, right, "k", "t", "t").collect()
+    }
+    # ts=5 → no earlier right row; ts=10 → R8; ts=20 → R20 (ties match)
+    assert out == {"L5": None, "L10": "R8", "L20": "R20"}
+
+
+def test_asof_tiebreak_picks_max(spark):
+    left = spark.createDataFrame([("k", ts(30), "L")], ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [("k", ts(10), 1, "first"), ("k", ts(10), 9, "ninth")],
+        ["k", "t", "seq", "rv"],
+    )
+    out = asof_join(
+        left, right, "k", "t", "t", right_tiebreak="seq"
+    ).collect()
+    assert out[0].rv == "ninth"
+
+
+def test_interval_join_keyed(spark):
+    left = spark.createDataFrame([("k", ts(100))], ["k", "t"])
+    right = spark.createDataFrame(
+        [("k", ts(95)), ("k", ts(100)), ("k", ts(104)), ("k", ts(120))],
+        ["k", "t"],
+    )
+    out = interval_join(
+        left, right, "t", "t", before=5.0, after=5.0, on="k"
+    )
+    assert out.count() == 3  # 95, 100, 104 in [95, 105]; 120 out
+
+
+def test_interval_join_keyless_bucketized(spark):
+    left = spark.createDataFrame([(ts(100),)], ["t"])
+    right = spark.createDataFrame(
+        [(ts(s),) for s in (90, 99, 101, 111)], ["t"]
+    )
+    out = interval_join(left, right, "t", "t", before=10.0, after=10.0)
+    assert out.count() == 3  # 90, 99, 101 within ±10s; 111 out
+
+
+def test_global_lookup_is_broadcast(spark):
+    fact = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "dim1")], ["k", "name"])
+    out = global_lookup(fact, dim, on="k", how="left")
+    assert out.count() == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,98 @@
+"""Streaming semantics: batch parity, window close, multi-batch state.
+
+Mirrors the reference's functional-test style (deliver events → assert)
+and its stress-suite invariant (no gaps/dups in per-key counters across
+batches, t/stress/tests/tables/app.py:96-150 behavior spec).
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from faust_spark.streaming.runner import run_to_memory, stream_parquet
+from faust_spark.streaming.state import reduce_by_key, stateful_counter
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, sf_dir, tmp_path_factory):
+    """Fixture events re-written as 4 files → 4 real micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_parts"))
+    from faust_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_streaming_counts_match_batch(spark, multi_file_events):
+    batch = spark.read.parquet(multi_file_events)
+    expected = {
+        r.user_id: r.cnt
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    s = stream_parquet(spark, multi_file_events, max_files_per_trigger=1)
+    agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    out = run_to_memory(agg, output_mode="complete")
+    got = {r.user_id: r.cnt for r in out.collect()}
+    assert got == expected
+
+
+def test_stateful_counter_multibatch_no_gaps_no_dups(
+    spark, multi_file_events
+):
+    """Across 4 micro-batches, per-key cumulative counts must be strictly
+    increasing (no dups) and end exactly at the batch total (no gaps)."""
+    s = stream_parquet(spark, multi_file_events, max_files_per_trigger=1)
+    out = run_to_memory(
+        stateful_counter(s.groupBy("user_id"), "user_id"),
+        output_mode="update",
+    )
+    batch = spark.read.parquet(multi_file_events)
+    totals = {
+        r.user_id: r.c
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    per_key: dict[int, list[int]] = {}
+    for r in out.collect():
+        per_key.setdefault(r.user_id, []).append(r.cnt)
+    for uid, counts in per_key.items():
+        assert counts == sorted(set(counts)), f"dup/regress for {uid}"
+        assert counts[-1] == totals[uid], f"gap for {uid}"
+
+
+def test_append_mode_emits_only_closed_windows(spark, multi_file_events):
+    s = stream_parquet(spark, multi_file_events)
+    agg = (
+        s.withWatermark("ts", "600 seconds")
+        .groupBy(F.window("ts", "3600 seconds"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_memory(agg, output_mode="append").collect()
+    batch = spark.read.parquet(multi_file_events)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    for r in out:
+        assert r.window.end <= max_ts, "emitted a window not yet closed"
+
+
+def test_reduce_by_key_custom_reducer(spark, multi_file_events):
+    s = stream_parquet(spark, multi_file_events, max_files_per_trigger=2)
+    out = run_to_memory(
+        reduce_by_key(
+            s.groupBy("user_id"), "value", max, key_name="user_id",
+            alias="mx", initial=float("-inf"),
+        ),
+        output_mode="update",
+    )
+    final = out.groupBy("user_id").agg(F.max("mx").alias("mx"))
+    batch = spark.read.parquet(multi_file_events)
+    expected = {
+        r.user_id: r.mx
+        for r in batch.groupBy("user_id").agg(F.max("value").alias("mx")).collect()
+    }
+    got = {r.user_id: r.mx for r in final.collect()}
+    assert got == expected

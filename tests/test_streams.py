@@ -1,0 +1,111 @@
+"""Stream operator semantics (reference functional layer:
+t/functional/test_streams.py style — deliver rows, assert iteration)."""
+
+from pyspark.sql import functions as F
+
+from faust_spark import App
+
+
+def make_app(spark):
+    return App("t", spark=spark)
+
+
+def events_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "a", 30.0),
+            (4, "c", 40.0),
+        ],
+        ["id", "kind", "value"],
+    )
+
+
+def test_filter_column_predicate(spark):
+    app = make_app(spark)
+    out = app.stream(events_df(spark)).filter(F.col("kind") == "a").to_df()
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_filter_python_predicate_pandas_path(spark):
+    app = make_app(spark)
+    out = (
+        app.stream(events_df(spark))
+        .filter(lambda pdf: pdf["value"] > 15.0)
+        .to_df()
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+def test_group_by_keeps_column_name(spark):
+    app = make_app(spark)
+    s = app.stream(events_df(spark)).group_by("kind")
+    assert s.key == "kind"
+    counts = {r.kind: r.cnt for r in app.Table("c").count(s, "cnt").collect()}
+    assert counts == {"a": 2, "b": 1, "c": 1}
+
+
+def test_group_by_derived_key(spark):
+    app = make_app(spark)
+    s = app.stream(events_df(spark)).group_by(
+        (F.col("id") % 2).cast("int"), name="parity"
+    )
+    counts = {r.parity: r.cnt for r in app.Table("c").count(s, "cnt").collect()}
+    assert counts == {0: 2, 1: 2}
+
+
+def test_enumerate_contiguous(spark):
+    app = make_app(spark)
+    out = app.stream(events_df(spark)).enumerate("id", name="idx").to_df()
+    rows = sorted(out.collect(), key=lambda r: r.id)
+    assert [r.idx for r in rows] == [0, 1, 2, 3]
+
+
+def test_take_and_union(spark):
+    app = make_app(spark)
+    a = app.stream(events_df(spark)).filter("kind = 'a'")
+    b = app.stream(events_df(spark)).filter("kind = 'b'")
+    assert a.union(b).to_df().count() == 3
+    assert app.stream(events_df(spark)).take(2).to_df().count() == 2
+
+
+def test_echo_tees(spark):
+    app = make_app(spark)
+    seen = []
+    app.stream(events_df(spark)).echo(lambda df: seen.append(df.count()))
+    assert seen == [4]
+
+
+def test_through_materializes(tmp_path, spark):
+    app = make_app(spark)
+    out = (
+        app.stream(events_df(spark))
+        .through(str(tmp_path / "hop"))
+        .to_df()
+    )
+    assert out.count() == 4
+
+
+def test_set_table_algebra(spark):
+    from faust_spark.tables import SetTable
+
+    a = F.array(F.lit("x"), F.lit("y"))
+    b = F.array(F.lit("y"), F.lit("z"))
+    row = spark.range(1).select(
+        SetTable.intersection(a, b).alias("i"),
+        SetTable.difference(a, b).alias("d"),
+        SetTable.symmetric_difference(a, b).alias("s"),
+    ).collect()[0]
+    assert row.i == ["y"] and row.d == ["x"] and row.s == ["x", "z"]
+
+
+def test_agent_registration(spark):
+    app = make_app(spark)
+
+    @app.agent("double")
+    def double(app_, df):
+        return df.withColumn("value", F.col("value") * 2)
+
+    out = app.agents["double"](events_df(spark))
+    assert out.agg(F.sum("value")).collect()[0][0] == 200.0
