@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The reference's own benchmark measures events/sec through a pass-through
+and a one-hop pipeline (t/bench/base.py prints elapsed per 10k events);
+``events_per_sec`` in the JSON gives the comparable figure for our heaviest
+streaming-shaped query (tumbling window agg over the events table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # faust surface
+    "counter_table",
+    "sum_table",
+    "set_table",
+    "tumbling_hourly",
+    "hopping_30m_15m",
+    "session_windows",
+    "interval_join_sliding",
+    "asof_join",
+    "global_table_join",
+    # relational
+    "q1_pricing",
+    "q3_shipping",
+    "q5_local_volume",
+    "q6_forecast",
+    # LLM pipeline
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_fp",
+    "text_quality",
+    "ann_cosine_topk",
+    # streaming engine path
+    "stream_tumbling_hourly",
+    "stream_stateful_counter",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from faust_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # one tiny warm-up to pay JVM/codegen startup outside the measurements
+    qs["q6_forecast"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.time()
+        qs[key](spark, sf_dir).collect()
+        timings[key] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    eps = (
+        round(n_events / timings["stream_tumbling_hourly"])
+        if timings.get("stream_tumbling_hourly")
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "events_per_sec_stream": eps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
