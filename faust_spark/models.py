@@ -194,6 +194,36 @@ class Record:
         return F.to_json(col)
 
     @classmethod
+    def decode_polymorphic(
+        cls,
+        df,
+        subtypes: "dict[str, type[Record]]",
+        value_col: str = "value",
+        ns_path: str = "$.__type",
+    ):
+        """Blessed-key-style polymorphic decode (reference behavior:
+        serialized payloads carry a namespace key selecting the concrete
+        Record subclass, faust/models/base.py:154-206).
+
+        Catalyst has no dynamic dispatch, so the discriminator becomes an
+        explicit column and each subtype parses into its own struct column
+        (``when/otherwise`` on the discriminator); downstream code routes
+        on ``__ns``. Documented semantic difference: the union of subtype
+        schemas is materialized, not a dynamic type.
+        """
+        out = df.withColumn(
+            "__ns", F.get_json_object(F.col(value_col).cast("string"), ns_path)
+        )
+        for ns, sub in subtypes.items():
+            out = out.withColumn(
+                f"__rec_{ns}",
+                F.when(
+                    F.col("__ns") == ns, sub.from_json(F.col(value_col).cast("string"))
+                ),
+            )
+        return out
+
+    @classmethod
     def decode(cls, df, value_col: str = "value", flatten: bool = True):
         """Decode a (Kafka-style) DataFrame's JSON value column.
 
