@@ -1415,6 +1415,100 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(attach_payload(docs))
 
 
+@_q(
+    "embedding_dup_pairs",
+    """
+    SELECT a.vec_id AS doc1, b.vec_id AS doc2
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    """,
+)
+def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (operators/dedup.py). Pairs
+    only (scores stay engine-internal — float-sum rounding differs); the
+    0.35 threshold is ~3σ for random 64-d vectors so boundary flips are
+    improbable. Scale path: hyperplane-LSH bucket candidates first."""
+    from faust_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.35).select("doc1", "doc2")
+
+
+@_q("embedding_centroids")  # rows-only: element-wise float avg is engine-specific
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block of
+    IVF partitioning and k-means. Element-wise mean via posexplode +
+    groupBy(label, pos): one shuffle of (label, dim) cells, no UDF.
+    Rows-only check (float averaging differs across engines in the last
+    ulp); invariants asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    per_dim = cells.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid"),
+            F.max("n").alias("n_members"),
+        )
+        .select("label", "n_members", F.size("centroid").alias("dim"))
+    )
+
+
+@_q(
+    "pipeline_filter_dedup",
+    """
+    WITH q AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in','is'))) AS stop_hits
+      FROM documents
+      WHERE lang IN ('en', 'de')
+    ),
+    kept AS (
+      SELECT doc_id, text FROM q
+      WHERE n_tokens >= 10
+        AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01
+    )
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_in_group
+    FROM kept GROUP BY md5(text)
+    """,
+)
+def pipeline_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data-prep pipeline: language filter → quality
+    gate → exact dedup, one declarative plan (filters fuse into the scan;
+    the only shuffle is the final hash-group)."""
+    from faust_spark.operators.text import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    kept = docs.filter(
+        (F.size(toks) >= 10)
+        & (stop_hits.cast("double") / F.size(toks) >= 0.01)
+    )
+    return (
+        kept.groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_in_group"),
+        )
+        .select("keeper_id", "n_in_group")
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================

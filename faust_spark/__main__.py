@@ -1,0 +1,72 @@
+"""CLI — the operational surface of the reference's ``faust`` command.
+
+Mapping (reference ``faust/cli/faust.py:16-29`` command set):
+  worker          → ``run``: execute a registered query/agent to a sink
+  agents / tables → ``queries``: list the declared query inventory
+  models          → ``models``: print a Record schema
+  send            → covered by Kafka sinks (needs a broker; not wired here)
+  bench           → ``bench``: run the benchmark harness
+
+Usage:
+  python -m faust_spark queries
+  python -m faust_spark run q1_pricing --sf /root/testdata/sf0.01 [--limit 20]
+  python -m faust_spark bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="faust_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("queries", help="list registered queries")
+
+    run_p = sub.add_parser("run", help="run one registered query")
+    run_p.add_argument("key")
+    run_p.add_argument("--sf", default="/root/testdata/sf0.001")
+    run_p.add_argument("--limit", type=int, default=20)
+    run_p.add_argument("--explain", action="store_true")
+
+    sub.add_parser("bench", help="run the benchmark harness")
+
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    if args.cmd == "queries":
+        oracles = entry.oracle_sql()
+        for key in entry.queries():
+            mark = "oracle" if key in oracles else "rows-only"
+            print(f"{key:28s} [{mark}]")
+        return 0
+
+    if args.cmd == "run":
+        from faust_spark.session import get_spark
+
+        qs = entry.queries()
+        if args.key not in qs:
+            print(f"unknown query {args.key!r}; see `queries`", file=sys.stderr)
+            return 2
+        spark = get_spark(f"cli-{args.key}")
+        df = qs[args.key](spark, args.sf)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,7 +80,10 @@ def jaccard_pairs(
     docs before the self-join — the standard hub-key guard: a stop-shingle
     occurring in 1M docs would otherwise contribute 10^12 join rows.
     """
-    sh = shingles(df, n, text_col, id_col)
+    # the shingle set feeds the freq filter, both join sides, and the size
+    # table — materialize once (on a cluster: prefer a checkpoint/Delta
+    # staging table for multi-TB corpora)
+    sh = shingles(df, n, text_col, id_col).persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -131,6 +134,12 @@ def minhash_signatures(
     aggregation makes the shuffle carry only (id, seed, current-min).
     """
     sh = shingles(df, n, text_col, id_col)
+    return _signatures_from_shingles(sh, num_hashes, id_col)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, id_col: str
+) -> DataFrame:
     seeds = F.explode(
         F.sequence(F.lit(0), F.lit(num_hashes - 1))
     ).alias("seed")
@@ -175,7 +184,10 @@ def minhash_lsh_pairs(
     P(candidate) = 1-(1-j^4)^4 — steep around j≈0.5, the usual near-dup
     operating point. Verification joins shingle sets only for candidates.
     """
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # one shingle materialization serves signatures, verification joins,
+    # and sizes (persist → localCheckpoint/Delta staging at corpus scale)
+    sh = shingles(df, n, text_col, id_col).persist()
+    sigs = _signatures_from_shingles(sh, num_hashes, id_col)
     bands = lsh_bands(sigs, band_size, id_col)
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cands = (
@@ -192,7 +204,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification on candidates only
-    sh = shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc1"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("doc2"), F.col("shingle"))
