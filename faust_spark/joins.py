@@ -164,9 +164,37 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the hot side, replicate the other.
+
+    For power-law keys (one user = 10% of a 100 TB stream) a plain hash
+    join puts the hot key on one reducer. Salting splits each left key
+    into ``salt_buckets`` sub-keys; the right side is exploded once per
+    bucket so every sub-key finds its match. AQE's skew-join handles the
+    common cases automatically — this is the explicit tool for the
+    pathological ones (or non-AQE environments).
+    """
+    l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 __all__ = [
     "stream_table_join",
     "global_lookup",
     "interval_join",
     "asof_join",
+    "salted_join",
 ]

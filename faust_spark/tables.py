@@ -83,6 +83,19 @@ class Table:
         name = field if isinstance(field, str) else field._jc.toString()
         return Table(self.app, self.name, self.default, self.window, name)
 
+    def relative_to_now(self, stream: Stream) -> tuple["Table", Stream]:
+        """Processing-time windows (reference ``relative_to_now()``).
+
+        Stamps arrival time as the window timestamp. Non-deterministic on
+        replay (documented divergence, SURVEY §7.3b) — event-time
+        (``relative_to_field``) is the recommended mode.
+        """
+        stamped = stream.with_column("__proc_ts", F.current_timestamp())
+        return (
+            Table(self.app, self.name, self.default, self.window, "__proc_ts"),
+            stamped,
+        )
+
     # --- aggregation compilation -------------------------------------------
     def _grouping(self, stream: Stream) -> tuple[DataFrame, list]:
         if not stream.key:

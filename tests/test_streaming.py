@@ -79,6 +79,59 @@ def test_append_mode_emits_only_closed_windows(spark, multi_file_events):
         assert r.window.end <= max_ts, "emitted a window not yet closed"
 
 
+def test_stream_stream_join_with_watermarks(spark, multi_file_events):
+    """Real stream-stream equi-join (the operator the reference stubs,
+    faust/joins.py behavior): purchases ⋈ clicks on user within the
+    watermark bound, through the streaming engine."""
+    s1 = (
+        stream_parquet(spark, multi_file_events)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    s2 = (
+        stream_parquet(spark, multi_file_events)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = s1.join(
+        s2,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    batch = spark.read.parquet(multi_file_events)
+    p = batch.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    c = batch.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    expected = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).count()
+    assert out.count() == expected
+
+
+def test_salted_join_matches_plain(spark, multi_file_events):
+    from faust_spark.joins import salted_join
+
+    batch = spark.read.parquet(multi_file_events).select("user_id", "value")
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    plain = batch.join(dim, "user_id").count()
+    salted = salted_join(batch, dim, "user_id", salt_buckets=8).count()
+    assert salted == plain
+
+
 def test_reduce_by_key_custom_reducer(spark, multi_file_events):
     s = stream_parquet(spark, multi_file_events, max_files_per_trigger=2)
     out = run_to_memory(
