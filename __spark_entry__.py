@@ -235,6 +235,37 @@ def union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).to_df()
 
 
+@_q(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (SURVEY §2.4 'not present in faust');
+    the approx variant below is the 100 TB path."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@_q("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): constant memory per group vs the
+    exact expand — the sketch path for distinct counting at scale.
+    Rows-only (HLL estimates are engine-specific)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+        )
+    )
+
+
 @_q("distinct_types", "SELECT DISTINCT event_type FROM events")
 def distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup surface (SURVEY §2.6, dropDuplicates)."""
@@ -1047,11 +1078,18 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faust_spark.streaming.runner import run_to_memory
     from faust_spark.streaming.state import stateful_counter
 
-    s = _events_stream(spark, sf_dir)
-    counted = stateful_counter(
-        s.groupBy("user_id"), "user_id", sum_col="value"
-    )
-    out = run_to_memory(counted, output_mode="update")
+    # key cardinality is small; fewer state partitions = fewer Arrow
+    # worker round-trips (state partition count is fixed at query start)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        s = _events_stream(spark, sf_dir)
+        counted = stateful_counter(
+            s.groupBy("user_id"), "user_id", sum_col="value"
+        )
+        out = run_to_memory(counted, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.groupBy("user_id").agg(
         F.max("cnt").alias("cnt"), F.max("total").alias("total")
     )

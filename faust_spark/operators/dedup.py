@@ -243,39 +243,36 @@ def simhash(
 
     bit k of word-hash = nibble ``instr``-decoded from hex char k/4 of
     md5(word) — md5-derived so the DuckDB oracle can reproduce it exactly.
-    Implementation is a single explode(word × bit) + signed-vote agg.
+
+    Plan shape (iterated via .explain): one word-explode, then 32 vote
+    sums as parallel aggregate COLUMNS over the word rows — not an
+    explode(word × bit) row blowup. The shuffle carries one partially
+    aggregated 32-column row per (partition, doc) instead of 32× the word
+    rows; at corpus scale that's the difference between shuffling ~N·32
+    rows and ~N words with map-side combine.
     """
     words = F.array_distinct(F.split(F.col(text_col), " "))
     w = df.select(F.col(id_col), F.explode(words).alias("word")).withColumn(
         "h", F.md5(F.col("word"))
     )
-    k = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k")
-    wk = w.select(F.col(id_col), F.col("h"), k)
-    nibble = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.col("h"), (F.col("k") / 4).cast("int") + 1, 1),
+
+    def bit_expr(k: int):
+        nibble = (
+            F.instr(F.lit("0123456789abcdef"), F.substring("h", k // 4 + 1, 1))
+            - 1
         )
-        - 1
+        bit = F.shiftright(nibble, 3 - k % 4) % 2
+        return bit * 2 - 1  # signed vote
+
+    votes = w.groupBy(id_col).agg(
+        *[F.sum(bit_expr(k)).alias(f"v{k}") for k in range(bits)]
     )
-    bit = F.floor(
-        nibble / F.pow(F.lit(2.0), (3 - F.col("k") % 4).cast("double"))
-    ).cast("int") % 2
-    votes = wk.select(
-        F.col(id_col), F.col("k"), (bit * 2 - 1).alias("vote")
-    )
-    return (
-        votes.groupBy(id_col, "k")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("k")))
-                .otherwise(F.lit(0.0))
-            )
-            .cast("bigint")
-            .alias("simhash")
-        )
+    fp = None
+    for k in range(bits):
+        term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(
+        F.col(id_col), fp.cast("bigint").alias("simhash")
     )
 
 
