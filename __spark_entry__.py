@@ -1454,6 +1454,45 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multires_rollup",
+    """
+    WITH r AS (
+      SELECT e.event_type, t.res,
+             CASE t.res
+               WHEN 'minute' THEN date_trunc('minute', e.ts)
+               WHEN 'hour'   THEN date_trunc('hour', e.ts)
+               ELSE               date_trunc('day', e.ts)
+             END AS bucket_ts,
+             e.value
+      FROM events e
+      CROSS JOIN (VALUES ('minute'), ('hour'), ('day')) t(res)
+    )
+    SELECT res, bucket_ts, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute/hour/day continuous
+    aggregates in ONE pass (explode the resolution dimension, truncate per
+    row, single hash agg). One scan + one shuffle of partially-aggregated
+    buckets replaces three separate rollup jobs."""
+    e = _t(spark, sf_dir, "events")
+    res = F.explode(
+        F.array(F.lit("minute"), F.lit("hour"), F.lit("day"))
+    ).alias("res")
+    r = e.select("event_type", "ts", "value", res).withColumn(
+        "bucket_ts",
+        F.when(F.col("res") == "minute", F.date_trunc("minute", "ts"))
+        .when(F.col("res") == "hour", F.date_trunc("hour", "ts"))
+        .otherwise(F.date_trunc("day", "ts")),
+    )
+    return r.groupBy("res", "bucket_ts", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), _dec_sum("value")
+    )
+
+
+@_q(
     "embedding_dup_pairs",
     """
     SELECT a.vec_id AS doc1, b.vec_id AS doc2
