@@ -1493,6 +1493,69 @@ def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group (absent in the reference; the
+    approx path at scale is approx_percentile/t-digest). percentile_disc
+    picks actual elements, so both engines agree bit-for-bit."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__events_pct")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+               COUNT(*) AS cnt
+        FROM __events_pct GROUP BY 1
+        """
+    )
+
+
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2 FROM inter
+      JOIN sz s1 ON s1.doc_id = doc1
+      JOIN sz s2 ON s2.doc_id = doc2
+      WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    ),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION ALL SELECT doc2, doc1 FROM pairs),
+    reach(s, t) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON e.a = r.t
+    )
+    SELECT s AS doc_id, MIN(t) AS component FROM reach GROUP BY 1
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over jaccard≥0.5 pairs
+    (iterative min-label propagation, operators/dedup.py). The canonical
+    keeper per cluster = the component id. Oracle: transitive closure via
+    DuckDB recursive CTE — same fixpoint, declaratively."""
+    from faust_spark.operators.dedup import connected_components, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+@_q(
     "embedding_dup_pairs",
     """
     SELECT a.vec_id AS doc1, b.vec_id AS doc2

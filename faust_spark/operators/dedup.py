@@ -277,6 +277,72 @@ def simhash(
 
 
 # --------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label each node with the min id of its duplicate cluster.
+
+    Iterative min-label propagation (the standard large-graph CC loop):
+    every round each node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds. Data
+    stays distributed — the driver loop only checks a convergence count
+    per round. Dup components from near-dup pair detection have tiny
+    diameters, so 3-4 rounds is typical.
+
+    ``nodes``: one column ``id_col``; ``pairs``: columns doc1/doc2.
+    Returns (id_col, component).
+    """
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc2").alias("src"), F.col("doc1").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+# --------------------------------------------------------------------------
 # embedding near-dup
 # --------------------------------------------------------------------------
 
