@@ -1096,6 +1096,31 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (SURVEY §2.6): the events stream unioned with
+    itself (every row duplicated) → ``dropDuplicates`` on the key with a
+    watermark bounding the dedup state → exactly the original rows. The
+    state-store dedup is the exactly-once ingestion building block."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, output_mode="append")
+    return out.select("event_id", "user_id", "event_type")
+
+
+@_q(
     "session_windows",
     """
     WITH x AS (

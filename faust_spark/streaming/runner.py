@@ -64,4 +64,36 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
-__all__ = ["stream_parquet", "run_to_memory"]
+def cdc_export(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_sec: float = 300.0,
+):
+    """Changelog-style CDC export (the reference's table changelog topic,
+    SURVEY §2.1): every update-mode emission appends to a parquet log via
+    foreachBatch, stamped with the batch id. Downstream consumers replay
+    the log exactly like a compacted changelog (last write per key wins).
+    """
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("cdc_export didn't finish")
+
+
+__all__ = ["stream_parquet", "run_to_memory", "cdc_export"]
