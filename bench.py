@@ -76,6 +76,34 @@ def main() -> None:
         if timings.get("stream_tumbling_hourly")
         else None
     )
+
+    # BASELINE.md streaming analogue of the reference's t/bench scenarios:
+    # baseline = pass-through consume; forward = +1 repartition hop.
+    from pyspark.sql import functions as SF
+
+    from faust_spark.streaming.runner import run_to_memory, stream_parquet
+
+    def _events_stream():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s = stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        return s.withColumn("ts", SF.expr("timestamp_micros(ts DIV 1000)"))
+
+    t0 = time.time()
+    run_to_memory(
+        _events_stream().select("event_id", "user_id", "value"),
+        output_mode="append",
+    )
+    baseline_eps = round(n_events / (time.time() - t0))
+
+    t0 = time.time()
+    run_to_memory(
+        _events_stream()
+        .repartition("user_id")  # the explicit extra hop
+        .groupBy("user_id")
+        .agg(SF.count(SF.lit(1)).alias("cnt")),
+        output_mode="complete",
+    )
+    forward_eps = round(n_events / (time.time() - t0))
     print(
         json.dumps(
             {
@@ -85,6 +113,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "events_per_sec_stream": eps,
+                "stream_baseline_eps": baseline_eps,
+                "stream_forward_eps": forward_eps,
             }
         )
     )

@@ -61,6 +61,55 @@ def test_interval_join_keyless_bucketized(spark):
     assert out.count() == 3  # 90, 99, 101 within ±10s; 111 out
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (seeded)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n_l, n_r = 120, 80
+        lpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_l).astype("int64"),
+                "t": rng.integers(0, 10_000, n_l).astype("int64"),
+                "lid": np.arange(n_l, dtype="int64"),
+            }
+        )
+        rpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_r).astype("int64"),
+                "t": rng.integers(0, 10_000, n_r).astype("int64"),
+                "rv": rng.integers(0, 1_000_000, n_r).astype("int64"),
+            }
+        )
+        # merge_asof takes the LAST right row <= t; ties on (k, t) in the
+        # right frame are resolved by position, so make (k, t) unique
+        rpd = rpd.drop_duplicates(["k", "t"]).reset_index(drop=True)
+        expected = pd.merge_asof(
+            lpd.sort_values(["t", "lid"]).reset_index(drop=True),
+            rpd.sort_values("t").reset_index(drop=True),
+            on="t",
+            by="k",
+            direction="backward",
+        ).set_index("lid")["rv"]
+
+        out = asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_ts="t",
+            right_ts="t",
+        ).collect()
+        got = {r.lid: r.rv for r in out}
+        for lid, rv in expected.items():
+            g = got[lid]
+            if pd.isna(rv):
+                assert g is None, f"trial {trial} lid {lid}: {g} != NaN"
+            else:
+                assert g == int(rv), f"trial {trial} lid {lid}: {g} != {rv}"
+
+
 def test_global_lookup_is_broadcast(spark):
     fact = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
     dim = spark.createDataFrame([(1, "dim1")], ["k", "name"])
