@@ -30,15 +30,20 @@ HEADLINE = [
     "interval_join_sliding",
     "asof_join",
     "global_table_join",
+    "multires_rollup",
+    "word_count",
     # relational
     "q1_pricing",
     "q3_shipping",
     "q5_local_volume",
     "q6_forecast",
+    "q18_large_orders",
+    "value_percentiles",
     # LLM pipeline
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_components",
     "simhash_fp",
     "text_quality",
     "ann_cosine_topk",
