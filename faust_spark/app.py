@@ -63,7 +63,15 @@ class Topic:
             reader = reader.option("subscribePattern", self.pattern)
         else:
             reader = reader.option("subscribe", self.name)
-        df = reader.load()
+        try:
+            df = reader.load()
+        except Exception as e:  # connector jar not on the classpath
+            raise RuntimeError(
+                "Kafka source unavailable: deploy with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+                "(the test container ships without the connector; use "
+                "path= file-backed topics there)"
+            ) from e
         if self.value_type is not None and issubclass(self.value_type, Record):
             df = self.value_type.decode(df)
         return df

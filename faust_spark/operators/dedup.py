@@ -309,8 +309,14 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    # only edge-connected nodes participate in propagation; isolated nodes
+    # are their own component and join back at the end (in a dedup corpus
+    # the connected subgraph is a tiny fraction of all docs)
+    all_nodes = nodes.select(F.col(id_col).alias("node"))
+    active = edges.select(F.col("src").alias("node")).distinct().persist()
+    isolated = all_nodes.join(active, "node", "left_anti")
+    labels = active.select(
+        "node", F.col("node").alias("label")
     ).persist()
     for _ in range(max_iterations):
         neighbor_min = (
@@ -339,7 +345,13 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    active.unpersist()
+    out = labels.unionByName(
+        isolated.select("node", F.col("node").alias("label"))
+    )
+    return out.select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
 
 
 # --------------------------------------------------------------------------
