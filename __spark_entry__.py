@@ -958,6 +958,64 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rolling_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL '90 days' PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_90d
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate (90-day revenue per customer) — the
+    OVER/RANGE surface the reference lacks. One shuffle per key, ordered
+    scan within partition."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_90d"),
+    )
+
+
+@_q(
+    "pivot_counts",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix. Explicit value list keeps
+    the plan a single pass (no distinct-value pre-query)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@_q(
     "rollup_revenue",
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -54,9 +54,17 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents shorter than ``n`` words produce no shingles (and therefore
+    never enter pair generation) — Spark's ``sequence(1, 0)`` would count
+    DOWN, so the short case needs an explicit empty guard.
+    """
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))
     )

@@ -36,6 +36,18 @@ def test_exact_dedup_groups(docs):
     assert rows[2] == 1 and rows[3] == 1
 
 
+def test_short_and_empty_docs_dont_crash(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "exactly three words")],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs).collect()
+    assert {r.doc_id for r in sh} == {3}  # only the 3-word doc shingles
+    assert jaccard_pairs(docs, threshold=0.1).count() == 0
+    assert simhash(docs).count() == 4
+    assert exact_dedup(docs).count() == 4
+
+
 def test_shingles_count(docs, spark):
     n_words = len(DOC.split())
     got = shingles(docs.filter("doc_id = 0")).count()
