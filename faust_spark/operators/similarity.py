@@ -123,9 +123,17 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's own LSH bucket, exact
-    cosine re-rank inside. (qid, nid, rank, bucket)."""
+    """Approximate top-k: probe the query's LSH bucket, exact cosine
+    re-rank inside. (qid, nid, rank).
+
+    ``multiprobe=1`` additionally probes every Hamming-distance-1 bucket
+    (flip each signature bit) — the standard multi-probe LSH recall
+    boost: ~(n_planes+1)× candidates instead of maintaining multiple
+    hash tables. The probe expansion happens on the (small, broadcast)
+    query side; the corpus is bucketed once.
+    """
     c = hyperplane_signature(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
         n_planes,
@@ -140,16 +148,31 @@ def hyperplane_lsh_topk(
         dim,
         "qv",
     )
+    if multiprobe >= 1:
+        # own bucket + each bit flipped once
+        def flip(i: int):
+            return F.concat(
+                F.substring("bucket", 1, i),
+                F.when(
+                    F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("bucket", i + 2, n_planes - i - 1),
+            )
+
+        probes = F.array(F.col("bucket"), *[flip(i) for i in range(n_planes)])
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", "qv", "cv")
+        .dropDuplicates(["qid", "nid"])  # several probes, one candidate
         .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "nid", "rank", "bucket")
+        .select("qid", "nid", "rank")
     )
 
 

@@ -32,9 +32,9 @@ def test_lsh_bucket_is_deterministic(spark, sf_dir):
 
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """With few planes (big buckets) LSH top-1 should usually agree with
-    brute force; assert ≥40% top-1 recall on 10 queries — far above the
-    ~2% random-chance rate, while tolerant of LSH losses."""
+    """Multi-probe LSH top-1 should usually agree with brute force;
+    assert ≥60% top-1 recall on 10 queries — far above the ~2%
+    random-chance rate, while tolerant of LSH losses."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
@@ -50,4 +50,4 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         .collect()
     }
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
-    assert hits >= 4, f"LSH top-1 recall too low: {hits}/10"
+    assert hits >= 6, f"LSH top-1 recall too low: {hits}/10"
