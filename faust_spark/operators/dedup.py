@@ -294,6 +294,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label each node with the min id of its duplicate cluster.
 
@@ -306,7 +307,20 @@ def connected_components(
 
     ``nodes``: one column ``id_col``; ``pairs``: columns doc1/doc2.
     Returns (id_col, component).
+
+    Fast path: near-dup edge sets are orders of magnitude smaller than
+    the corpus (they're the *output* of candidate pruning), so when the
+    edge list fits comfortably on the driver (≤ ``small_graph_edges``)
+    a local union-find resolves components in one pass and only the
+    node→component map is distributed again. The iterative join loop
+    remains the fallback for genuinely huge duplicate graphs.
     """
+    # materialize the pair list once — the union of both edge directions
+    # would otherwise evaluate the (expensive) pair-generation pipeline
+    # twice (persist alone is lazy; the count forces the cache to fill
+    # before both branches read it)
+    pairs = pairs.persist()
+    pairs.count()
     edges = (
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .unionByName(
@@ -323,6 +337,47 @@ def connected_components(
     all_nodes = nodes.select(F.col(id_col).alias("node"))
     active = edges.select(F.col("src").alias("node")).distinct().persist()
     isolated = all_nodes.join(active, "node", "left_anti")
+
+    if edges.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        spark = nodes.sparkSession
+        comp_rows = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        active.unpersist()
+        if comp_rows:
+            resolved = spark.createDataFrame(
+                comp_rows, "node long, component long"
+            )
+        else:
+            resolved = all_nodes.limit(0).select(
+                "node", F.col("node").alias("component")
+            )
+        # isolated = everything not in the (already collected) edge set —
+        # an anti-join against the tiny resolved side, not a recompute of
+        # the pair pipeline
+        iso = all_nodes.join(
+            F.broadcast(resolved.select("node")), "node", "left_anti"
+        )
+        return resolved.unionByName(
+            iso.select("node", F.col("node").alias("component"))
+        ).select(F.col("node").alias(id_col), "component")
+
     labels = active.select(
         "node", F.col("node").alias("label")
     ).persist()
