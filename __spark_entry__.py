@@ -1044,6 +1044,62 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEX_VAL = (
+    "((instr('0123456789abcdef', substr(h, {i}, 1)) - 1) * {mult})"
+)
+
+
+def _duck_hash01(expr: str, chars: int = 8) -> str:
+    """DuckDB fragment: md5-derived uniform [0,1) matching sampling._hash01."""
+    terms = " + ".join(
+        _HEX_VAL.format(i=i + 1, mult=16 ** (chars - 1 - i))
+        for i in range(chars)
+    )
+    return (
+        f"(SELECT ({terms}) / {float(16 ** chars)} "
+        f"FROM (SELECT md5({expr}) AS h) __h)"
+    )
+
+
+@_q(
+    "sample_10pct",
+    f"""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE {_duck_hash01("CAST(event_id AS VARCHAR)")} < 0.1
+    """,
+)
+def sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by content hash (operators/sampling.py):
+    identical rows every run and on every engine — the reproducibility
+    contract a training-data pipeline needs (vs RNG-based df.sample)."""
+    from faust_spark.operators.sampling import hash_sample
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return hash_sample(e, "event_id", 0.1, hex_chars=8)
+
+
+@_q(
+    "sample_3_per_user",
+    """
+    SELECT event_id, user_id FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def sample_3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key sample (hash-ordered 'reservoir'): the
+    per-domain cap used in corpus curation, reproducible across engines."""
+    from faust_spark.operators.sampling import top_k_per_key
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return top_k_per_key(e, key="user_id", row_key="event_id", k=3)
+
+
 @_q(
     "value_trend",
     """

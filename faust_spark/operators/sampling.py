@@ -1,0 +1,65 @@
+"""Deterministic sampling for reproducible training-data pipelines.
+
+Random sampling (``df.sample``) differs run-to-run and engine-to-engine;
+pipelines that must be re-runnable (and auditable) sample by *content
+hash* instead: a row is in the sample iff a hash of its key falls under a
+threshold. Same rows every run, on every engine, regardless of
+partitioning — and the predicate pushes into the scan like any filter.
+
+- :func:`hash_sample` — Bernoulli-style p-fraction sample by key hash.
+- :func:`top_k_per_key` — deterministic "reservoir" of k rows per key
+  (rank by key-salted hash); the per-key uniform sample used for
+  per-domain caps in corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _hash01(col: Column, salt: str = "", hex_chars: int = 12) -> Column:
+    """md5-derived uniform [0,1) value — engine-portable (md5 everywhere).
+
+    ``hex_chars`` ≤ 12 keeps the value exact in a double.
+    """
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("double") / F.lit(
+        float(16**hex_chars)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    salt: str = "",
+    hex_chars: int = 12,
+) -> DataFrame:
+    """Keep rows whose key-hash falls under ``fraction`` (deterministic)."""
+    return df.filter(_hash01(F.col(key), salt, hex_chars) < fraction)
+
+
+def top_k_per_key(
+    df: DataFrame,
+    key: str,
+    row_key: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-key sample: rank rows by salted row-hash within
+    each key, keep the first k. One shuffle on the key; the uniform-ish
+    order comes from the hash, not an RNG."""
+    w = W.partitionBy(key).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(row_key).cast("string"))),
+        F.col(row_key),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+__all__ = ["hash_sample", "top_k_per_key"]

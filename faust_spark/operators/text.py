@@ -64,25 +64,28 @@ def quality_score(
     stop_hits = F.size(
         F.filter(toks, lambda w: w.isin(*STOPWORDS))
     )
-    mean_word_len = (
-        (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    # null/empty text yields null ratios and quality_ok=0 — real corpora
+    # contain both, and a divide-by-zero here would kill the whole stage
+    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / F.nullif(
+        n_tokens, F.lit(0)
     )
-    stop_ratio = stop_hits.cast("double") / n_tokens
-    alpha_ratio = n_alpha.cast("double") / n_chars
+    stop_ratio = stop_hits.cast("double") / F.nullif(n_tokens, F.lit(0))
+    alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0))
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
         stop_ratio.alias("stop_ratio"),
         alpha_ratio.alias("alpha_ratio"),
-        (
-            (n_tokens >= 10)
-            & (mean_word_len >= 2.0)
-            & (mean_word_len <= 12.0)
-            & (stop_ratio >= 0.01)
-        )
-        .cast("int")
-        .alias("quality_ok"),
+        F.coalesce(
+            (
+                (n_tokens >= 10)
+                & (mean_word_len >= 2.0)
+                & (mean_word_len <= 12.0)
+                & (stop_ratio >= 0.01)
+            ).cast("int"),
+            F.lit(0),
+        ).alias("quality_ok"),
     )
 
 
@@ -101,7 +104,11 @@ def lang_id(
         _hits(markers).alias(lang)
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select(F.col(id_col), *scores)
+    scored = df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("__has_text"),
+        *scores,
+    )
     # argmax via greatest over (score, reversed-lang) structs: ties resolve
     # to the alphabetically-first language.
     langs = sorted(LANG_MARKERS)
@@ -115,10 +122,12 @@ def lang_id(
         for i, lang in enumerate(langs)
     ]
     best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    # null text → null prediction (not a spurious tie-break winner)
+    has_text = F.col("__has_text")
     return scored.select(
         F.col(id_col),
-        best["l"].alias("pred_lang"),
-        best["s"].alias("marker_hits"),
+        F.when(has_text, best["l"]).alias("pred_lang"),
+        F.when(has_text, best["s"]).alias("marker_hits"),
     )
 
 

@@ -48,6 +48,20 @@ def test_short_and_empty_docs_dont_crash(spark):
     assert exact_dedup(docs).count() == 4
 
 
+def test_text_ops_null_and_empty(spark):
+    from faust_spark.operators.text import lang_id, quality_score
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "the quick fox")], "doc_id long, text string"
+    )
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[0].quality_ok == 0 and q[1].quality_ok == 0
+    assert q[1].alpha_ratio is None  # empty text → null ratio, no div-zero
+    l = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert l[0].pred_lang is None
+    assert l[2].pred_lang == "en"
+
+
 def test_shingles_count(docs, spark):
     n_words = len(DOC.split())
     got = shingles(docs.filter("doc_id = 0")).count()

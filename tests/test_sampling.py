@@ -1,0 +1,36 @@
+"""Deterministic sampling: stability, fraction accuracy, per-key caps."""
+
+from pyspark.sql import functions as F
+
+from faust_spark.catalog import load_table
+from faust_spark.operators.sampling import hash_sample, top_k_per_key
+
+
+def test_hash_sample_is_stable_and_close_to_fraction(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    a = {r.event_id for r in hash_sample(e, "event_id", 0.2).collect()}
+    b = {r.event_id for r in hash_sample(e, "event_id", 0.2).collect()}
+    assert a == b  # run-to-run identical
+    n = e.count()
+    assert 0.12 * n <= len(a) <= 0.28 * n  # ~20% ± sampling noise
+    # different salt → different (but still deterministic) subset
+    c = {r.event_id for r in hash_sample(e, "event_id", 0.2, salt="x").collect()}
+    assert c != a
+
+
+def test_hash_sample_nested_fractions(spark, sf_dir):
+    """A 10% sample is a subset of the 20% sample (same salt) — hash
+    thresholds nest, which RNG samples don't guarantee."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    small = {r.event_id for r in hash_sample(e, "event_id", 0.1).collect()}
+    big = {r.event_id for r in hash_sample(e, "event_id", 0.2).collect()}
+    assert small <= big
+
+
+def test_top_k_per_key_caps_and_stability(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = top_k_per_key(e, "user_id", "event_id", k=3)
+    per_key = out.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_key <= 3
+    again = top_k_per_key(e, "user_id", "event_id", k=3)
+    assert out.subtract(again).count() == 0
