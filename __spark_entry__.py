@@ -1101,6 +1101,44 @@ def sample_3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs to ~2048-token context
+    chunks by running token total (the sequential-packer semantics).
+    The global running sum is a single-partition window here; at corpus
+    scale pack per shard (partitionBy a shard key) — the global order is
+    an arbitrary choice anyway."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
+        ).alias("chunk_id"),
+    )
+
+
+@_q(
     "value_trend",
     """
     SELECT user_id,
