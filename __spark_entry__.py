@@ -1352,6 +1352,48 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_stream_join",
+    """
+    SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join through the streaming engine —
+    the operator the reference declares but stubs (its joins raise
+    NotImplementedError; its own test asserts that). Full replay emits
+    exactly the batch join result (oracle = plain SQL join)."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_to_memory(j, output_mode="append")
+    return out.select("user_id", "p_ts", "c_ts")
+
+
+@_q(
     "session_windows",
     """
     WITH x AS (
