@@ -1,0 +1,88 @@
+"""Plan-health snapshot: per-query physical-plan metrics as one JSON.
+
+Catches silent plan regressions (a broadcast that became a sort-merge, a
+new Python eval in a relational query, a lost pushdown) across rounds —
+complements the value-correctness gate, which can't see execution shape.
+
+Usage: python tools/plancheck.py [--sf DIR] [key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# streaming queries execute eagerly inside queries(); plan introspection
+# here targets the batch surface
+SKIP = {
+    "stream_tumbling_hourly",
+    "stream_window_close",
+    "stream_stateful_counter",
+    "stream_dedup",
+    "stream_stream_join",
+    "dedup_components",  # driver-side loop; terminal plan is trivial
+}
+
+
+def metrics(plan: str) -> dict:
+    return {
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "nested_loop": plan.count("BroadcastNestedLoopJoin")
+        + plan.count("CartesianProduct"),
+        "python_evals": plan.count("EvalPython"),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "codegen": "*(1)" in plan,
+    }
+
+
+# brute-force similarity baselines intentionally broadcast-nested-loop a
+# tiny query set against the corpus scan (non-equi predicate); the LSH
+# variants are the scale path
+ALLOW_NESTED_LOOP = {"ann_cosine_topk", "embedding_dup_pairs"}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from faust_spark.session import get_spark
+
+    spark = get_spark("plancheck")
+    qs = entry.queries()
+    keys = args.keys or [k for k in qs if k not in SKIP]
+
+    out = {}
+    for key in keys:
+        try:
+            df = qs[key](spark, args.sf)
+            df.collect()  # finalize AQE plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            out[key] = metrics(plan)
+        except Exception as e:
+            out[key] = {"error": str(e)[:120]}
+    print(json.dumps(out, indent=1, sort_keys=True))
+    bad = [
+        k
+        for k, m in out.items()
+        if (m.get("nested_loop", 0) > 0 and k not in ALLOW_NESTED_LOOP)
+        or "error" in m
+    ]
+    if bad:
+        print(f"REGRESSIONS: {bad}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
