@@ -110,6 +110,72 @@ def test_asof_matches_pandas_merge_asof(spark):
                 assert g == int(rv), f"trial {trial} lid {lid}: {g} != {rv}"
 
 
+def test_interval_join_matches_pandas(spark):
+    """Randomized cross-check of keyed AND keyless (bucketized) interval
+    joins against a pandas nested-loop reference."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 60, 90
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l).astype("int64"),
+            "lt": rng.integers(0, 5000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_r).astype("int64"),
+            "rt": rng.integers(0, 5000, n_r).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64"),
+        }
+    )
+    before, after = 120.0, 45.0
+    base = dt.datetime(2024, 1, 1)
+
+    def to_ts(s):
+        return base + dt.timedelta(seconds=int(s))
+
+    l = spark.createDataFrame(
+        [(int(r.k), to_ts(r.lt), int(r.lid)) for r in lpd.itertuples()],
+        "k long, t timestamp, lid long",
+    )
+    r = spark.createDataFrame(
+        [(int(x.k), to_ts(x.rt), int(x.rid)) for x in rpd.itertuples()],
+        "k long, t timestamp, rid long",
+    )
+    # pandas reference (nested loop)
+    ref_keyed = {
+        (int(a.lid), int(b.rid))
+        for a in lpd.itertuples()
+        for b in rpd.itertuples()
+        if a.k == b.k and a.lt - before <= b.rt <= a.lt + after
+    }
+    got_keyed = {
+        (x["lid"], x["rid"])
+        for x in interval_join(
+            l, r, "t", "t", before=before, after=after, on="k"
+        ).collect()
+    }
+    assert got_keyed == ref_keyed
+
+    ref_keyless = {
+        (int(a.lid), int(b.rid))
+        for a in lpd.itertuples()
+        for b in rpd.itertuples()
+        if a.lt - before <= b.rt <= a.lt + after
+    }
+    got_keyless = {
+        (x["lid"], x["rid"])
+        for x in interval_join(
+            l, r, "t", "t", before=before, after=after
+        ).collect()
+    }
+    assert got_keyless == ref_keyless
+
+
 def test_global_lookup_is_broadcast(spark):
     fact = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
     dim = spark.createDataFrame([(1, "dim1")], ["k", "name"])
