@@ -1101,6 +1101,103 @@ def sample_3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "edit_distance_pairs",
+    """
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 60 AND b.doc_id < 60
+      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 25
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching by edit distance (prefix-bounded Levenshtein) — the
+    record-linkage primitive. Bounded prefixes keep the O(m·n) DP cell
+    count constant per pair; at corpus scale pre-block by a cheap key
+    (simhash band / length bucket) before the pairwise step."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    a = d.select(
+        F.col("doc_id").alias("doc1"),
+        F.substring("text", 1, 40).alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc2"),
+        F.substring("text", 1, 40).alias("tb"),
+    )
+    return (
+        a.join(b, F.col("doc1") < F.col("doc2"))
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= 25)
+        .select("doc1", "doc2", "dist")
+    )
+
+
+@_q(
+    "rank_analytics",
+    """
+    SELECT event_id, user_id,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics (percent_rank / cume_dist / ntile) — rational
+    arithmetic over identical ints, so both engines agree exactly."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+@_q(
+    "profile_events",
+    """
+    SELECT 'value' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(value) AS nulls,
+           COUNT(DISTINCT value) AS n_distinct,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    """,
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (count / nulls / distinct / min / max) — the
+    data-quality summary every ingestion pipeline runs first. One pass
+    per profiled column here; a grouping-sets variant amortizes further."""
+    e = _t(spark, sf_dir, "events")
+
+    def prof(col: str):
+        return e.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        )
+
+    return prof("value").unionByName(prof("user_id"))
+
+
+@_q(
     "pack_sequences",
     """
     WITH t AS (
