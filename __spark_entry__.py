@@ -1491,6 +1491,92 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_enriched_counts",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment through the streaming engine: the
+    streaming events join the static customer dimension (broadcast) and
+    aggregate — the reference's table-lookup-in-agent idiom executed as a
+    streaming query. Same oracle as the batch form."""
+    from faust_spark.joins import global_lookup
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = global_lookup(s, dim, on=s.user_id == dim.c_custkey, how="inner")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@_q(
+    "hourly_histogram",
+    """
+    SELECT CAST(date_part('hour', ts) AS INT) AS hour, event_type,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day histogram per event type (date-part extraction)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "null_safe_join",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN value < 50 THEN NULL
+                  ELSE CAST(FLOOR(value / 100) AS BIGINT) END AS bucket
+      FROM events WHERE event_type = 'signup'
+    ),
+    d AS (
+      SELECT DISTINCT CASE WHEN value < 50 THEN NULL
+                           ELSE CAST(FLOOR(value / 100) AS BIGINT) END AS bucket
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.bucket, COUNT(*) AS cnt
+    FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY 1
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): nulls match
+    nulls — the semantic corner plain equality joins silently drop."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.when(
+        F.col("value") >= 50, F.floor(F.col("value") / 100).cast("bigint")
+    )
+    left = e.filter(F.col("event_type") == "signup").select(
+        "event_id", bucket.alias("bucket")
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .select(bucket.alias("bucket"))
+        .distinct()
+    )
+    return (
+        left.join(right, left.bucket.eqNullSafe(right.bucket))
+        .groupBy(left.bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
     "session_windows",
     """
     WITH x AS (
