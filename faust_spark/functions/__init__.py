@@ -41,10 +41,33 @@ def decimal_to_str(col: Column | str) -> Column:
     return c.cast("string")
 
 
+def validate_split(df, *checks: "tuple[str, Column]"):
+    """Validation with an error side-output (reference ValidationError →
+    CHECK-filter + error sink, SURVEY §2.7).
+
+    ``checks`` are (name, predicate) pairs; returns (valid_df,
+    invalid_df) where invalid rows carry a ``failed_checks`` array naming
+    every violated predicate. Both outputs derive from one scan — Catalyst
+    shares the upstream plan."""
+    from pyspark.sql import functions as FF
+
+    failed = FF.filter(
+        FF.array(
+            *[FF.when(~pred, FF.lit(name)) for name, pred in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("failed_checks", failed)
+    valid = tagged.filter(FF.size("failed_checks") == 0).drop("failed_checks")
+    invalid = tagged.filter(FF.size("failed_checks") > 0)
+    return valid, invalid
+
+
 __all__ = [
     "b64encode",
     "b64decode",
     "iso8601_parse",
     "decimal_str",
     "decimal_to_str",
+    "validate_split",
 ]

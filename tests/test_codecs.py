@@ -47,6 +47,49 @@ def test_iso8601_and_decimal(spark):
     assert row.dec == decimal.Decimal("1.500000000000000001")
 
 
+def test_validate_split_side_output(spark):
+    from pyspark.sql import functions as F
+
+    from faust_spark.functions import validate_split
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, 200.0, None)],
+        "id long, amount double, tag string",
+    )
+    valid, invalid = validate_split(
+        df,
+        ("amount_nonneg", F.col("amount") >= 0),
+        ("amount_max", F.col("amount") <= 100),
+        ("tag_present", F.col("tag").isNotNull()),
+    )
+    assert [r.id for r in valid.collect()] == [1]
+    bad = {r.id: sorted(r.failed_checks) for r in invalid.collect()}
+    assert bad == {2: ["amount_nonneg"], 3: ["amount_max", "tag_present"]}
+
+
+def test_apply_in_pandas_udaf(spark):
+    """Batch pandas UDAF surface (§2.9): per-group arbitrary pandas
+    computation via groupBy().applyInPandas."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "k string, v double"
+    )
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"k": pdf["k"].iloc[0], "spread": float(pdf.v.max() - pdf.v.min())}]
+        )
+
+    out = {
+        r.k: r.spread
+        for r in df.groupBy("k")
+        .applyInPandas(spread, "k string, spread double")
+        .collect()
+    }
+    assert out == {"a": 2.0, "b": 0.0}
+
+
 def test_polymorphic_decode_routes_by_discriminator(spark):
     df = spark.createDataFrame(
         [
