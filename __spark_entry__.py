@@ -1101,6 +1101,39 @@ def sample_3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scd2_history",
+    """
+    SELECT user_id, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           value AS state_value,
+           CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 versioned dimension from an event stream: each state
+    change opens a validity interval closed by the next change (lead), the
+    open-ended row flagged current. The warehouse-side complement of the
+    as-of join (asof_join probes exactly these intervals)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("value").alias("state_value"),
+            F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+@_q(
     "edit_distance_pairs",
     """
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
