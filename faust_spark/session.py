@@ -21,6 +21,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -59,6 +60,18 @@ def get_spark(
         # parquet writer defaults for any sink we materialize
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    if rocksdb_state:
+        # large streaming state (the reference's RocksDB table store,
+        # faust/stores/rocksdb.py role): spill keyed state to disk instead
+        # of holding it on the JVM heap
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

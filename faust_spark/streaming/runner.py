@@ -96,4 +96,49 @@ def cdc_export(
         raise TimeoutError("cdc_export didn't finish")
 
 
-__all__ = ["stream_parquet", "run_to_memory", "cdc_export"]
+def exactly_once_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_sec: float = 300.0,
+):
+    """Effectively-once file sink: idempotent per-batch partition overwrite.
+
+    The reference reaches exactly-once with Kafka transactions (its
+    ``processing_guarantee='exactly_once'``); for file outputs the Spark
+    equivalent is idempotent replay — each micro-batch writes to its own
+    ``__batch_id=N`` partition with dynamic partition overwrite, so a
+    retried batch (after a crash between write and checkpoint-commit)
+    overwrites its own partition instead of duplicating rows.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("exactly_once_parquet_sink didn't finish")
+
+
+__all__ = [
+    "stream_parquet",
+    "run_to_memory",
+    "cdc_export",
+    "exactly_once_parquet_sink",
+]

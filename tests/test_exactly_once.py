@@ -1,0 +1,71 @@
+"""Effectively-once file sink: batch replay must not duplicate rows."""
+
+from pyspark.sql import functions as F
+
+from faust_spark.streaming.runner import (
+    exactly_once_parquet_sink,
+    stream_parquet,
+)
+
+
+def test_replayed_batch_overwrites_not_duplicates(spark, sf_dir, tmp_path):
+    from faust_spark.catalog import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    ).repartition(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    s = stream_parquet(spark, src, max_files_per_trigger=1)
+    exactly_once_parquet_sink(s, out, ckpt)
+    n_src = spark.read.parquet(src).count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_src
+    assert first.select("event_id").distinct().count() == n_src
+
+    # simulate a retried batch: re-write batch 0's content with the same
+    # batch id — dynamic partition overwrite must replace, not append
+    batch0 = first.filter(F.col("__batch_id") == 0).drop("__batch_id")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        batch0.withColumn("__batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("__batch_id")
+        .parquet(out)
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == n_src  # no duplicates after replay
+    assert again.select("event_id").distinct().count() == n_src
+
+
+def test_rocksdb_state_backend(tmp_path):
+    """Stateful aggregation on the RocksDB state store provider."""
+    from faust_spark.session import get_spark
+    from faust_spark.catalog import load_table
+    from faust_spark.streaming.runner import run_to_memory
+
+    spark = get_spark("rocks-test", rocksdb_state=True, shuffle_partitions=4)
+    # getOrCreate reuses the shared test session; the provider conf is a
+    # runtime conf, so set/restore explicitly
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        assert "RocksDB" in spark.conf.get(key)
+        d = str(tmp_path / "ev")
+        load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(d)
+        s = stream_parquet(spark, d)
+        agg = s.groupBy("user_id").agg(F.count("*").alias("c"))
+        out = run_to_memory(agg, output_mode="complete")
+        assert out.count() == 15
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
