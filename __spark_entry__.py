@@ -1482,6 +1482,56 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_hopping",
+    """
+    WITH e AS (SELECT epoch(ts) AS te FROM events),
+    w AS (
+      SELECT CAST(floor(te / 900) * 900 - k * 900 AS BIGINT) AS ws
+      FROM e CROSS JOIN (VALUES (0), (1)) t(k)
+      WHERE floor(te / 900) * 900 - k * 900 > te - 1800
+    )
+    SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL '1 second' * ws AS wstart,
+           COUNT(*) AS cnt
+    FROM w GROUP BY 1
+    """,
+)
+def stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows through the streaming engine (size 30 min, hop
+    15 min): every event counted in both overlapping windows by the state
+    store; same window-assignment oracle as the batch form."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1800 seconds", "900 seconds")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(F.col("window.start").alias("wstart"), "cnt")
+
+
+@_q(
+    "stream_set_table",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_set_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetTable through the streaming engine: per-key collect_set in the
+    state store (complete mode), sorted+joined for the deterministic
+    encoding — the reference's changelogged per-key set."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_arr")
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select("user_id", F.array_join("types_arr", ",").alias("types"))
+
+
+@_q(
     "stream_stream_join",
     """
     SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
