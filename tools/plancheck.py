@@ -46,7 +46,11 @@ def metrics(plan: str) -> dict:
 # brute-force similarity baselines intentionally broadcast-nested-loop a
 # tiny query set against the corpus scan (non-equi predicate); the LSH
 # variants are the scale path
-ALLOW_NESTED_LOOP = {"ann_cosine_topk", "embedding_dup_pairs"}
+ALLOW_NESTED_LOOP = {
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+    "edit_distance_pairs",  # bounded pairwise on a pre-blocked subset
+}
 
 
 def main() -> int:
