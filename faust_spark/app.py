@@ -192,6 +192,21 @@ class App:
 
         return F.broadcast(df)
 
+    @staticmethod
+    def timer(interval_seconds: float) -> dict:
+        """Periodic execution (reference ``@app.timer``): returns trigger
+        kwargs for ``writeStream.trigger(**app.timer(10))`` — the
+        micro-batch cadence is the timer."""
+        return {"processingTime": f"{interval_seconds} seconds"}
+
+    @staticmethod
+    def crontab(cron_expr: str) -> dict:
+        """Cron-style scheduling (reference ``@app.crontab``) has no
+        in-engine equivalent: run the job from an external scheduler, or
+        use ``availableNow`` triggers per invocation. Returns the
+        one-shot trigger kwargs as the supported analogue."""
+        return {"availableNow": True}
+
     def agent(self, name: Optional[str] = None, *, sinks: Optional[list] = None):
         def deco(fun: Callable) -> Agent:
             a = Agent(self, fun, name or fun.__name__, sinks or [])

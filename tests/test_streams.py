@@ -100,6 +100,12 @@ def test_set_table_algebra(spark):
     assert row.i == ["y"] and row.d == ["x"] and row.s == ["x", "z"]
 
 
+def test_timer_trigger_kwargs(spark):
+    app = make_app(spark)
+    assert app.timer(10.0) == {"processingTime": "10.0 seconds"}
+    assert app.crontab("0 * * * *") == {"availableNow": True}
+
+
 def test_agent_registration(spark):
     app = make_app(spark)
 
