@@ -1360,12 +1360,18 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
+    from pyspark.sql.types import LongType
+
     from faust_spark.streaming.runner import stream_parquet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s = stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
-    return s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # the driver fixture stores TIMESTAMP(NANOS) (read as long under the
+    # legacy conf); regular timestamp parquet needs no conversion
+    if isinstance(s.schema["ts"].dataType, LongType):
+        s = s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return s
 
 
 @_q(

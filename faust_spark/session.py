@@ -34,6 +34,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local mode runs everything in one JVM; the 1g default heap GC-
+        # thrashes under 32 concurrent tasks (effective only when this
+        # call launches the JVM, i.e. the first session of the process)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         # --- deterministic event-time math (matches the DuckDB oracle) ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: runtime re-planning at any scale ---

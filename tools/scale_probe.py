@@ -1,0 +1,128 @@
+"""Scale probe: replicate fixtures N× and measure operator scaling.
+
+Correctness gates run at sf0.01; this probe answers the other question —
+does each operator's runtime grow ~linearly when the data does? Events are
+replicated with shifted ids/timestamps (key cardinality and time span both
+grow), documents with perturbed text (dup structure preserved per replica).
+
+Usage: python tools/scale_probe.py [--mult 10]
+Prints one JSON line: per-query seconds at 1x and Nx plus the ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+PROBES_EVENTS = [
+    "counter_table",
+    "tumbling_hourly",
+    "session_windows",
+    "interval_join_sliding",
+    "asof_join",
+    "stream_tumbling_hourly",
+]
+PROBES_DOCS = ["dedup_jaccard", "dedup_minhash_lsh", "simhash_fp"]
+PROBES_EMB = ["ann_cosine_topk"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from faust_spark.catalog import load_table
+    from faust_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    big = tempfile.mkdtemp(prefix="scale_probe_")
+
+    # events: shift ids and timestamps per replica (more keys, longer span)
+    ev = load_table(spark, args.base, "events")
+    n_ev = ev.count()
+    reps = spark.range(args.mult).select(F.col("id").alias("rep"))
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+            (F.col("ts") + F.make_interval(secs=F.col("rep") * 86400)).alias("ts"),
+            (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(big, "events.parquet"))
+    )
+    # documents: perturb text per replica so dup structure stays constant
+    docs = load_table(spark, args.base, "documents")
+    n_docs = docs.count()
+    doc_mult = min(args.mult, 4)  # pairwise ops: keep the probe bounded
+    (
+        docs.crossJoin(spark.range(doc_mult).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(big, "documents.parquet"))
+    )
+    emb = load_table(spark, args.base, "embeddings")
+    n_emb = emb.count()
+    (
+        emb.crossJoin(spark.range(args.mult).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(big, "embeddings.parquet"))
+    )
+    # pass-through for the remaining tables
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        os.symlink(
+            os.path.join(args.base, f"{t}.parquet"),
+            os.path.join(big, f"{t}.parquet"),
+        )
+
+    qs = entry.queries()
+
+    def timed(key: str, sf_dir: str) -> float:
+        t0 = time.time()
+        qs[key](spark, sf_dir).collect()
+        return round(time.time() - t0, 2)
+
+    out = {}
+    for key in PROBES_EVENTS + PROBES_DOCS + PROBES_EMB:
+        base_t = timed(key, args.base)
+        big_t = timed(key, big)
+        mult = args.mult if key not in PROBES_DOCS else doc_mult
+        out[key] = {
+            "base_s": base_t,
+            "big_s": big_t,
+            "data_mult": mult,
+            "time_ratio": round(big_t / base_t, 2) if base_t else None,
+        }
+        print(f"# {key}: {base_t}s -> {big_t}s (x{mult} data)", file=sys.stderr)
+    print(json.dumps({"mult": args.mult, "probes": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
