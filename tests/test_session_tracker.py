@@ -14,6 +14,51 @@ def T(h, m):
     return dt.datetime(2024, 1, 1, h, m)
 
 
+def test_timer_state_survives_restart(spark, tmp_path):
+    """Session state + armed timers must recover from the checkpoint: a
+    session opened before shutdown times out after restart."""
+    src = str(tmp_path / "rsrc")
+    ckpt = str(tmp_path / "rckpt")
+    schema = "user_id long, ts timestamp"
+
+    def run_once(emitted):
+        s = (
+            stream_parquet(spark, src, max_files_per_trigger=1)
+            .withWatermark("ts", "60 seconds")
+        )
+        tracked = session_tracker(
+            s.groupBy("user_id"), "user_id", gap_seconds=1800
+        )
+        q = (
+            tracked.writeStream.foreachBatch(
+                lambda b, i: emitted.extend(b.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # run 1: open a session for user 5; nothing closes yet
+    spark.createDataFrame(
+        [(5, T(10, 0)), (5, T(10, 3))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    first = []
+    run_once(first)
+    assert first == []
+
+    # run 2 (after restart): a far-future event advances the watermark —
+    # the session opened in run 1 must close via its recovered timer
+    spark.createDataFrame([(9, T(20, 0))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = []
+    run_once(second)
+    closed = {(r.user_id, r.session_start, r.cnt) for r in second}
+    assert (5, "2024-01-01 10:00:00", 2) in closed
+
+
 def test_sessions_close_via_timeout_and_inline_gap(spark, tmp_path):
     src = str(tmp_path / "sess_src")
     schema = "user_id long, ts timestamp"
