@@ -164,16 +164,27 @@ def lsh_bands(
     band_size: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, band, band_sig): md5 over the band's minhashes in seed order."""
+    """(id, band, band_sig): md5 over the band's minhashes in seed order.
+
+    Seed order is reconstructed with one conditional MIN per band slot
+    (exactly one row exists per (id, seed)) — a plain codegen'd
+    HashAggregate, instead of the ObjectHashAggregate a
+    sort_array(collect_list(struct)) would force.
+    """
     banded = sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    ordered = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("seed"), F.col("mh")))
-        ),
-        lambda s: s["mh"],
-    )
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", ordered)).alias("band_sig")
+    slots = [
+        F.min(F.when(F.col("seed") % band_size == r, F.col("mh"))).alias(
+            f"__m{r}"
+        )
+        for r in range(band_size)
+    ]
+    agg = banded.groupBy(id_col, "band").agg(*slots)
+    return agg.select(
+        F.col(id_col),
+        F.col("band"),
+        F.md5(
+            F.concat_ws(",", *[F.col(f"__m{r}") for r in range(band_size)])
+        ).alias("band_sig"),
     )
 
 
