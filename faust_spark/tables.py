@@ -83,6 +83,24 @@ class Table:
         name = field if isinstance(field, str) else field._jc.toString()
         return Table(self.app, self.name, self.default, self.window, name)
 
+    def relative_to(self, timestamp) -> tuple["Table", "Stream"]:
+        """Fixed-timestamp relativity (reference ``relative_to(ts)``):
+        every event is windowed as if it occurred at ``timestamp``.
+        Returns a (table, stamp_fn) pair like relative_to_now."""
+
+        def stamp(stream: Stream) -> Stream:
+            return stream.with_column("__fixed_ts", F.lit(timestamp).cast("timestamp"))
+
+        return (
+            Table(self.app, self.name, self.default, self.window, "__fixed_ts"),
+            stamp,
+        )
+
+    @staticmethod
+    def as_ansitable(result: DataFrame, n: int = 20) -> None:
+        """Render a table result for terminals (reference ``as_ansitable``)."""
+        result.show(n, truncate=False)
+
     def relative_to_now(self, stream: Stream) -> tuple["Table", Stream]:
         """Processing-time windows (reference ``relative_to_now()``).
 
