@@ -2229,9 +2229,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing(spark, "/root/testdata/sf0.001")
 
 
+# Registration order exposed to the driver.  The driver's correctness gate
+# evaluates the FIRST 50 entries of ``queries()``; round 1 left the entire
+# LLM-pipeline layer past that cutoff with no driver-side evidence
+# (VERDICT.md "What's wrong" #1).  This list puts (a) those 21 queries and
+# (b) every query whose implementation changed this round inside the window;
+# the remainder (all driver-green in CORRECTNESS_r01.json and unchanged
+# since) follow, and the full set is re-checked each round by
+# ``tools/check.py`` into ``artifacts/check_all_r{N}.json``.
+_PRIORITY: list[str] = [
+    # -- LLM-data-pipeline layer (north star; blind in round 1) ----------
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_fp",
+    "dedup_components",
+    "embedding_dup_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "text_tokens",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "pipeline_filter_dedup",
+    # -- batch/streaming queries blind in round 1 ------------------------
+    "session_windows",
+    "multires_rollup",
+    "value_percentiles",
+    "hourly_histogram",
+    "null_safe_join",
+    "stream_enriched_counts",
+    # -- changed this round (need fresh driver evidence) -----------------
+    "approx_distinct_users",  # new within-rsd oracle
+    "edit_distance_pairs",  # length-bucket blocking, crutch removed
+    "enumerate_stream",  # per-partition offsets
+    "asof_join",  # output-column collision fix
+    "interval_join_sliding",  # sub-second bucket math fix
+    # -- breadth across operator families (driver-green in r1) -----------
+    "counter_table",
+    "sum_table",
+    "filter_project",
+    "rekey_json",
+    "set_table",
+    "take_first",
+    "union_streams",
+    "distinct_users_per_type",
+    "distinct_types",
+    "topk_users",
+    "tumbling_hourly",
+    "hopping_30m_15m",
+    "window_point_read",
+    "global_table_join",
+    "stream_table_lookup",
+    "semi_join",
+    "anti_join",
+    "q1_pricing",
+    "word_count",
+    "sample_10pct",
+    "sample_3_per_user",
+    "scd2_history",
+    "pack_sequences",
+    "stream_stream_join",
+]
+
+
+def _ordered(mapping: dict[str, object]) -> dict[str, object]:
+    out = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    out.update((k, v) for k, v in mapping.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)  # type: ignore[return-value]
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)  # type: ignore[return-value]
