@@ -85,13 +85,19 @@ def interval_join(
         for e in eq[1:]:
             cond = cond & e
         return l.join(r, cond & rng, how)
-    # keyless: bucketize to avoid a cartesian product
+    # keyless: bucketize to avoid a cartesian product.
+    # Buckets come from the DOUBLE-precision epoch (timestamp→double keeps
+    # sub-second precision); unix_timestamp would truncate to whole seconds
+    # and let the bucket delta reach 2 with fractional widths, silently
+    # dropping valid matches (e.g. before=0 after=1.5 ts=1.9s vs 3.3s).
+    # With exact epochs, |r-l| <= max(before, after) <= width guarantees
+    # |bucket(r) - bucket(l)| <= 1, so the ±1 probe below is complete.
     width = max(before + after, 1.0)
     lb = l.withColumn(
-        "__lbucket", F.floor(F.unix_timestamp(F.col(f"l.{left_ts}")) / F.lit(width))
+        "__lbucket", F.floor(F.col(f"l.{left_ts}").cast("double") / F.lit(width))
     )
     rb = r.withColumn(
-        "__rbucket", F.floor(F.unix_timestamp(F.col(f"r.{right_ts}")) / F.lit(width))
+        "__rbucket", F.floor(F.col(f"r.{right_ts}").cast("double") / F.lit(width))
     )
     rb = rb.withColumn(
         "__probe", F.explode(F.array(F.col("__rbucket") - 1, F.col("__rbucket"), F.col("__rbucket") + 1))
@@ -118,22 +124,31 @@ def asof_join(
     — one shuffle on the key, no range join, scales linearly.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    lcols = [c for c in left.columns if c not in keys]
-    rcols = [c for c in right.columns if c not in keys]
+    # The timestamp columns travel separately (__ts / the carried right ts),
+    # so they must not also ride along in lcols/rcols — that would emit
+    # duplicate column names and make every downstream select ambiguous.
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    rcols = [c for c in right.columns if c not in keys and c != right_ts]
 
+    # carried = right payload + the matched right timestamp (emitted under a
+    # distinct name so it can't collide with the left timestamp column).
+    carried = rcols + [right_ts]
     lt = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in carried
+        ],
     )
     rt = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
     )
     if direction != "backward":
         raise NotImplementedError("only backward as-of implemented")
@@ -152,7 +167,7 @@ def asof_join(
         "*",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in rcols
+            for c in carried
         ],
     )
     out = filled.filter(F.col("__is_left") == 1).select(
@@ -160,6 +175,7 @@ def asof_join(
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols],
         *[F.col(f"__f_{c}").alias(c) for c in rcols],
+        F.col(f"__f_{right_ts}").alias(f"{right_ts}_right"),
     )
     return out
 
@@ -179,9 +195,17 @@ def salted_join(
     bucket so every sub-key finds its match. AQE's skew-join handles the
     common cases automatically — this is the explicit tool for the
     pathological ones (or non-AQE environments).
+
+    The salt is ``xxhash64(whole row) mod buckets`` — a pure function of the
+    row, so a task retry or an AQE re-plan re-deals identical salts.
+    ``F.rand(seed)`` is only stable under identical partitioning and can
+    split a row from its match mid-query after a retry.
     """
     l = left.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
     r = right.withColumn(
         "__salt",

@@ -28,9 +28,18 @@ def detect_heavy_hitters(
     """
     candidates = df.stat.freqItems([col], support=min_share).collect()[0][0]
     if not candidates:
-        return df.sparkSession.createDataFrame(
-            [], f"{col} long, cnt long, share double"
+        # Empty result must carry the key column's REAL type (string keys
+        # were coming back as long, breaking downstream unions/joins).
+        from pyspark.sql.types import LongType, StructField, StructType, DoubleType
+
+        schema = StructType(
+            [
+                StructField(col, df.schema[col].dataType, True),
+                StructField("cnt", LongType(), False),
+                StructField("share", DoubleType(), False),
+            ]
         )
+        return df.sparkSession.createDataFrame([], schema)
     total = df.count()
     return (
         df.filter(F.col(col).isin(list(candidates)))
@@ -57,11 +66,16 @@ def salt_hot_keys(
     if not hot_keys:
         return left.join(right, on, how)
     is_hot_l = F.col(on).isin(hot_keys)
+    # Deterministic salt: a pure function of the row (xxhash64 mod buckets)
+    # survives task retries and AQE re-plans; F.rand(seed) does not — it is
+    # only stable under identical partitioning, so a retry could re-deal
+    # salts mid-query and split rows from their replicated match.
+    row_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
     l = left.withColumn(
         "__salt",
-        F.when(is_hot_l, (F.rand(seed=42) * salt_buckets).cast("int")).otherwise(
-            F.lit(0)
-        ),
+        F.when(is_hot_l, row_salt).otherwise(F.lit(0)),
     )
     r = right.withColumn(
         "__salt",

@@ -115,11 +115,13 @@ def exactly_once_parquet_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Per-write option, NOT a session conf: setting
+        # spark.sql.sources.partitionOverwriteMode on the shared session
+        # would silently change overwrite semantics for every later write.
         (
             batch_df.withColumn("__batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id")
             .parquet(path)
         )

@@ -17,7 +17,14 @@ The reference closes ranges at ``start + size - 0.1`` (float seconds,
 inclusive-ish end). We keep half-open ``[start, start + size)`` windows —
 the Spark/SQL standard — and document the difference; window *membership*
 (which windows contain a timestamp) is identical for any event strictly
-inside a window.
+inside a window **when ``step`` divides ``size``** (every tumbling window,
+and every hopping config Spark's ``F.window`` grid shares with faust's).
+When ``size % step != 0`` the two engines align starts differently — Spark
+(and ``HoppingWindow.ranges``) aligns starts to the step grid
+(``step * floor(ts/step) - k*step``), while faust anchors at
+``closest_step - size + step`` — so the window *sets* differ (e.g.
+size=10, step=4, ts=5: faust starts {-2, 2}; grid starts {-4, 0, 4}).
+The parity claim is scoped to step-divides-size configurations.
 
 On the Spark side these compile to ``F.window(ts, size, step)`` — the
 struct column ``window.start/window.end`` is exactly the ``(start, end)``

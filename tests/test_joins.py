@@ -183,3 +183,35 @@ def test_global_lookup_is_broadcast(spark):
     assert out.count() == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_keyless_subsecond(spark):
+    """Sub-second timestamps with fractional width must not lose matches.
+
+    Regression: bucket ids computed from unix_timestamp (whole seconds)
+    let the bucket delta reach 2 with width=1.5 — left ts=1.9s landed in
+    bucket 0, right ts=3.3s in bucket 2, and the ±1 probe missed a pair
+    with diff 1.4 <= after=1.5. Buckets now come from the double epoch.
+    """
+    def fts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=int(s * 1000))
+
+    left = spark.createDataFrame([(fts(1.9), "L")], ["lt", "lv"])
+    right = spark.createDataFrame([(fts(3.3), "R")], ["rt", "rv"])
+    out = interval_join(left, right, "lt", "rt", before=0.0, after=1.5).collect()
+    assert len(out) == 1 and out[0].rv == "R"
+    # and the symmetric miss stays a miss (diff 1.6 > 1.5)
+    right2 = spark.createDataFrame([(fts(3.5), "R")], ["rt", "rv"])
+    assert interval_join(left, right2, "lt", "rt", 0.0, 1.5).count() == 0
+
+
+def test_asof_output_columns_unique_and_selectable(spark):
+    """Regression: left_ts/right_ts rode along in lcols/rcols, emitting
+    duplicate column names; out.select(left_ts) raised AMBIGUOUS_REFERENCE."""
+    left = spark.createDataFrame([("k", ts(10), "L")], ["k", "t", "lv"])
+    right = spark.createDataFrame([("k", ts(8), "R")], ["k", "t", "rv"])
+    out = asof_join(left, right, "k", "t", "t")
+    assert len(out.columns) == len(set(out.columns)) == 5
+    assert out.select("t").collect()[0].t == ts(10)
+    row = out.collect()[0]
+    assert row.t_right == ts(8) and row.rv == "R"
