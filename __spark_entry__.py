@@ -252,16 +252,40 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("approx_distinct_users")  # rows-only: HLL sketches are engine-specific
+@_q(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): constant memory per group vs the
     exact expand — the sketch path for distinct counting at scale.
-    Rows-only (HLL estimates are engine-specific)."""
+
+    The HLL estimate itself is engine-specific, so the checkable contract
+    is the HLL *accuracy guarantee*: per group, emit the exact distinct
+    count plus ``within_bound`` = |approx - exact| <= 5*rsd*exact. The
+    oracle asserts the same exact counts with ``within_bound`` TRUE — an
+    estimate drifting past 5 standard errors turns the row red.
+    """
+    rsd = 0.01
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact"))
+                <= F.lit(5 * rsd) * F.col("n_users_exact")
+            ).alias("within_bound"),
         )
     )
 
