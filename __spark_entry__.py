@@ -199,9 +199,11 @@ def take_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def enumerate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream.enumerate (faust/streams.py:397-403): running index.
 
-    Note: a global contiguous index is inherently a single-partition
-    operation; at scale prefer monotonically_increasing_id (documented in
-    Stream.enumerate).
+    Distributed zipWithIndex-style plan: range partition on the (unique)
+    order key, local row_number per partition, tiny per-partition offset
+    table broadcast back. No single-partition exchange on the data path —
+    the only SinglePartition window is over the one-row-per-partition
+    count side.
     """
     from faust_spark import App
 

@@ -103,17 +103,54 @@ class Stream:
         """Keep every column including source metadata (no-op projection)."""
         return self._derive(self.df)
 
-    def enumerate(self, order_by: Union[str, Column], name: str = "index") -> "Stream":
-        """Attach a deterministic running index.
+    def enumerate(
+        self,
+        order_by: Union[str, Column],
+        name: str = "index",
+        num_partitions: Optional[int] = None,
+    ) -> "Stream":
+        """Attach a deterministic global running index, distributed.
 
-        Batch semantics require a total order; a global ``row_number`` is a
-        single-partition sort, so at scale prefer ``zipWithIndex``-style
-        ``monotonically_increasing_id`` when contiguity is not required.
+        ``zipWithIndex``-style two-phase plan (no single-partition sort):
+
+        1. range-repartition on the order key — a parallel range exchange
+           whose partition boundaries are total-order-consistent;
+        2. local ``row_number`` within each range partition;
+        3. per-partition counts (one tiny row per partition) → running
+           offsets via a window over that tiny side, broadcast-joined back.
+
+        The count branch and the main branch share the same range-exchange
+        subtree, so ReuseExchange evaluates the shuffle once. ``order_by``
+        must be a total order (unique key) for the index to be
+        deterministic — with duplicate keys the split of equal keys across
+        range boundaries makes tie order partition-dependent.
         """
         from pyspark.sql import Window as W
 
-        w = W.orderBy(order_by)
-        return self._derive(self.df.withColumn(name, F.row_number().over(w) - 1))
+        order_col = F.col(order_by) if isinstance(order_by, str) else order_by
+        spark = self.df.sparkSession
+        n = int(
+            num_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        ranged = self.df.repartitionByRange(n, order_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+        w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+        offsets = counts.select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+        w_local = W.partitionBy("__pid").orderBy(order_col)
+        out = (
+            ranged.join(F.broadcast(offsets), "__pid")
+            .withColumn(
+                name, F.row_number().over(w_local) - 1 + F.col("__off")
+            )
+            .drop("__pid", "__off")
+        )
+        return self._derive(out)
 
     def take(self, max_: int) -> "Stream":
         """Batch: first ``max_`` rows. Streaming: cap via trigger sizing

@@ -115,3 +115,22 @@ def test_agent_registration(spark):
 
     out = app.agents["double"](events_df(spark))
     assert out.agg(F.sum("value")).collect()[0][0] == 200.0
+
+
+def test_enumerate_distributed_no_global_sort(spark):
+    """enumerate must produce a contiguous 0..n-1 index matching the total
+    order WITHOUT a single-partition exchange on the data path."""
+    from faust_spark import App
+
+    app = App("enum-dist", spark=spark)
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 7919 % 1000).alias("k")  # permutation, unique
+    )
+    out = app.stream(df).enumerate("k", name="idx", num_partitions=8).to_df()
+    rows = out.orderBy("k").collect()
+    assert [r.idx for r in rows] == list(range(1000))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange allowed is the tiny per-partition
+    # count side, which sits under the BroadcastExchange subtree
+    main, _, bcast = plan.partition("BroadcastExchange")
+    assert "SinglePartition" not in main
