@@ -1163,30 +1163,53 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "edit_distance_pairs",
     """
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+           levenshtein(a.text, b.text) AS dist
     FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-    WHERE a.doc_id < 60 AND b.doc_id < 60
-      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 25
+    WHERE abs(length(a.text) - length(b.text)) <= 10
+      AND levenshtein(a.text, b.text) <= 10
     """,
 )
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy matching by edit distance (prefix-bounded Levenshtein) — the
-    record-linkage primitive. Bounded prefixes keep the O(m·n) DP cell
-    count constant per pair; at corpus scale pre-block by a cheap key
-    (simhash band / length bucket) before the pairwise step."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    """Fuzzy matching by edit distance over the whole corpus — the
+    record-linkage primitive, length-blocked so it scales.
+
+    ``lev(a, b) <= k`` implies ``|len(a) - len(b)| <= k``, an EXACT
+    blocking key: bucket every doc by ``floor(len / (k+1))`` and probe the
+    left side into its own and both neighbor buckets — any qualifying pair
+    differs by at most one bucket, so the equi-join on bucket id loses
+    nothing while reducing O(n²) candidates to per-bucket blocks. The
+    Levenshtein DP runs threshold-bounded (early-exit past k) and only on
+    candidates that also pass the exact length filter. No theta join, no
+    doc_id cap. The oracle states the same length bound (implied, so it
+    changes nothing) to keep the all-pairs DuckDB check cheap.
+    """
+    k = 10
+    width = k + 1
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    bucket = F.floor(F.col("len") / F.lit(width))
     a = d.select(
         F.col("doc_id").alias("doc1"),
-        F.substring("text", 1, 40).alias("ta"),
+        F.col("text").alias("ta"),
+        F.col("len").alias("la"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("__bucket"),
     )
     b = d.select(
         F.col("doc_id").alias("doc2"),
-        F.substring("text", 1, 40).alias("tb"),
+        F.col("text").alias("tb"),
+        F.col("len").alias("lb"),
+        bucket.alias("__bucket"),
+    )
+    cand = a.join(b, "__bucket").filter(
+        (F.col("doc1") < F.col("doc2"))
+        & (F.abs(F.col("la") - F.col("lb")) <= k)
     )
     return (
-        a.join(b, F.col("doc1") < F.col("doc2"))
-        .withColumn("dist", F.levenshtein("ta", "tb"))
-        .filter(F.col("dist") <= 25)
+        cand.withColumn("dist", F.levenshtein("ta", "tb", k))
+        .filter(F.col("dist") >= 0)
         .select("doc1", "doc2", "dist")
     )
 
