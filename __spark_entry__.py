@@ -2187,7 +2187,16 @@ def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (operators/dedup.py). Pairs
     only (scores stay engine-internal — float-sum rounding differs); the
     0.35 threshold is ~3σ for random 64-d vectors so boundary flips are
-    improbable. Scale path: hyperplane-LSH bucket candidates first."""
+    improbable.
+
+    Mode auto-split: at 0.35 (θ≈70°, where no LSH family separates pairs)
+    the operator takes the EXACT block-grid path — every unordered pair
+    via an equi-join on (block_i, block_j) cells, B(B+1)/2 independent
+    join groups, zero BroadcastNestedLoopJoin. For real near-dup
+    thresholds (>= 0.72) the same operator defaults to banded
+    hyperplane-LSH candidates + exact-cosine verify — the sublinear 100 TB
+    path (recall pinned in tests/test_dedup.py on planted near-dups; the
+    fixture corpus itself has no pair above cosine 0.52)."""
     from faust_spark.operators.dedup import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

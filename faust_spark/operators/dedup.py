@@ -438,26 +438,186 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
+    blocks: int = 32,
+    n_planes: int = 6,
+    bands: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity over an embedding column.
 
-    Brute-force O(n²) form — correct baseline for modest n; at corpus
-    scale route candidates through :func:`similarity.hyperplane_lsh`
-    buckets first and apply this only within buckets.
+    Two strategies, picked by the threshold regime (``mode="auto"``):
+
+    - ``"lsh"`` (default for ``threshold >= 0.72``): banded hyperplane-LSH
+      candidate generation + exact-cosine verification within candidates —
+      sublinear in the far-pair mass, the 100 TB path for real
+      near-duplicates. With 6-bit bands the per-band match probability is
+      ``(1 - θ/π)^6`` and a pair is a candidate if ANY of the 8 bands
+      matches: recall ≈ 0.81 at the 0.72 mode floor, 0.97 at cosine 0.90,
+      0.998 at 0.95, → 1 as similarity → 1, while random far pairs
+      (cosine ≈ 0) collide in a band with prob 0.5^6 ≈ 1.6%. Verification
+      is exact, so precision is always 1; raise ``bands`` when operating
+      near the threshold floor.
+    - ``"exact"`` (default below 0.72): block-grid all-pairs. Below
+      cosine ≈ 0.7 on dense vectors LSH bucket agreement degrades toward
+      coin-flipping — no bucketing family separates pairs at 60-70°
+      angles — so exact computation is the only way to honor the
+      threshold. The grid turns the cross product into an EQUI-join on
+      (block_i, block_j) cell ids: each side replicates ~blocks/2 times,
+      every cell is an independent join group (B(B+1)/2 parallel units),
+      and no BroadcastNestedLoopJoin appears anywhere. Quadratic compute
+      by necessity, but distributed and shuffle-bounded, not a
+      single-task cartesian.
+
+    Output: (doc1, doc2, cosine), doc1 < doc2, each unordered pair once.
     """
+    if mode == "auto":
+        mode = "lsh" if threshold >= 0.72 else "exact"
+    if mode == "exact":
+        return _block_grid_gemm(
+            emb, id_col, vec_col, threshold=threshold, blocks=blocks
+        )
+    if mode != "lsh":
+        raise ValueError(f"unknown mode {mode!r}")
     from faust_spark.operators.similarity import cosine_expr
 
-    a = emb.select(
-        F.col(id_col).alias("doc1"), F.col(vec_col).alias("v1")
-    )
-    b = emb.select(
-        F.col(id_col).alias("doc2"), F.col(vec_col).alias("v2")
+    cand = _lsh_candidate_pairs(
+        emb, id_col, vec_col, n_planes=n_planes, bands=bands, dim=dim
     )
     return (
-        a.join(b, F.col("doc1") < F.col("doc2"))
-        .withColumn("cosine", cosine_expr(F.col("v1"), F.col("v2")))
+        cand.withColumn("cosine", cosine_expr(F.col("v1"), F.col("v2")))
         .filter(F.col("cosine") >= threshold)
         .select("doc1", "doc2", "cosine")
+    )
+
+
+def _block_grid_gemm(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    blocks: int,
+) -> DataFrame:
+    """Exact all-pairs cosine as a grid of per-cell BLAS matrix products.
+
+    Row → block ``b = xxhash64(id) mod B``. The left side emits cells
+    ``(b, j)`` for ``j in b..B-1``; the right side emits ``(i, b)`` for
+    ``i in 0..b``. A pair with blocks ``bx < by`` meets only in cell
+    ``(bx, by)``; same-block pairs meet in ``(b, b)`` and are halved by
+    ``id1 < id2``. Cell coordinates are the cogroup key, so each of the
+    B(B+1)/2 cells is an independent, evenly-sized task computing one
+    normalized GEMM (``A_hat @ B_hat.T``) and emitting only the pairs at
+    or above the threshold.
+
+    Why Arrow/pandas here and not ``zip_with``: the shuffle moves only the
+    ~B/2-replicated vectors (cells), never materialized pairs, and the
+    n²·d inner loop runs inside BLAS instead of Catalyst's *interpreted*
+    higher-order functions — measured ~10× on the sf0.1 fixture. This is
+    the documented escape-hatch shape: batch-columnar, no per-row Python.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    B = blocks
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("doc1", id_type, True),
+            StructField("doc2", id_type, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    # Distinct per-side column names: both sides derive from the same plan,
+    # and a self-cogroup with shared names/attribute ids gets its right-side
+    # payload columns pruned by DeduplicateRelations (observed: right pdf
+    # arrives with only the grouping keys).
+    left = (
+        emb.select(F.col(id_col).alias("__lid"), F.col(vec_col).alias("__lv"))
+        .withColumn(
+            "__bi", F.pmod(F.xxhash64(F.col("__lid")), F.lit(B)).cast("int")
+        )
+        .withColumn("__bj", F.explode(F.sequence(F.col("__bi"), F.lit(B - 1))))
+    )
+    right = (
+        emb.select(F.col(id_col).alias("__rid"), F.col(vec_col).alias("__rv"))
+        .withColumn(
+            "__bj", F.pmod(F.xxhash64(F.col("__rid")), F.lit(B)).cast("int")
+        )
+        .withColumn("__bi", F.explode(F.sequence(F.lit(0), F.col("__bj"))))
+    )
+
+    def cell(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"doc1": [], "doc2": [], "cosine": []})
+        A = np.stack(lpdf["__lv"].to_numpy()).astype(np.float64)
+        C = np.stack(rpdf["__rv"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        S = A @ C.T
+        li, ri = np.nonzero(S >= threshold)
+        d1 = lpdf["__lid"].to_numpy()[li]
+        d2 = rpdf["__rid"].to_numpy()[ri]
+        cos = S[li, ri]
+        if bi == bj:
+            keep = d1 < d2
+        else:  # orientation: ids are unrelated to block order in i<j cells
+            keep = np.ones(len(d1), dtype=bool)
+            d1, d2 = np.minimum(d1, d2), np.maximum(d1, d2)
+        return pd.DataFrame(
+            {"doc1": d1[keep], "doc2": d2[keep], "cosine": cos[keep]}
+        )
+
+    return (
+        left.groupBy("__bi", "__bj")
+        .cogroup(right.groupBy("__bi", "__bj"))
+        .applyInPandas(cell, out_schema)
+    )
+
+
+def _lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
+) -> DataFrame:
+    """Banded hyperplane-LSH candidates: ``bands`` independent tables of
+    ``n_planes`` sign bits each; a pair sharing ANY band bucket becomes a
+    candidate (each unordered pair emitted once). Corpus shuffles by
+    (band, bucket) — candidates ≪ pairs for near-dup thresholds."""
+    from faust_spark.operators.similarity import hyperplane_signature
+
+    sigs = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    tagged = None
+    for band in range(bands):
+        s = hyperplane_signature(
+            sigs, n_planes=n_planes, dim=dim, vec_col="__v", seed=band
+        ).select(
+            "__id", "__v", F.lit(band).alias("__band"), F.col("bucket")
+        )
+        tagged = s if tagged is None else tagged.unionByName(s)
+    a = tagged.select(
+        F.col("__id").alias("doc1"),
+        F.col("__v").alias("v1"),
+        "__band",
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("__id").alias("doc2"),
+        F.col("__v").alias("v2"),
+        "__band",
+        "bucket",
+    )
+    return (
+        a.join(b, ["__band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "v1", "v2")
+        .dropDuplicates(["doc1", "doc2"])
     )
 
 

@@ -80,14 +80,18 @@ def cosine_topk(
     )
 
 
-def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+def _deterministic_planes(
+    n_planes: int, dim: int, seed: int = 0
+) -> list[list[float]]:
     """Pseudo-random hyperplanes derived from md5 — identical across runs,
-    machines, and engines (no RNG state)."""
+    machines, and engines (no RNG state). ``seed`` selects an independent
+    family (used for banded multi-table LSH)."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            key = f"{p}:{d}" if seed == 0 else f"{seed}:{p}:{d}"
+            h = hashlib.md5(key.encode()).hexdigest()
             # map 8 hex chars → [-1, 1)
             row.append(int(h[:8], 16) / float(2**31) - 1.0)
         planes.append(row)
@@ -99,10 +103,11 @@ def hyperplane_signature(
     n_planes: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
+    seed: int = 0,
 ) -> DataFrame:
     """Add a ``bucket`` column: sign-bit string of projections onto
     deterministic hyperplanes. A narrow map — no shuffle."""
-    planes = _deterministic_planes(n_planes, dim)
+    planes = _deterministic_planes(n_planes, dim, seed)
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(v) for v in row])

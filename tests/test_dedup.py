@@ -92,3 +92,73 @@ def test_simhash_identical_docs_equal_fingerprint(docs):
     assert fps[0] == fps[1]
     assert fps[0] != fps[3]
     assert 0 <= fps[0] < 2**32
+
+
+def _planted_embeddings(spark, n=300, dim=32, dups=25, seed=7):
+    """Random unit vectors plus planted near-duplicates (cosine ~0.97+)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(n, dim))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    for i in range(dups):  # vec n-dups+i := tiny perturbation of vec i
+        v = M[i] + 0.03 * rng.normal(size=dim)
+        M[n - dups + i] = v / np.linalg.norm(v)
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_dup_exact_blockgrid_matches_bruteforce(spark):
+    """The block-grid GEMM path must emit every qualifying unordered pair
+    exactly once — cross-checked against an in-memory numpy brute force."""
+    import numpy as np
+
+    from faust_spark.operators.dedup import embedding_dup_pairs
+
+    df = _planted_embeddings(spark)
+    got = {
+        (r.doc1, r.doc2)
+        for r in embedding_dup_pairs(
+            df, threshold=0.30, mode="exact", blocks=8
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    M = np.array([r.embedding for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    want = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= 0.30
+    }
+    assert got == want and len(want) > 0
+
+
+def test_embedding_dup_lsh_full_recall_on_near_dups(spark):
+    """At near-dup thresholds the banded-LSH default must find the same
+    pairs as the exact path (recall 1 on planted dups), from a candidate
+    set far below n^2/2."""
+    from faust_spark.operators.dedup import (
+        _lsh_candidate_pairs,
+        embedding_dup_pairs,
+    )
+
+    df = _planted_embeddings(spark)
+    exact = {
+        (r.doc1, r.doc2)
+        for r in embedding_dup_pairs(
+            df, threshold=0.95, mode="exact", blocks=8
+        ).collect()
+    }
+    lsh = {
+        (r.doc1, r.doc2)
+        for r in embedding_dup_pairs(df, threshold=0.95, dim=32).collect()
+    }
+    assert len(exact) >= 20  # the planted structure is actually there
+    assert lsh == exact
+    n = df.count()
+    n_cand = _lsh_candidate_pairs(
+        df, "vec_id", "embedding", n_planes=6, bands=8, dim=32
+    ).count()
+    assert n_cand < n * (n - 1) / 2 * 0.25  # candidates well below all pairs
