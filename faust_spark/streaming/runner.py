@@ -138,9 +138,56 @@ def exactly_once_parquet_sink(
         raise TimeoutError("exactly_once_parquet_sink didn't finish")
 
 
+def take_buffers(
+    df: DataFrame,
+    max_: int,
+    within: Optional[float] = None,
+    timeout_sec: float = 300.0,
+) -> list:
+    """``Stream.take(max_, within=)`` parity: consume a stream as buffers
+    of at most ``max_`` rows, flushing partial buffers on the time axis.
+
+    Reference semantics (``faust/streams.py:303-316``): buffer values and
+    yield a list when either ``max_`` values have arrived or ``within``
+    seconds elapsed since the first buffered value — a partial buffer is
+    *flushed by time*, never held indefinitely.
+
+    Structured-Streaming mapping: the trigger is the clock. With
+    ``trigger(processingTime=within)`` each micro-batch closes at the
+    ``within`` cadence; its rows are sliced into full ``max_``-row buffers
+    plus one final partial flush, so no row waits longer than one
+    ``within`` interval once the stream pauses — the same observable
+    guarantee. On a bounded source (``within=None``) an ``availableNow``
+    trigger drains everything, flushing the tail partial buffer at
+    end-of-input (the "give up waiting" branch).
+    """
+    buffers: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        for i in range(0, len(rows), max_):
+            buffers.append(rows[i : i + max_])
+
+    writer = df.writeStream.foreachBatch(sink).outputMode("append")
+    if within is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{within} seconds")
+    q = writer.start()
+    try:
+        if not q.awaitTermination(timeout_sec):
+            if within is None:
+                raise TimeoutError("take_buffers didn't drain")
+    finally:
+        if q.isActive:
+            q.stop()
+    return buffers
+
+
 __all__ = [
     "stream_parquet",
     "run_to_memory",
     "cdc_export",
     "exactly_once_parquet_sink",
+    "take_buffers",
 ]

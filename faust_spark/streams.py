@@ -152,9 +152,23 @@ class Stream:
         )
         return self._derive(out)
 
-    def take(self, max_: int) -> "Stream":
-        """Batch: first ``max_`` rows. Streaming: cap via trigger sizing
-        (``maxOffsetsPerTrigger``), configured on the source."""
+    def take(self, max_: int, within: Optional[float] = None):
+        """Reference ``Stream.take(max_, within)`` (faust/streams.py:303-316).
+
+        Batch DataFrame: first ``max_`` rows (a derived Stream; ``within``
+        is meaningless without a clock and is ignored).
+
+        Streaming DataFrame: consume as buffers of at most ``max_`` rows —
+        returns the list of buffers (terminal, like iterating the async
+        generator in faust). ``within`` becomes the trigger cadence: a
+        partial buffer is flushed every ``within`` seconds rather than
+        waiting for ``max_`` values; ``None`` drains a bounded source via
+        ``availableNow``. See streaming/runner.py:take_buffers.
+        """
+        if self.df.isStreaming:
+            from faust_spark.streaming.runner import take_buffers
+
+            return take_buffers(self.df, max_, within)
         return self._derive(self.df.limit(max_))
 
     def echo(self, *sinks: Callable[[DataFrame], Any]) -> "Stream":

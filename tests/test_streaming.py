@@ -149,3 +149,48 @@ def test_reduce_by_key_custom_reducer(spark, multi_file_events):
     }
     got = {r.user_id: r.mx for r in final.collect()}
     assert got == expected
+
+
+def test_take_buffers_size_and_time_flush(spark, tmp_path):
+    """Stream.take(max_, within=) parity (faust/streams.py:303-316,
+    t/functional/test_streams.py::test_take): buffers hold at most max_
+    rows; a partial buffer is flushed at the trigger boundary instead of
+    waiting for max_ values; nothing is lost or duplicated."""
+    from faust_spark import App
+    from faust_spark.catalog import load_table
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    # 4 files -> maxFilesPerTrigger=1 forces 4 micro-batches (4 time flushes)
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    n_src = spark.read.parquet(src).count()
+
+    stream = stream_parquet(spark, src, max_files_per_trigger=1)
+    app = App("take-within", spark=spark)
+    buffers = app.stream(stream).take(7, within=None)
+
+    assert all(len(b) <= 7 for b in buffers)
+    assert sum(len(b) for b in buffers) == n_src
+    # each micro-batch of ~25 rows ends in a partial (time-style) flush,
+    # so partial buffers must appear more than once
+    assert sum(1 for b in buffers if len(b) < 7) >= 2
+    ids = [r.event_id for b in buffers for r in b]
+    assert len(set(ids)) == n_src
+
+
+def test_take_buffers_processing_time_trigger(spark, tmp_path):
+    """The within= clock path: processingTime trigger flushes the partial
+    buffer at the cadence boundary while the query keeps running."""
+    from faust_spark.catalog import load_table
+    from faust_spark.streaming.runner import take_buffers
+
+    src = str(tmp_path / "src")
+    load_table(spark, "/root/testdata/sf0.001", "events").limit(40).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    buffers = take_buffers(
+        stream_parquet(spark, src), max_=9, within=1.0, timeout_sec=5.0
+    )
+    assert sum(len(b) for b in buffers) == 40
+    assert all(len(b) <= 9 for b in buffers)
+    assert any(len(b) < 9 for b in buffers)  # 40 % 9 != 0 → time flush
