@@ -19,6 +19,7 @@ Public surface (see SURVEY.md for the operator-by-operator mapping):
 
 from faust_spark.session import get_spark  # noqa: F401
 from faust_spark.models import Record  # noqa: F401
+from faust_spark.tags import Personal, Secret, Sensitive  # noqa: F401
 from faust_spark.windows import (  # noqa: F401
     TumblingWindow,
     HoppingWindow,
@@ -31,6 +32,9 @@ __version__ = "0.1.0"
 __all__ = [
     "App",
     "Record",
+    "Secret",
+    "Sensitive",
+    "Personal",
     "TumblingWindow",
     "HoppingWindow",
     "SlidingWindow",

@@ -18,7 +18,15 @@ from __future__ import annotations
 import datetime
 import decimal
 import typing
-from typing import Any, Mapping, Optional, get_args, get_origin, get_type_hints
+from typing import (
+    Annotated,
+    Any,
+    Mapping,
+    Optional,
+    get_args,
+    get_origin,
+    get_type_hints,
+)
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -52,31 +60,51 @@ _SCALARS: dict[type, DataType] = {
 _MISSING = object()
 
 
-def _compile_type(tp: Any) -> tuple[DataType, bool]:
-    """Compile one Python type annotation → (spark type, nullable)."""
+def _compile_type(tp: Any) -> tuple[DataType, bool, frozenset]:
+    """Compile one annotation → (spark type, nullable, tag names).
+
+    Tags (``Secret[str]`` = ``Annotated[str, Secret]``) surface from the
+    top level of the annotation and through ``Optional[...]``; a nested
+    tagged ``Record`` marks the outer field with its aggregate tags
+    (reference: ``add_related_to_tagged_indices``,
+    faust/models/record.py:224-243).
+    """
     import types as _types
 
+    from faust_spark.tags import Tag
+
     origin = get_origin(tp)
+    if origin is Annotated:
+        inner, null, tags = _compile_type(get_args(tp)[0])
+        extra = {
+            m.tag_name
+            for m in get_args(tp)[1:]
+            if isinstance(m, type) and issubclass(m, Tag)
+        }
+        return inner, null, tags | frozenset(extra)
     if origin is typing.Union or origin is getattr(_types, "UnionType", object()):
         args = [a for a in get_args(tp) if a is not type(None)]
         nullable = len(args) != len(get_args(tp))
         if len(args) != 1:
             raise TypeError(f"unsupported union: {tp}")
-        inner, inner_null = _compile_type(args[0])
-        return inner, nullable or inner_null
+        inner, inner_null, tags = _compile_type(args[0])
+        return inner, nullable or inner_null, tags
     if origin in (list, tuple, set, frozenset):
         args = get_args(tp) or (str,)
-        elem, elem_null = _compile_type(args[0])
-        return ArrayType(elem, containsNull=elem_null), False
+        elem, elem_null, _ = _compile_type(args[0])
+        return ArrayType(elem, containsNull=elem_null), False, frozenset()
     if origin in (dict, Mapping) or origin is typing.Mapping:
         args = get_args(tp) or (str, str)
-        kt, _ = _compile_type(args[0])
-        vt, v_null = _compile_type(args[1])
-        return MapType(kt, vt, valueContainsNull=v_null), False
+        kt, _, _ = _compile_type(args[0])
+        vt, v_null, _ = _compile_type(args[1])
+        return MapType(kt, vt, valueContainsNull=v_null), False, frozenset()
     if isinstance(tp, type) and issubclass(tp, Record):
-        return tp.spark_schema(), False
+        nested_tags = frozenset().union(
+            *tp.tagged_fields().values()
+        ) if tp.tagged_fields() else frozenset()
+        return tp.spark_schema(), False, nested_tags
     if tp in _SCALARS:
-        return _SCALARS[tp], False
+        return _SCALARS[tp], False, frozenset()
     raise TypeError(f"unsupported field type: {tp!r}")
 
 
@@ -88,11 +116,19 @@ class FieldDescriptor:
     returns the descriptor, whose ``col()`` yields the Spark Column.
     """
 
-    def __init__(self, name: str, dtype: DataType, nullable: bool, default: Any):
+    def __init__(
+        self,
+        name: str,
+        dtype: DataType,
+        nullable: bool,
+        default: Any,
+        tags: frozenset = frozenset(),
+    ):
         self.name = name
         self.dtype = dtype
         self.nullable = nullable
         self.default = default
+        self.tags = tags
 
     def col(self) -> Column:
         return F.col(self.name)
@@ -121,23 +157,26 @@ class Record:
     def __init_subclass__(cls, **kw: Any) -> None:
         super().__init_subclass__(**kw)
         cls._schema_cache = None
-        # attach descriptors for field references at class level
+        # attach descriptors for field references at class level;
+        # include_extras keeps Annotated metadata (field tags) visible
         hints = {}
         try:
-            hints = get_type_hints(cls)
+            hints = get_type_hints(cls, include_extras=True)
         except Exception:
             pass
         order: list[str] = []
         for name, tp in hints.items():
             if name.startswith("_"):
                 continue
-            dtype, nullable = _compile_type(tp)
+            dtype, nullable, tags = _compile_type(tp)
             default = getattr(cls, name, _MISSING)
             if isinstance(default, FieldDescriptor):  # inherited descriptor
                 default = default.default
             if default is not _MISSING:
                 nullable = True
-            setattr(cls, name, FieldDescriptor(name, dtype, nullable, default))
+            setattr(
+                cls, name, FieldDescriptor(name, dtype, nullable, default, tags)
+            )
             order.append(name)
         cls._field_order = order
 
@@ -171,11 +210,69 @@ class Record:
             for name in getattr(cls, "_field_order", ()):
                 desc = getattr(cls, name)
                 if isinstance(desc, FieldDescriptor):
+                    meta = {"tags": sorted(desc.tags)} if desc.tags else {}
                     struct_fields.append(
-                        StructField(desc.name, desc.dtype, desc.nullable)
+                        StructField(
+                            desc.name, desc.dtype, desc.nullable, metadata=meta
+                        )
                     )
             cls._schema_cache = StructType(struct_fields)
         return cls._schema_cache
+
+    # --- field tags (reference: faust/models/record.py:206-243) -----------
+    @classmethod
+    def tagged_fields(cls) -> dict[str, frozenset]:
+        """field → tag names, for fields carrying any tag."""
+        return {
+            name: desc.tags
+            for name, desc in cls.fields().items()
+            if desc.tags
+        }
+
+    @classmethod
+    def secret_fields(cls) -> set[str]:
+        return {n for n, t in cls.tagged_fields().items() if "secret" in t}
+
+    @classmethod
+    def sensitive_fields(cls) -> set[str]:
+        return {n for n, t in cls.tagged_fields().items() if "sensitive" in t}
+
+    @classmethod
+    def personal_fields(cls) -> set[str]:
+        return {n for n, t in cls.tagged_fields().items() if "personal" in t}
+
+    @classmethod
+    def has_tagged_fields(cls) -> bool:
+        return bool(cls.tagged_fields())
+
+    @classmethod
+    def masked(cls, df, policy: str = "drop"):
+        """Render-safe view of ``df`` under this model's tag policy.
+
+        ``Secret`` columns always render as the mask string (the
+        reference's transparent-mask behavior). Opaque columns
+        (``Sensitive``/``Personal``) follow ``policy``: ``"drop"``
+        (default — they are not renderable at all in the reference, where
+        string use raises SecurityError) or ``"mask"``.
+        """
+        from faust_spark.tags import Secret, Tag
+
+        if policy not in ("drop", "mask"):
+            raise ValueError(f"unknown mask policy {policy!r}")
+        secret, opaque = cls.secret_fields(), (
+            cls.sensitive_fields() | cls.personal_fields()
+        )
+        cols = []
+        for c in df.columns:
+            if c in secret:
+                cols.append(F.lit(Secret.mask).alias(c))
+            elif c in opaque:
+                if policy == "mask":
+                    cols.append(F.lit(Tag.mask).alias(c))
+                # drop: omit the column entirely
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
 
     def asdict(self) -> dict[str, Any]:
         return {

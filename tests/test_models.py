@@ -20,7 +20,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from faust_spark import Record
+from faust_spark import Personal, Record, Secret, Sensitive
 
 
 class Point(Record):
@@ -111,3 +111,59 @@ def test_field_descriptor_group_by_reference():
     # class-level attribute acts as a key descriptor (faust idiom)
     assert Point.x.name == "x"
     assert Point.x.col() is not None
+
+
+class Credentials(Record):
+    user: str
+    password: Secret[str]
+    ssn: Sensitive[str]
+    email: Personal[str]
+    note: typing.Optional[str] = None
+
+
+class Wrapper(Record):
+    request_id: str
+    creds: Credentials
+
+
+def test_tag_indices_and_schema_metadata():
+    """Reference faust/models/record.py:206-243: per-kind tagged-field
+    indices; tags also ride in StructField metadata so they survive
+    schema round-trips."""
+    assert Credentials.secret_fields() == {"password"}
+    assert Credentials.sensitive_fields() == {"ssn"}
+    assert Credentials.personal_fields() == {"email"}
+    assert Credentials.has_tagged_fields()
+    schema = Credentials.spark_schema()
+    assert schema["password"].metadata == {"tags": ["secret"]}
+    assert schema["user"].metadata == {}
+    # nested tagged model marks the outer field (add_related_to_tagged_indices)
+    assert Wrapper.tagged_fields()["creds"] == frozenset(
+        {"secret", "sensitive", "personal"}
+    )
+    assert not Wrapper.secret_fields() - {"creds"} - set()
+
+
+def test_personal_rejects_non_string_payload():
+    import pytest as _pytest
+
+    from faust_spark.tags import Personal as P, Sensitive as S
+
+    with _pytest.raises(TypeError):
+        P[int]
+    with _pytest.raises(TypeError):
+        S[float]
+    P[str], S[bytes]  # allowed
+
+
+def test_masked_rendering(spark):
+    df = spark.createDataFrame(
+        [("alice", "hunter2", "123-45-6789", "a@example.com", None)],
+        Credentials.spark_schema(),
+    )
+    masked = Credentials.masked(df)
+    assert set(masked.columns) == {"user", "password", "note"}
+    row = masked.collect()[0]
+    assert row.password == "***********" and row.user == "alice"
+    full = Credentials.masked(df, policy="mask").collect()[0]
+    assert full.ssn == "***********" and full.email == "***********"
