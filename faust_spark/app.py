@@ -38,12 +38,65 @@ class Topic:
     key_type: Optional[type] = None
     partitions: Optional[int] = None
     path: Optional[str] = None  # file-backed topic (parquet dir)
+    names: Optional[tuple] = None  # multi-topic subscription (faust app.topic('a','b'))
+    assign: Optional[str] = None  # explicit partition assignment (JSON)
 
     # --- batch / test surface ---------------------------------------------
     def batch_df(self) -> DataFrame:
         if self.path:
             return self.app.spark.read.parquet(self.path)
         raise ValueError("no file backing; use stream_df() for Kafka")
+
+    # --- Kafka contract (option matrices, testable without a broker) -------
+    def kafka_source_options(self, starting_offsets: str = "earliest") -> dict:
+        """The exact reader option set a Kafka-backed run uses.
+
+        Subscription modes map 1:1 to the reference surface
+        (``faust/topics.py:94-241``): topic name(s) → ``subscribe``
+        (comma-joined), ``pattern=`` → ``subscribePattern``, explicit
+        partitions → ``assign``. Exactly one mode must be set.
+        """
+        modes = [
+            m
+            for m in (
+                self.names or self.name,
+                self.pattern,
+                self.assign,
+            )
+            if m
+        ]
+        if len(modes) != 1:
+            raise ValueError(
+                "exactly one of name(s) / pattern / assign must be set; "
+                f"got name={self.name!r} names={self.names!r} "
+                f"pattern={self.pattern!r} assign={self.assign!r}"
+            )
+        opts = {
+            "kafka.bootstrap.servers": self.app.broker,
+            "startingOffsets": starting_offsets,
+        }
+        if self.assign:
+            opts["assign"] = self.assign
+        elif self.pattern:
+            opts["subscribePattern"] = self.pattern
+        else:
+            topics = self.names or (self.name,)
+            opts["subscribe"] = ",".join(topics)
+        if self.partitions is not None:
+            # reader-side parallelism floor: one Spark partition per Kafka
+            # partition is automatic; minPartitions raises it further
+            opts["minPartitions"] = str(self.partitions)
+        return opts
+
+    def kafka_sink_options(self) -> dict:
+        """Writer options for ``Topic.send`` parity (kafka sink expects
+        key/value[/headers/partition] columns)."""
+        if not self.name:
+            raise ValueError("a sink topic needs a concrete name")
+        return {
+            "kafka.bootstrap.servers": self.app.broker,
+            "topic": self.name,
+        }
 
     # --- streaming surface --------------------------------------------------
     def stream_df(self, starting_offsets: str = "earliest") -> DataFrame:
@@ -54,15 +107,9 @@ class Topic:
             return (
                 reader.schema(schema).format("parquet").load(self.path)
             )
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.app.broker)
-            .option("startingOffsets", starting_offsets)
-        )
-        if self.pattern:
-            reader = reader.option("subscribePattern", self.pattern)
-        else:
-            reader = reader.option("subscribe", self.name)
+        reader = spark.readStream.format("kafka")
+        for k, v in self.kafka_source_options(starting_offsets).items():
+            reader = reader.option(k, v)
         try:
             df = reader.load()
         except Exception as e:  # connector jar not on the classpath
@@ -82,9 +129,10 @@ class Topic:
         if self.path:
             df.write.mode("append").parquet(self.path)
             return
-        df.write.format("kafka").option(
-            "kafka.bootstrap.servers", self.app.broker
-        ).option("topic", self.name).save()
+        writer = df.write.format("kafka")
+        for k, v in self.kafka_sink_options().items():
+            writer = writer.option(k, v)
+        writer.save()
 
 
 @dataclass
@@ -130,6 +178,7 @@ class App:
         self.topics: dict[str, Topic] = {}
         self.tables: dict[str, Table] = {}
         self.agents: dict[str, Agent] = {}
+        self.pages: list = []
 
     @property
     def spark(self) -> SparkSession:
@@ -142,25 +191,30 @@ class App:
     # --- builders -----------------------------------------------------------
     def topic(
         self,
-        name: Optional[str] = None,
-        *,
+        *names: str,
         pattern: Optional[str] = None,
         value_type: Optional[type] = None,
         key_type: Optional[type] = None,
         partitions: Optional[int] = None,
         path: Optional[str] = None,
+        assign: Optional[str] = None,
     ) -> Topic:
+        """Reference ``app.topic('t1', 't2', ...)`` — one or more names, a
+        regex ``pattern``, or an explicit ``assign`` JSON; mutually
+        exclusive (validated at option-build time)."""
         t = Topic(
             self,
-            name=name,
+            name=names[0] if names else None,
+            names=tuple(names) if len(names) > 1 else None,
             pattern=pattern,
             value_type=value_type,
             key_type=key_type,
             partitions=partitions,
             path=path,
+            assign=assign,
         )
-        if name:
-            self.topics[name] = t
+        for n in names:
+            self.topics[n] = t
         return t
 
     def stream(self, source) -> Stream:
@@ -214,6 +268,62 @@ class App:
             return a
 
         return deco
+
+    # --- web pages (reference faust/app/base.py:1218-1283) -----------------
+    def page(self, path: str):
+        """Register an HTTP page handler: ``@app.page('/count/{word}/')``.
+
+        The handler runs sync with signature ``fn(web, request, **match)``
+        and may return a dict, a ``web.json(...)`` payload, or a (small)
+        DataFrame. Serve registered pages with :meth:`web_server`.
+        """
+        from faust_spark.web import PageRoute, compile_route
+
+        def deco(fn: Callable) -> Callable:
+            route = PageRoute(
+                pattern=path, regex=compile_route(path), fn=fn
+            )
+            # a page wrapping a table_route-marked handler inherits wiring
+            marker = getattr(fn, "__table_route__", None)
+            if marker:
+                route.table, route.match_info = marker
+            self.pages.append(route)
+            return fn
+
+        return deco
+
+    @staticmethod
+    def table_route(table: Any, match_info: str):
+        """Mark a page handler as a keyed table lookup.
+
+        Faust uses this to forward the request to the worker owning the
+        key's partition (``faust/app/base.py:1263-1283``); here every
+        materialized table is driver-visible, so the marker validates the
+        wiring (the match param must exist in the route) and lookups run
+        locally. On a multi-driver deployment, front this with any HTTP
+        router — the handler itself is stateless.
+        """
+
+        def deco(fn: Callable) -> Callable:
+            fn.__table_route__ = (table, match_info)
+            return fn
+
+        return deco
+
+    def web_server(self, port: int = 0) -> "Any":
+        """Start serving registered pages; returns the started WebServer
+        (``.url``, ``.stop()``). ``port=0`` picks an ephemeral port."""
+        from faust_spark.web import WebServer
+
+        for route in self.pages:
+            if route.match_info and (
+                f"{{{route.match_info}}}" not in route.pattern
+            ):
+                raise ValueError(
+                    f"table_route match_info {route.match_info!r} not in "
+                    f"page pattern {route.pattern!r}"
+                )
+        return WebServer(routes=list(self.pages), port=port).start()
 
 
 __all__ = ["App", "Topic", "Agent"]

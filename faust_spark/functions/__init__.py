@@ -3,15 +3,18 @@
 The reference ships ``{json, pickle, yaml, binary (base64), raw}`` codecs
 with ``A | B`` chaining (``faust/serializers/codecs.py:191-317``). The
 Spark-native subset: json via ``from_json``/``to_json`` (on the Record
-class), base64 binary here, raw = no-op. pickle/yaml are deliberately out
-of scope (arbitrary Python object payloads don't belong in a columnar
-engine; a pandas-UDF shim is possible if ever needed).
+class), base64 binary here, raw = no-op. pickle/yaml decode through
+Arrow-batched shims (:func:`pickle_to_json` / :func:`yaml_to_json`) that
+normalize the payload to JSON once at ingest, after which Catalyst owns
+the columns — arbitrary Python object payloads never travel further than
+the decode boundary.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def b64encode(col: Column | str) -> Column:
@@ -63,6 +66,62 @@ def validate_split(df, *checks: "tuple[str, Column]"):
     return valid, invalid
 
 
+def pickle_to_json(col: Column | str) -> Column:
+    """Pickled payload (binary) → JSON string, one Arrow batch at a time
+    (reference pickle codec, ``faust/serializers/codecs.py:254-268``).
+
+    SECURITY: ``pickle.loads`` executes code from the payload — exactly the
+    reference codec's trust model. Only point this at topics you produce.
+    Decode to JSON happens once at the ingest boundary; chain with
+    ``Record.from_json`` for typed columns.
+
+    (The UDF is built lazily — ``pandas_udf`` needs an active session.)
+    """
+
+    @pandas_udf("string")
+    def _shim(s):
+        import json
+        import pickle
+
+        return s.map(
+            lambda b: None if b is None else json.dumps(pickle.loads(bytes(b)))
+        )
+
+    return _shim(F.col(col) if isinstance(col, str) else col)
+
+
+def yaml_to_json(col: Column | str) -> Column:
+    """YAML payload (string) → JSON string per Arrow batch (reference yaml
+    codec, ``faust/serializers/codecs.py:269-280``). Gated on PyYAML being
+    importable — raises a clear error otherwise."""
+
+    @pandas_udf("string")
+    def _shim(s):
+        import json
+
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise RuntimeError(
+                "yaml codec requires PyYAML (pip install pyyaml)"
+            ) from e
+
+        return s.map(
+            lambda v: None if v is None else json.dumps(yaml.safe_load(v))
+        )
+
+    return _shim(F.col(col) if isinstance(col, str) else col)
+
+
+def pickle_decode(df, value_col: str, record_cls) -> "Column | object":
+    """Decode a pickled-dict value column into typed top-level columns:
+    pickle → json (Arrow shim) → ``Record.from_json`` → flatten."""
+    parsed = df.withColumn("__json", pickle_to_json(F.col(value_col)))
+    out = parsed.withColumn("__rec", record_cls.from_json(F.col("__json")))
+    keep = [c for c in df.columns if c != value_col]
+    return out.select(*keep, "__rec.*")
+
+
 __all__ = [
     "b64encode",
     "b64decode",
@@ -70,4 +129,7 @@ __all__ = [
     "decimal_str",
     "decimal_to_str",
     "validate_split",
+    "pickle_to_json",
+    "yaml_to_json",
+    "pickle_decode",
 ]

@@ -2,6 +2,8 @@
 
 import decimal
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from faust_spark import Record
@@ -108,3 +110,42 @@ def test_polymorphic_decode_routes_by_discriminator(spark):
     assert by_ns["add"]["__rec_add"].amount == 5.0
     assert by_ns["add"]["__rec_remove"] is None
     assert by_ns["remove"]["__rec_remove"].reason == "dup"
+
+
+def test_pickle_codec_shim_roundtrip(spark):
+    """pickle → json Arrow shim → typed Record columns (reference pickle
+    codec, faust/serializers/codecs.py:254-268)."""
+    import pickle
+
+    from faust_spark.functions import pickle_decode
+    from faust_spark.models import Record
+
+    class Evt(Record):
+        user: str
+        amount: float
+
+    payloads = [
+        (1, pickle.dumps({"user": "alice", "amount": 2.5})),
+        (2, pickle.dumps({"user": "bob", "amount": 1.0})),
+        (3, None),
+    ]
+    df = spark.createDataFrame(payloads, "offset long, value binary")
+    out = {r.offset: r for r in pickle_decode(df, "value", Evt).collect()}
+    assert out[1].user == "alice" and out[1].amount == 2.5
+    assert out[2].user == "bob"
+    assert out[3].user is None  # null payload → null fields
+
+
+def test_yaml_codec_shim(spark):
+    """yaml → json shim, gated on PyYAML availability."""
+    pytest.importorskip("yaml")
+    from faust_spark.functions import yaml_to_json
+
+    df = spark.createDataFrame(
+        [("user: alice\namount: 2.5",), (None,)], "value string"
+    )
+    rows = df.select(yaml_to_json("value").alias("j")).collect()
+    import json as _json
+
+    assert _json.loads(rows[0].j) == {"user": "alice", "amount": 2.5}
+    assert rows[1].j is None
