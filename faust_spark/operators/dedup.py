@@ -305,7 +305,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
-    small_graph_edges: int = 1_000_000,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Label each node with the min id of its duplicate cluster.
 
@@ -321,10 +321,11 @@ def connected_components(
 
     Fast path: near-dup edge sets are orders of magnitude smaller than
     the corpus (they're the *output* of candidate pruning), so when the
-    edge list fits comfortably on the driver (≤ ``small_graph_edges``)
-    a local union-find resolves components in one pass and only the
-    node→component map is distributed again. The iterative join loop
-    remains the fallback for genuinely huge duplicate graphs.
+    edge list fits comfortably on the driver (≤ ``small_graph_edges``,
+    default 100k — a conservative few MB of ids) a local union-find
+    resolves components in one pass and only the node→component map is
+    distributed again. The iterative join loop remains the fallback for
+    genuinely huge duplicate graphs.
     """
     # materialize the pair list once — the union of both edge directions
     # would otherwise evaluate the (expensive) pair-generation pipeline

@@ -138,6 +138,63 @@ def exactly_once_parquet_sink(
         raise TimeoutError("exactly_once_parquet_sink didn't finish")
 
 
+def committed_batch_sink(
+    sink: Callable[[DataFrame, int], None], commit_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch sink with the batch commit log: skip batch ids
+    already marked committed, mark (atomic tmp+rename) after success."""
+    os.makedirs(commit_dir, exist_ok=True)
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_dir, f"{batch_id}.committed")
+        if os.path.exists(marker):
+            return  # re-delivery of a batch the sink already saw
+        sink(batch_df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("ok")
+        os.replace(tmp, marker)
+
+    return wrapped
+
+
+def transactional_foreach_batch(
+    df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    commit_dir: str,
+    timeout_sec: float = 300.0,
+):
+    """Exactly-once delivery to arbitrary sinks via a batch commit log —
+    the engine-generic analogue of the reference's Kafka transactions
+    (``processing_guarantee='exactly_once'``,
+    ``faust/types/settings/settings.py:1393``).
+
+    Structured Streaming gives foreachBatch at-least-once delivery: a
+    crash between sink success and checkpoint commit re-runs the batch
+    with the SAME batch_id. This wrapper closes the gap for sinks that are
+    neither idempotent nor transactional: after ``sink`` succeeds, the
+    batch id is recorded (atomic tmp+rename marker) in ``commit_dir``; a
+    re-delivered batch id that is already committed is skipped, so the
+    sink observes each batch exactly once. For Kafka, ``sink`` is the
+    kafka-format batch write and the marker plays the transaction-commit
+    role (the reference's producer transaction); for true cross-system
+    atomicity the marker write and sink write must share a failure domain
+    (same object store / same DB transaction).
+    """
+    wrapped = committed_batch_sink(sink, commit_dir)
+    q = (
+        df.writeStream.foreachBatch(wrapped)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("transactional_foreach_batch didn't finish")
+
+
 def take_buffers(
     df: DataFrame,
     max_: int,
@@ -189,5 +246,6 @@ __all__ = [
     "run_to_memory",
     "cdc_export",
     "exactly_once_parquet_sink",
+    "transactional_foreach_batch",
     "take_buffers",
 ]
