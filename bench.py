@@ -47,6 +47,9 @@ HEADLINE = [
     "simhash_fp",
     "text_quality",
     "ann_cosine_topk",
+    "embedding_dup_pairs",  # block-grid GEMM exact path
+    "edit_distance_pairs",  # length-bucket blocked Levenshtein
+    "enumerate_stream",  # distributed zipWithIndex
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",

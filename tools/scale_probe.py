@@ -28,8 +28,16 @@ PROBES_EVENTS = [
     "asof_join",
     "stream_tumbling_hourly",
 ]
-PROBES_DOCS = ["dedup_jaccard", "dedup_minhash_lsh", "simhash_fp"]
-PROBES_EMB = ["ann_cosine_topk"]
+PROBES_DOCS = [
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_fp",
+    "edit_distance_pairs",  # length-blocked; replicas add near-dup pairs
+]
+# embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
+# pays both more pairs and a bigger output — the honest quadratic cost of
+# the sub-0.72 regime; the LSH probe below shows the near-dup-regime path.
+PROBES_EMB = ["ann_cosine_topk", "embedding_dup_pairs"]
 
 
 def main() -> int:
@@ -109,10 +117,43 @@ def main() -> int:
         return round(time.time() - t0, 2)
 
     out = {}
+    emb_mult = min(args.mult, 4)  # pairwise embedding ops: bounded probe
+    if emb_mult != args.mult:
+        big_emb = os.path.join(big, "emb_small")
+        os.makedirs(big_emb, exist_ok=True)
+        (
+            emb.crossJoin(spark.range(emb_mult).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(big_emb, "embeddings.parquet"))
+        )
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents").split():
+            os.symlink(
+                os.path.join(big, f"{t}.parquet")
+                if t in ("events", "documents")
+                else os.path.join(args.base, f"{t}.parquet"),
+                os.path.join(big_emb, f"{t}.parquet"),
+            )
+    else:
+        big_emb = big
+
+    PAIRWISE_EMB = {"embedding_dup_pairs"}
     for key in PROBES_EVENTS + PROBES_DOCS + PROBES_EMB:
+        big_dir = big_emb if key in PAIRWISE_EMB else big
         base_t = timed(key, args.base)
-        big_t = timed(key, big)
-        mult = args.mult if key not in PROBES_DOCS else doc_mult
+        big_t = timed(key, big_dir)
+        mult = (
+            doc_mult
+            if key in PROBES_DOCS
+            else emb_mult
+            if key in PAIRWISE_EMB
+            else args.mult
+        )
         out[key] = {
             "base_s": base_t,
             "big_s": big_t,
@@ -120,6 +161,24 @@ def main() -> int:
             "time_ratio": round(big_t / base_t, 2) if base_t else None,
         }
         print(f"# {key}: {base_t}s -> {big_t}s (x{mult} data)", file=sys.stderr)
+
+    # the LSH near-dup regime: exact replicas ARE cosine-1.0 near-dups, so
+    # threshold 0.95 has real planted structure at both scales
+    from faust_spark.operators.dedup import embedding_dup_pairs as _edp
+
+    def lsh_probe(sf_dir: str) -> float:
+        t0 = time.time()
+        _edp(load_table(spark, sf_dir, "embeddings"), threshold=0.95).count()
+        return round(time.time() - t0, 2)
+
+    b, g = lsh_probe(args.base), lsh_probe(big_emb)
+    out["embedding_dup_lsh@0.95"] = {
+        "base_s": b,
+        "big_s": g,
+        "data_mult": emb_mult,
+        "time_ratio": round(g / b, 2) if b else None,
+    }
+    print(f"# embedding_dup_lsh@0.95: {b}s -> {g}s (x{emb_mult})", file=sys.stderr)
     print(json.dumps({"mult": args.mult, "probes": out}))
     return 0
 
