@@ -921,7 +921,7 @@ def q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q14_promo",
     """
-    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)

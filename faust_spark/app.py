@@ -255,11 +255,48 @@ class App:
 
     @staticmethod
     def crontab(cron_expr: str) -> dict:
-        """Cron-style scheduling (reference ``@app.crontab``) has no
-        in-engine equivalent: run the job from an external scheduler, or
-        use ``availableNow`` triggers per invocation. Returns the
-        one-shot trigger kwargs as the supported analogue."""
+        """Cron-style scheduling (reference ``@app.crontab``,
+        ``faust/app/base.py:1004-1054``). Validates the 5-field expression
+        (self-contained parser, :mod:`faust_spark.cron`) and returns the
+        ``availableNow`` trigger kwargs — each cron tick launches one
+        drain-everything run. Drive the ticks with :meth:`run_cron`."""
+        from faust_spark.cron import Crontab
+
+        Crontab.parse(cron_expr)  # fail fast on bad expressions
         return {"availableNow": True}
+
+    @staticmethod
+    def run_cron(
+        fn,
+        cron_expr: str,
+        iterations: int = 1,
+        *,
+        tz=None,
+        sleep=None,
+        now=None,
+    ) -> list:
+        """Driver-side cron loop: sleep until each next firing, call ``fn``.
+
+        Mirrors the reference's crontab task loop (sleep
+        ``secs_for_next`` → run — ``faust/app/base.py:1029-1054`` via
+        ``faust/utils/cron.py:8-16``). On Spark the driver owns scheduling;
+        each tick typically launches an ``availableNow`` batch. ``sleep``
+        and ``now`` are injectable for tests."""
+        import time as _time
+        from datetime import datetime, timedelta
+
+        from faust_spark.cron import Crontab
+
+        tab = Crontab.parse(cron_expr)
+        sleep = sleep or _time.sleep
+        cur = now or (datetime.now(tz) if tz else datetime.now())
+        results = []
+        for _ in range(iterations):
+            nxt = tab.next_fire(cur)
+            sleep((nxt - cur).total_seconds())
+            results.append(fn())
+            cur = nxt
+        return results
 
     def agent(self, name: Optional[str] = None, *, sinks: Optional[list] = None):
         def deco(fun: Callable) -> Agent:

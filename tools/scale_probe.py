@@ -111,10 +111,10 @@ def main() -> int:
 
     qs = entry.queries()
 
-    def timed(key: str, sf_dir: str) -> float:
+    def timed(key: str, sf_dir: str) -> tuple[float, int]:
         t0 = time.time()
-        qs[key](spark, sf_dir).collect()
-        return round(time.time() - t0, 2)
+        n = len(qs[key](spark, sf_dir).collect())
+        return round(time.time() - t0, 2), n
 
     out = {}
     emb_mult = min(args.mult, 4)  # pairwise embedding ops: bounded probe
@@ -145,8 +145,8 @@ def main() -> int:
     PAIRWISE_EMB = {"embedding_dup_pairs"}
     for key in PROBES_EVENTS + PROBES_DOCS + PROBES_EMB:
         big_dir = big_emb if key in PAIRWISE_EMB else big
-        base_t = timed(key, args.base)
-        big_t = timed(key, big_dir)
+        base_t, base_n = timed(key, args.base)
+        big_t, big_n = timed(key, big_dir)
         mult = (
             doc_mult
             if key in PROBES_DOCS
@@ -154,31 +154,47 @@ def main() -> int:
             if key in PAIRWISE_EMB
             else args.mult
         )
+        # pairwise ops' OUTPUT grows quadratically under replication (every
+        # replica pair is a true dup/near-dup); rows_ratio lets the time
+        # ratio be read against the work the operator was actually asked for
         out[key] = {
             "base_s": base_t,
             "big_s": big_t,
             "data_mult": mult,
             "time_ratio": round(big_t / base_t, 2) if base_t else None,
+            "rows_base": base_n,
+            "rows_big": big_n,
+            "rows_ratio": round(big_n / base_n, 2) if base_n else None,
         }
-        print(f"# {key}: {base_t}s -> {big_t}s (x{mult} data)", file=sys.stderr)
+        print(
+            f"# {key}: {base_t}s -> {big_t}s (x{mult} data, "
+            f"rows {base_n} -> {big_n})",
+            file=sys.stderr,
+        )
 
     # the LSH near-dup regime: exact replicas ARE cosine-1.0 near-dups, so
     # threshold 0.95 has real planted structure at both scales
     from faust_spark.operators.dedup import embedding_dup_pairs as _edp
 
-    def lsh_probe(sf_dir: str) -> float:
+    def lsh_probe(sf_dir: str) -> tuple[float, int]:
         t0 = time.time()
-        _edp(load_table(spark, sf_dir, "embeddings"), threshold=0.95).count()
-        return round(time.time() - t0, 2)
+        n = _edp(load_table(spark, sf_dir, "embeddings"), threshold=0.95).count()
+        return round(time.time() - t0, 2), n
 
-    b, g = lsh_probe(args.base), lsh_probe(big_emb)
+    (b, bn), (g, gn) = lsh_probe(args.base), lsh_probe(big_emb)
     out["embedding_dup_lsh@0.95"] = {
         "base_s": b,
         "big_s": g,
         "data_mult": emb_mult,
         "time_ratio": round(g / b, 2) if b else None,
+        "rows_base": bn,
+        "rows_big": gn,
+        "rows_ratio": round(gn / bn, 2) if bn else None,
     }
-    print(f"# embedding_dup_lsh@0.95: {b}s -> {g}s (x{emb_mult})", file=sys.stderr)
+    print(
+        f"# embedding_dup_lsh@0.95: {b}s -> {g}s (x{emb_mult}, rows {bn} -> {gn})",
+        file=sys.stderr,
+    )
     print(json.dumps({"mult": args.mult, "probes": out}))
     return 0
 
