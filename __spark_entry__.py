@@ -2277,6 +2277,104 @@ def pipeline_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "repetition_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    ws_ AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct_words, MAX(c) AS top_cnt
+            FROM wc GROUP BY 1),
+    bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS b
+           FROM toks, unnest(generate_series(1, len(ws) - 1)) s(i)),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   COUNT(*) AS n_distinct_bigrams
+           FROM bc GROUP BY 1)
+    SELECT w.doc_id, w.n_tokens,
+           CAST(w.top_cnt AS DOUBLE) / w.n_tokens AS top_word_frac,
+           CAST(w.n_tokens - w.n_distinct_words AS DOUBLE) / w.n_tokens
+             AS dup_word_frac,
+           COALESCE(CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+                    / b.n_bigrams, 0.0) AS dup_bigram_frac
+    FROM ws_ w LEFT JOIN bs b USING (doc_id)
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-word / duplicate-word /
+    duplicate-bigram fractions) via two linear partial-agg passes
+    (operators/text.py) — O(corpus tokens) at any document length."""
+    from faust_spark.operators.text import repetition_stats as _rs
+
+    return _rs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "ngram_contamination",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  array_to_string(ws[i:i+4], ' ') AS shingle
+           FROM toks, unnest(generate_series(1, len(ws) - 4)) s(i)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+    hit AS (SELECT c.doc_id, COUNT(*) AS n_hits
+            FROM cand c JOIN bench b USING (shingle) GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hits, 0) AS n_hits
+    FROM tot t LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 5-gram overlap of every
+    training doc against the benchmark slice (source 'src0'), benchmark
+    side deduplicated + broadcast — one corpus scan, no corpus shuffle
+    (operators/text.py)."""
+    from faust_spark.operators.text import ngram_contamination as _nc
+
+    docs = _t(spark, sf_dir, "documents")
+    return _nc(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@_q(
+    "domain_stats",
+    """
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus composition report — one partial-agg shuffle
+    keyed by source (operators/text.py)."""
+    from faust_spark.operators.text import domain_stats as _ds
+
+    return _ds(_t(spark, sf_dir, "documents"))
+
+
+@_q("ivf_topk")  # rows-only: iterative k-means fit is not SQL-expressible
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (lowest-id init,
+    2 Lloyd passes), nprobe-nearest-cell probe, exact cosine re-rank
+    within cells (operators/similarity.py). The data-dependent
+    counterpart to ann_lsh_topk; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from faust_spark.operators.similarity import ivf_topk as _ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return _ivf(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -2312,6 +2410,11 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "multimodal_decode",
     "pipeline_filter_dedup",
+    # -- new this round (no prior driver evidence) -----------------------
+    "repetition_stats",
+    "ngram_contamination",
+    "domain_stats",
+    "ivf_topk",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

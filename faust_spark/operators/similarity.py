@@ -181,6 +181,138 @@ def hyperplane_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over an embedding column.
+
+    Init is the ``k`` lowest-id vectors (no RNG: identical across runs and
+    retries).  Each iteration is one cluster-DataFrame pass: broadcast the
+    k centroids into an argmin expression (k dot products in codegen, no
+    UDF), then one (cell, dim)-keyed partial-agg shuffle via posexplode to
+    re-average.  Only the k×dim centroid model ever reaches the driver —
+    the standard fit shape for IVF coarse quantizers (k ≪ data, model is
+    driver-side by design).
+    """
+    seed = (
+        df.orderBy(F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed]
+    for _ in range(iters):
+        assigned = assign_cells(df, cents, vec_col=vec_col)
+        per_dim = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+        )
+        rows = (
+            per_dim.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid"),
+            )
+            .collect()
+        )
+        new = {r["cell"]: list(r["centroid"]) for r in rows}
+        # empty cells keep their previous centroid
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def _cell_expr(cents: list[list[float]], vec_col: str) -> Column:
+    """argmin-over-centroids as one codegen expression: k squared-distance
+    terms in an array of (dist, idx) structs, array_min picks the cell."""
+    terms = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(v) for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*terms))["i"]
+
+
+def assign_cells(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cell`` column: nearest-centroid id (narrow map, no shuffle)."""
+    return df.withColumn("cell", _cell_expr(cents, vec_col))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, probe the
+    ``nprobe`` nearest cells per query, exact cosine re-rank within.
+
+    The data-dependent counterpart to ``hyperplane_lsh_topk`` (whose
+    buckets are data-oblivious): cells adapt to the embedding
+    distribution, so recall at equal probe budget is typically higher.
+    At scale the corpus is written bucketed by ``cell`` once and each
+    query reads ~nprobe/n_cells of it; here the cell filter expresses
+    the same pruning.  (qid, nid, rank).
+    """
+    cents = kmeans_centroids(
+        corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+        cents,
+        "cv",
+    )
+    # nprobe nearest cells per query — rank the same distance terms
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    probes = []
+    for i, cent in enumerate(cents):
+        carr = F.array(*[F.lit(v) for v in cent])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probes.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    probe_cells = F.slice(
+        F.transform(F.array_sort(F.array(*probes)), lambda s: s["i"]),
+        1,
+        nprobe,
+    )
+    qp = q.withColumn("cell", F.explode(probe_cells))
+    scored = (
+        c.join(F.broadcast(qp), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
 __all__ = [
     "dot_expr",
     "norm_expr",
@@ -188,4 +320,7 @@ __all__ = [
     "cosine_topk",
     "hyperplane_signature",
     "hyperplane_lsh_topk",
+    "kmeans_centroids",
+    "assign_cells",
+    "ivf_topk",
 ]

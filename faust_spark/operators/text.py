@@ -147,12 +147,146 @@ def fingerprint(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters: top-word fraction, duplicate-word
+    fraction, duplicate-bigram fraction per document.
+
+    Scale path: explode to (doc, term) cells and aggregate twice — Spark's
+    partial (map-side) aggregation makes each pass one linear shuffle keyed
+    by (doc, term), so cost is O(corpus tokens) regardless of document
+    length.  The alternative (per-row higher-order functions counting each
+    distinct word's occurrences) is O(len * distinct) per document — fine
+    for short docs, quadratic for long ones; this form survives 100 TB.
+
+    Reference anchor: quality-filter stage of LLM data pipelines (Gopher
+    /C4 repetition rules); same table contract as ``quality_score``.
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col), F.explode(words).alias("w"))
+    wstats = (
+        toks.groupBy(id_col, "w")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("count").alias("top_cnt"),
+        )
+    )
+    # non-distinct bigrams; <2-word docs produce none (sequence(1,0) would
+    # count DOWN, so the short case needs the explicit empty guard)
+    idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
+        ).alias("b"),
+    )
+    bstats = (
+        bg.groupBy(id_col, "b")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        wstats.join(bstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_word_frac"
+            ),
+            (
+                (F.col("n_tokens") - F.col("n_distinct_words")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_word_frac"),
+            F.coalesce(
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast(
+                    "double"
+                )
+                / F.col("n_bigrams"),
+                F.lit(0.0),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word ``n``-grams appear anywhere in the benchmark set.
+
+    The standard contamination check run before training (n-gram overlap
+    against eval sets).  Plan shape: benchmark n-grams are deduplicated and
+    broadcast (eval sets are small relative to the corpus), so the corpus
+    is scanned once with a broadcast semi-side join — no corpus shuffle.
+
+    Returns (id, n_shingles, n_hits); callers threshold
+    ``n_hits / n_shingles`` to drop contaminated documents.
+    """
+    from faust_spark.operators.dedup import shingles
+
+    d_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    b_sh = (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = d_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain corpus composition: document counts, language spread,
+    size totals.  The first report run over any crawl — one partial-agg
+    shuffle keyed by domain."""
+    return df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
     "quality_score",
     "lang_id",
     "fingerprint",
+    "repetition_stats",
+    "ngram_contamination",
+    "domain_stats",
     "LANG_MARKERS",
     "STOPWORDS",
 ]

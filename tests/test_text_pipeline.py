@@ -1,0 +1,112 @@
+"""Text-pipeline operators: repetition filters, decontamination,
+domain stats, IVF ANN (operators/text.py, operators/similarity.py)."""
+
+from pyspark.sql import functions as F
+
+from faust_spark.catalog import load_table
+from faust_spark.operators.similarity import (
+    assign_cells,
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+)
+from faust_spark.operators.text import (
+    domain_stats,
+    ngram_contamination,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # one word repeated 4x: top=1.0, dup_word=0.75,
+            # bigrams: 3x "a a" -> dup_bigram = 2/3
+            (2, "w x y z"),  # all unique: top=0.25, no dups
+            (3, "a b a b a"),  # a:3 b:2 -> top=0.6, dup_word=3/5
+            # bigrams: "a b","b a","a b","b a" -> dup = 2/4
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].top_word_frac == 1.0
+    assert rows[1].dup_word_frac == 0.75
+    assert abs(rows[1].dup_bigram_frac - 2 / 3) < 1e-12
+    assert rows[2].top_word_frac == 0.25
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[3].top_word_frac == 0.6
+    assert rows[3].dup_word_frac == 0.6
+    assert rows[3].dup_bigram_frac == 0.5
+
+
+def test_repetition_stats_single_word_doc(spark):
+    """One-word docs have no bigrams — the fraction must be 0, not null,
+    and sequence(1, 0) must not blow up."""
+    df = spark.createDataFrame([(1, "solo")], "doc_id int, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r.n_tokens == 1 and r.dup_bigram_frac == 0.0
+
+
+def test_ngram_contamination_plants(spark):
+    """A training doc sharing a 5-gram with the benchmark is flagged with
+    the exact overlap count; a clean doc reports 0 hits."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps over" and 2 more bench 5-grams
+            (1, "a quick brown fox jumps over the lazy cat"),
+            (2, "completely unrelated words with no overlap at all"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_contamination(docs, bench).collect()}
+    assert rows[1].n_shingles == 5
+    # doc1 5-grams: positions 2..5 of bench text match exactly
+    assert rows[1].n_hits == 3
+    assert rows[2].n_hits == 0
+
+
+def test_domain_stats_totals(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_stats(docs)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    r = out.collect()[0]
+    assert abs(r.avg_chars * r.n_docs - r.total_chars) < 1e-6 * r.total_chars
+
+
+def test_kmeans_cells_partition_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    assigned = assign_cells(emb, cents)
+    assert assigned.count() == emb.count()  # every vector lands in a cell
+    assert assigned.filter(~F.col("cell").between(0, 7)).count() == 0
+    # determinism: same fit twice
+    assert cents == kmeans_centroids(emb, k=8, iters=1)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF top-1 with nprobe=4/16 cells should usually agree with brute
+    force; ≥60% top-1 recall on 10 queries (chance rate ~2%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        r.qid: r.nid
+        for r in cosine_topk(emb, q, k=1).filter("rank = 1").collect()
+    }
+    approx = {
+        r.qid: r.nid
+        for r in ivf_topk(emb, q, k=1, n_cells=16, nprobe=4)
+        .filter("rank = 1")
+        .collect()
+    }
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= 6, f"IVF top-1 recall too low: {hits}/10"
