@@ -2359,6 +2359,56 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ds(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "approx_percentiles",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM events GROUP BY 1
+    """,
+)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch): constant memory per
+    group vs a full sort — the quantile path at scale, complementing the
+    exact ``value_percentiles``.
+
+    Same checkable contract as ``approx_distinct_users``: the sketch value
+    is engine-specific, its accuracy guarantee is not. Per group and
+    quantile q, ``ok_pXX`` asserts the estimate's rank (rows with
+    value <= estimate) is within eps*n + ties of q*n, eps = 1/accuracy.
+    """
+    acc = 1000
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = ev.join(F.broadcast(ap), "event_type").groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(
+                f"__r{i}"
+            )
+            for i in range(3)
+        ],
+    )
+    def ok(i: int, q: float, name: str):
+        # ties on the estimate's exact value can push the <=-count past the
+        # theoretical rank bound; count them into the allowance
+        return (
+            F.abs(F.col(f"__r{i}") - F.lit(q) * F.col("n"))
+            <= F.col("n") / F.lit(acc) + F.lit(1.0)
+        ).alias(name)
+
+    return ranked.select(
+        "event_type",
+        "n",
+        ok(0, 0.5, "ok_p50"),
+        ok(1, 0.9, "ok_p90"),
+        ok(2, 0.99, "ok_p99"),
+    )
+
+
 @_q("ivf_topk")  # rows-only: iterative k-means fit is not SQL-expressible
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (lowest-id init,
@@ -2415,6 +2465,7 @@ _PRIORITY: list[str] = [
     "ngram_contamination",
     "domain_stats",
     "ivf_topk",
+    "approx_percentiles",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

@@ -122,6 +122,48 @@ def pickle_decode(df, value_col: str, record_cls) -> "Column | object":
     return out.select(*keep, "__rec.*")
 
 
+# --- PII scrubbing (training-data prep; pairs with the Secret/Sensitive/
+# Personal field tags in faust_spark/tags.py) ---------------------------
+# Patterns use syntax valid in both Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookarounds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,14}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b(?:\d[ -]?){13,16}\b",
+}
+
+
+def pii_counts(col: Column | str, kinds: "tuple[str, ...] | None" = None) -> Column:
+    """Struct of per-kind PII match counts — entirely in codegen
+    (``regexp_count``), so a corpus-wide PII audit is one scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    kinds = kinds or tuple(PII_PATTERNS)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(PII_PATTERNS[k])).alias(k)
+            for k in kinds
+        ]
+    )
+
+
+def redact_pii(
+    col: Column | str,
+    kinds: "tuple[str, ...] | None" = None,
+    token: str = "[{kind}]",
+) -> Column:
+    """Replace every PII match with a typed placeholder (``[email]``,
+    ``[phone]``, ...): chained ``regexp_replace`` — one codegen stage, no
+    UDF.  Kind order matters (e.g. SSN before phone) and follows
+    ``PII_PATTERNS`` insertion order unless overridden."""
+    c = F.col(col) if isinstance(col, str) else col
+    kinds = kinds or ("email", "ssn", "credit_card", "ipv4", "phone")
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], token.format(kind=k))
+    return c
+
+
 __all__ = [
     "b64encode",
     "b64decode",
@@ -132,4 +174,7 @@ __all__ = [
     "pickle_to_json",
     "yaml_to_json",
     "pickle_decode",
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_pii",
 ]

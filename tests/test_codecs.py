@@ -149,3 +149,35 @@ def test_yaml_codec_shim(spark):
 
     assert _json.loads(rows[0].j) == {"user": "alice", "amount": 2.5}
     assert rows[1].j is None
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII audit + redaction stay in codegen and catch the classic kinds."""
+    from faust_spark.functions import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com or call +1 (415) 555-0199"),
+            (2, "ssn 123-45-6789 from host 10.0.0.7"),
+            (3, "card 4111 1111 1111 1111 paid"),
+            (4, "nothing sensitive here"),
+        ],
+        "id int, text string",
+    )
+    out = df.select(
+        "id",
+        pii_counts("text").alias("pii"),
+        redact_pii("text").alias("clean"),
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].pii.email == 1 and rows[1].pii.phone == 1
+    assert rows[2].pii.ssn == 1 and rows[2].pii.ipv4 == 1
+    assert rows[3].pii.credit_card == 1
+    assert all(v == 0 for v in rows[4].pii.asDict().values())
+    assert "[email]" in rows[1].clean and "@" not in rows[1].clean
+    assert "[ssn]" in rows[2].clean and "6789" not in rows[2].clean
+    assert "[credit_card]" in rows[3].clean and "4111" not in rows[3].clean
+    assert rows[4].clean == "nothing sensitive here"
+    # no Python in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
