@@ -33,11 +33,13 @@ PROBES_DOCS = [
     "dedup_minhash_lsh",
     "simhash_fp",
     "edit_distance_pairs",  # length-blocked; replicas add near-dup pairs
+    "repetition_stats",
+    "ngram_contamination",
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
 # the sub-0.72 regime; the LSH probe below shows the near-dup-regime path.
-PROBES_EMB = ["ann_cosine_topk", "embedding_dup_pairs"]
+PROBES_EMB = ["ann_cosine_topk", "ivf_topk", "embedding_dup_pairs"]
 
 
 def main() -> int:
