@@ -153,6 +153,60 @@ class Agent:
     def __call__(self, *a: Any, **kw: Any):
         return self.fun(self.app, *a, **kw)
 
+    # --- RPC surface (reference faust/agents/agent.py:740-961) ----------
+    # faust's ask/map/join round-trip values through the agent via Kafka
+    # reply topics + barriers. The batch analogue runs the agent's
+    # pipeline over a constructed micro-batch and returns the result rows
+    # in send order — same contract (each value produces its reply,
+    # order preserved) without the messaging layer. The agent function
+    # must pass input columns through (e.g. withColumn-style transforms)
+    # for send-order tracking; pipelines that aggregate away the input
+    # rows have no per-value reply, exactly as in the reference.
+
+    _SEQ = "__ask_seq"
+
+    def map(self, values: list, schema: Optional[str] = None) -> list:
+        """Run each value through the agent; replies in send order."""
+        spark = self.app.spark
+        rows = [
+            {**(v if isinstance(v, dict) else {"value": v}), self._SEQ: i}
+            for i, v in enumerate(values)
+        ]
+        df = (
+            spark.createDataFrame(rows, schema=f"{schema}, {self._SEQ} long")
+            if schema
+            else spark.createDataFrame(rows)
+        )
+        out = self.fun(self.app, df)
+        if self._SEQ not in out.columns:
+            raise ValueError(
+                f"agent {self.name!r} dropped the sequence column; "
+                "ask/map need a per-row transform that passes input "
+                "columns through"
+            )
+        return out.orderBy(self._SEQ).drop(self._SEQ).collect()
+
+    def ask(self, value: Any, schema: Optional[str] = None):
+        """Send one value, return its reply row (sync RPC analogue)."""
+        return self.map([value], schema)[0]
+
+    def join(self, values: list, schema: Optional[str] = None) -> list:
+        """Gather all replies for a batch of values (reference ``join``
+        barrier: map + wait-for-all; batch execution is already a
+        barrier)."""
+        return self.map(values, schema)
+
+    def kvmap(self, items: list, schema: Optional[str] = None) -> list:
+        """(key, value) pairs through the agent; replies in send order."""
+        return self.map(
+            [{"key": k, **(v if isinstance(v, dict) else {"value": v})}
+             for k, v in items],
+            schema,
+        )
+
+    def kvjoin(self, items: list, schema: Optional[str] = None) -> list:
+        return self.kvmap(items, schema)
+
 
 class App:
     """Engine application: registry of topics, tables, agents.

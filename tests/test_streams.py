@@ -134,3 +134,33 @@ def test_enumerate_distributed_no_global_sort(spark):
     # count side, which sits under the BroadcastExchange subtree
     main, _, bcast = plan.partition("BroadcastExchange")
     assert "SinglePartition" not in main
+
+
+def test_agent_ask_map_join_kvmap(spark):
+    """RPC surface (reference faust/agents/agent.py:740-961): values round-
+    trip through the agent pipeline, replies come back in send order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from faust_spark.app import App
+
+    app = App("rpc-test", spark=spark)
+
+    @app.agent()
+    def double(app_, df):
+        return df.withColumn("doubled", F.col("value") * 2)
+
+    r = double.ask({"value": 21})
+    assert r.doubled == 42
+    rs = double.map([{"value": v} for v in [5, 1, 3]])
+    assert [x.doubled for x in rs] == [10, 2, 6]  # send order, not value order
+    assert [x.doubled for x in double.join([{"value": 7}, {"value": 8}])] == [14, 16]
+    kv = double.kvmap([("a", {"value": 2}), ("b", {"value": 9})])
+    assert [(x.key, x.doubled) for x in kv] == [("a", 4), ("b", 18)]
+
+    @app.agent()
+    def aggregating(app_, df):
+        return df.groupBy().agg(F.sum("value").alias("s"))
+
+    with pytest.raises(ValueError, match="sequence column"):
+        aggregating.ask({"value": 1})
