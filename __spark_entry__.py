@@ -2012,6 +2012,47 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_session_windows",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '1800 seconds'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_windows executed by the streaming engine: gap-based
+    ``F.session_window`` merging live in the state store across replay
+    batches (sessions spanning batch boundaries must merge), complete-mode
+    memory sink. Hash-matches the same lag/cumsum oracle as the batch
+    form."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "1800 seconds"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "cnt",
+    )
+
+
 # =====================================================================
 # LLM-data-pipeline operators (beyond the reference; BASELINE.json north
 # star): dedup / similarity / text analysis / multimodal
@@ -2726,6 +2767,7 @@ _PRIORITY: list[str] = [
     "domain_stats",
     "ivf_topk",
     "approx_percentiles",
+    "stream_session_windows",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",
