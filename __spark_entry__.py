@@ -2374,6 +2374,32 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_frames",
+    """
+    WITH p AS (
+      SELECT doc_id, 'image/fake' AS media_type,
+             octet_length(encode(text)) AS nb, md5(text) AS ph
+      FROM documents
+    ),
+    f AS (SELECT doc_id, media_type, nb % 4 + 1 AS k, ph FROM p)
+    SELECT f.doc_id, f.media_type, CAST(i AS INT) AS frame_idx,
+           md5(ph || CAST(i AS VARCHAR)) AS frame_hash
+    FROM f, unnest(generate_series(0, k - 1)) s(i)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling — the one-to-many (UDTF-shaped) media op: each
+    payload yields a deterministic frame set via Arrow-batched
+    mapInPandas (operators/multimodal.py sample_frames). The oracle
+    recomputes the fake sampler in SQL, proving the expand path and row
+    multiplicity."""
+    from faust_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), max_frames=4)
+
+
+@_q(
     "multires_rollup",
     """
     WITH r AS (
@@ -2768,6 +2794,7 @@ _PRIORITY: list[str] = [
     "ivf_topk",
     "approx_percentiles",
     "stream_session_windows",
+    "multimodal_frames",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",
