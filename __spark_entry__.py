@@ -1387,6 +1387,63 @@ def sample_3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_mixture_weights",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_duck_hash01("CAST(doc_id AS VARCHAR)")} <
+          CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.3
+                    WHEN 'de' THEN 0.2 ELSE 0.1 END
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-language sampling fractions toward a target
+    corpus mixture (operators/sampling.py mixture_sample) — deterministic
+    hash thresholds, plain pushdown-able filter, no RNG and no shuffle."""
+    from faust_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(
+        d,
+        group_col="lang",
+        key="doc_id",
+        fractions={"en": 0.6, "fr": 0.3, "de": 0.2},
+        default_fraction=0.1,
+        hex_chars=8,
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    """
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+      FROM documents
+    ),
+    r AS (
+      SELECT content_hash, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY content_hash
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n_in_group
+      FROM g
+    )
+    SELECT content_hash, doc_id AS keeper_id, n_chars AS keeper_quality,
+           n_in_group
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection: per normalized-content group
+    keep the highest-quality member (longest here), not the lowest id —
+    struct-max argmax inside one partial-agg shuffle, no window
+    (operators/dedup.py keep_best)."""
+    from faust_spark.operators.dedup import keep_best
+
+    return keep_best(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "scd2_history",
     """
     SELECT user_id, ts AS valid_from,
@@ -2795,6 +2852,8 @@ _PRIORITY: list[str] = [
     "approx_percentiles",
     "stream_session_windows",
     "multimodal_frames",
+    "sample_mixture_weights",
+    "dedup_keep_best",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

@@ -43,6 +43,36 @@ def exact_dedup(
     )
 
 
+def keep_best(
+    df: DataFrame,
+    quality_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper selection: groups documents by normalized
+    content (lowercased, whitespace-collapsed — whitespace/case variants
+    of one document collide) and keeps the HIGHEST-quality member, not
+    the lowest id. One hash-groupBy; the argmax is a struct-max, so it
+    stays in partial aggregation (no window, no second shuffle)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    best = F.max(
+        F.struct(F.col(quality_col), (-F.col(id_col)).alias("nid"))
+    )
+    return (
+        df.groupBy(F.md5(norm).alias("content_hash"))
+        .agg(
+            best.alias("__best"),
+            F.count(F.lit(1)).alias("n_in_group"),
+        )
+        .select(
+            "content_hash",
+            (-F.col(f"__best.nid")).alias("keeper_id"),
+            F.col(f"__best.{quality_col}").alias("keeper_quality"),
+            "n_in_group",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling + n-gram Jaccard
 # --------------------------------------------------------------------------

@@ -62,4 +62,24 @@ def top_k_per_key(
     )
 
 
-__all__ = ["hash_sample", "top_k_per_key"]
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    hex_chars: int = 12,
+) -> DataFrame:
+    """Per-group sampling fractions — the data-mixing step of corpus
+    curation (upweight/downweight domains or languages to hit a target
+    mixture). A row stays iff its key-hash falls under its group's
+    fraction; deterministic, engine-portable, and the predicate is a
+    plain filter (pushes down, no shuffle, no RNG)."""
+    frac = F.lit(default_fraction)
+    for g, p in fractions.items():
+        frac = F.when(F.col(group_col) == g, F.lit(p)).otherwise(frac)
+    return df.filter(_hash01(F.col(key), salt, hex_chars) < frac)
+
+
+__all__ = ["hash_sample", "top_k_per_key", "mixture_sample"]

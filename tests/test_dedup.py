@@ -162,3 +162,23 @@ def test_embedding_dup_lsh_full_recall_on_near_dups(spark):
         df, "vec_id", "embedding", n_planes=6, bands=8, dim=32
     ).count()
     assert n_cand < n * (n - 1) / 2 * 0.25  # candidates well below all pairs
+
+
+def test_keep_best_prefers_quality_over_id(spark):
+    """Whitespace/case variants collide; the longest member wins even when
+    a lower id exists."""
+    from faust_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World", 13),
+            (2, "hello world", 11),      # same normalized content, shorter
+            (3, "HELLO  WORLD  ", 14),   # longest variant, highest id
+            (4, "something else", 14),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    rows = {r.keeper_id: r for r in keep_best(df).collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3].n_in_group == 3 and rows[3].keeper_quality == 14
+    assert rows[4].n_in_group == 1

@@ -34,3 +34,31 @@ def test_top_k_per_key_caps_and_stability(spark, sf_dir):
     assert per_key <= 3
     again = top_k_per_key(e, "user_id", "event_id", k=3)
     assert out.subtract(again).count() == 0
+
+
+def test_mixture_sample_fractions_and_determinism(spark, sf_dir):
+    """Per-group fractions land near target; rerun is identical."""
+    from faust_spark.catalog import load_table
+    from faust_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    fr = {"en": 0.8, "fr": 0.2}
+    from pyspark.sql import functions as F
+
+    out = mixture_sample(docs, "lang", "doc_id", fr, default_fraction=0.0)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "fr"}  # default 0.0 drops other langs
+    for lang, p in fr.items():
+        if tot.get(lang, 0) >= 20:
+            assert abs(got.get(lang, 0) / tot[lang] - p) < 0.25
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            docs, "lang", "doc_id", fr, default_fraction=0.0
+        ).collect()
+    )
+    assert a == b

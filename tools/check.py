@@ -58,6 +58,7 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", help="also write results to this JSON file")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -81,6 +82,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for key in keys:
         t0 = time.time()
         try:
@@ -89,11 +91,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL {key}: spark error\n{traceback.format_exc()}")
+            results[key] = {"status": "fail", "err": "spark error"}
             n_fail += 1
             continue
         if key not in oracles:
             print(f"okro {key}: rows-only ({len(srows)} rows) "
                   f"[{time.time()-t0:.1f}s]")
+            results[key] = {"status": "rows_only", "rows": len(srows),
+                            "secs": round(time.time() - t0, 1)}
             n_pass += 1
             continue
         try:
@@ -124,11 +129,24 @@ def main() -> int:
                         break
         if problems:
             print(f"FAIL {key}: " + "; ".join(problems[:3]))
+            results[key] = {"status": "fail", "err": problems[0]}
             n_fail += 1
         else:
             print(f"PASS {key} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            results[key] = {"status": "pass", "rows": len(srows),
+                            "secs": round(time.time() - t0, 1)}
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {"sf": args.sf, "passed": n_pass, "failed": n_fail,
+                 "results": results},
+                fh,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
