@@ -95,3 +95,60 @@ def test_interval_join_is_equi_join_with_residual(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_filter_pushes_down(spark, sf_dir):
+    """The data-mixing predicate must reach the scan as a plain filter —
+    no shuffle, no Python."""
+    df = entry.queries()["sample_mixture_weights"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle side must broadcast; the corpus must not
+    sort-merge or nested-loop against it."""
+    plan = plan_of(entry.queries()["ngram_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_has_partial_aggregation(spark, sf_dir):
+    """Both term-count passes must map-side combine (the O(corpus tokens)
+    guarantee) and never nested-loop."""
+    plan = plan_of(entry.queries()["repetition_stats"](spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dup_pairs_no_nested_loop(spark, sf_dir):
+    """Round-1 weak spot, pinned fixed: the exact block-grid path must be
+    an equi-join on grid cells, not a nested loop."""
+    plan = plan_of(entry.queries()["embedding_dup_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_enumerate_no_single_partition_exchange(spark, sf_dir):
+    """Round-1 weak spot, pinned fixed: no global single-partition sort on
+    the data path."""
+    df = entry.queries()["enumerate_stream"](spark, sf_dir)
+    df.collect()  # AQE finalizes
+    # executedPlan prints final plan then "== Initial Plan ==" — judge the
+    # final plan only
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # the data path is a parallel range exchange + per-partition window;
+    # the only single-partition structure allowed is the offsets side,
+    # which carries one row per partition (not the data)
+    assert "Exchange rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_keep_best_single_aggregation_no_window(spark, sf_dir):
+    """The argmax must stay a struct-max aggregate — one shuffle, no
+    window sort."""
+    plan = plan_of(entry.queries()["dedup_keep_best"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
