@@ -46,13 +46,21 @@ HEADLINE = [
     "dedup_components",
     "simhash_fp",
     "text_quality",
+    "repetition_stats",  # Gopher repetition filters
+    "ngram_contamination",  # benchmark decontamination
+    "dedup_keep_best",  # quality-aware keeper argmax
     "ann_cosine_topk",
+    "ivf_topk",  # IVF ANN (k-means fit + nprobe probe)
     "embedding_dup_pairs",  # block-grid GEMM exact path
     "edit_distance_pairs",  # length-bucket blocked Levenshtein
     "enumerate_stream",  # distributed zipWithIndex
+    "multimodal_frames",  # Arrow one-to-many media expand
+    "q8_market_share",  # five-dim broadcast star join
+    "approx_percentiles",  # GK sketch + rank-bound check
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",
+    "stream_session_windows",
 ]
 
 

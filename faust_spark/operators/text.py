@@ -175,15 +175,15 @@ def repetition_stats(
             F.max("count").alias("top_cnt"),
         )
     )
-    # non-distinct bigrams; <2-word docs produce none (sequence(1,0) would
-    # count DOWN, so the short case needs the explicit empty guard)
-    idx = F.when(
-        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
-    ).otherwise(F.array().cast("array<int>"))
+    # non-distinct bigrams: zip the token array with its own tail — O(len)
+    # per doc (an index+slice build would copy O(len) per position);
+    # slice handles short docs (empty zip → no rows)
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    head = F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0)))
     bg = df.select(
         F.col(id_col),
         F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
+            F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b))
         ).alias("b"),
     )
     bstats = (
