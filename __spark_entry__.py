@@ -2793,6 +2793,41 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ivf_assign",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM e ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, c.cell,
+                 list_sum(list_transform(list_zip(e.v, c.cv),
+                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+          FROM e CROSS JOIN c),
+    r AS (SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cell) AS rn
+          FROM d)
+    SELECT vec_id, cell FROM r WHERE rn = 1
+    """,
+)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse partitioner alone, oracle-checked: nearest-seed-cell
+    assignment (k = 8 lowest-id vectors as centroids, i.e. the k-means
+    init state) as a codegen argmin — no UDF, no shuffle. Embeddings are
+    cast float→double on BOTH engines so squared-distance sums are
+    bit-identical and the argmin is engine-portable; the iterative fit on
+    top of this stays rows-only (``ivf_topk``)."""
+    from faust_spark.operators.similarity import assign_cells, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = kmeans_centroids(emb, k=8, iters=0)
+    return assign_cells(emb, cents).select("vec_id", "cell")
+
+
 @_q("ivf_topk")  # rows-only: iterative k-means fit is not SQL-expressible
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer (lowest-id init,
@@ -2854,6 +2889,7 @@ _PRIORITY: list[str] = [
     "multimodal_frames",
     "sample_mixture_weights",
     "dedup_keep_best",
+    "ivf_assign",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",
