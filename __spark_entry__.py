@@ -20,6 +20,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1258,6 +1259,427 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    )
+    SELECT p_partkey, s_suppkey FROM (
+      SELECT p_partkey, s_suppkey,
+             unit_cost, min(unit_cost) OVER (PARTITION BY p_partkey) AS best
+      FROM cost
+    ) t WHERE unit_cost = best
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted — no partsupp fixture, so 'supply cost' is the
+    observed min unit price l_extendedprice/l_quantity per
+    part×supplier): region-filtered cheapest supplier(s) per part. The
+    Q2 correlated-min subquery decorrelates to an unordered
+    partition-min window — ONE shuffle on p_partkey, no self-join and
+    no second scan of the aggregate (vs the agg+join rewrite which
+    evaluates the CTE twice). Unit price is IEEE double division —
+    bit-identical on both engines, so the min-equality filter is
+    portable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("out_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cost.withColumn("best", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select("p_partkey", F.col("out_suppkey").alias("s_suppkey"))
+    )
+
+
+@_q(
+    "q9_nation_profit",
+    """
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           - CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / 2
+             AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted — no partsupp, so supply cost is proxied as
+    half the part's retail price): profit by supplier nation and order
+    year. Fact scan joins part/supplier/nation broadcast; the only big
+    join is lineitem-orders on orderkey; one agg shuffle on
+    (nation, year). Revenue and cost are summed as exact decimals
+    SEPARATELY, cast to double, then subtracted — decimal-decimal
+    subtraction with mixed scales has engine-specific precision rules,
+    double subtraction of two exact sums does not."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount", "l_quantity",
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = F.col("p_retailprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.sum(cost).cast("double") / F.lit(2)
+            ).alias("profit")
+        )
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted — part value = lineitem revenue from one
+    nation's suppliers instead of partsupp stock value): parts worth
+    more than 0.1% of the total. The decorrelated scalar subquery is a
+    one-row aggregate broadcast back as a cross join — no driver
+    collect, no second evaluation of the expensive scan (the per-part
+    aggregate is computed once; the total re-aggregates the SMALL
+    per-part result, not the fact table). Threshold compares
+    value*1000 > total in exact decimals — no float literal, no
+    engine-specific decimal-scale rules."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    supp = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+                "value_dec"
+            )
+        )
+    )
+    total = pv.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * F.lit(1000) > F.col("total_dec"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+@_q(
+    "q12_late_shipping",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 60
+                THEN 'late' ELSE 'ontime' END AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted — no l_shipmode/commitdate/receiptdate in the
+    fixture, so 'late' = shipped >60 days after the order date):
+    priority mix of late vs on-time lines. One big equi-join on
+    orderkey, then a two-group aggregate — the conditional counts are
+    map-side partial aggs; only 2 groups ever cross the wire."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ) > 60
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(late, "late").otherwise("ontime").alias("ship_class")
+        )
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l.l_suppkey AS s_key,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON r.s_key = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top revenue supplier(s) for a quarter. The view's MAX
+    is a one-row aggregate over the (tiny) per-supplier rollup,
+    broadcast back as a cross join — equality on exact decimal sums,
+    so ties are found portably (the spec's correlated = MAX(view)
+    semantics) with no global sort and no second fact-table scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("s_key")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("best_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("s_key") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted — the part-supplier relation is DISTINCT
+    lineitem pairs since there's no partsupp; the excluded-supplier
+    subquery filters on negative balance instead of comment text):
+    supplier diversity per part attribute. NOT IN over a non-null key
+    column rewrites to an anti-join (broadcast — the exclusion list is
+    tiny); distinct pairs then one agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        li.distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@_q(
+    "q20_excess_shippers",
+    """
+    SELECT s.s_name FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name LIKE 'NATION_1%'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red %'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+        HAVING SUM(l.l_quantity) > 50
+      )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted — 'excess stock' = shipped over 50 units of
+    red parts in 1996, since there's no partsupp availqty): the
+    IN-subquery chain part-filter -> per-supplier rollup -> HAVING ->
+    semi-join into the supplier dim. Quantities are integral doubles,
+    so the HAVING sum is exact on both engines. The semi-join side is
+    aggregated BEFORE joining — the dim table never meets the fact
+    scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    ).select("n_nationkey")
+    qualifying = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name")
+    )
+
+
+@_q(
+    "q21_waiting_supplier",
+    """
+    WITH pairs AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN CAST(l.l_shipdate AS DATE) >
+                           CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp,
+             CAST(SUM(late) AS BIGINT) AS n_late
+      FROM pairs GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM pairs pr
+    JOIN per_order po ON pr.l_orderkey = po.l_orderkey
+    JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+    WHERE pr.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY 1
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted — 'kept waiting' = shipped >60 days after the
+    order date, no receipt/commit dates in the fixture): suppliers who
+    were the SOLE late supplier on a multi-supplier finished order.
+    The spec's EXISTS (another supplier) + NOT EXISTS (another late
+    supplier) correlated pair decorrelates to one per-(order,supplier)
+    rollup and one per-order rollup, joined back on orderkey — the
+    second and third scans of lineitem that a literal translation
+    would do are gone, and both rollups reuse the same orderkey
+    partitioning (no extra shuffle for the self-join)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+    ).cast("int")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = pairs.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        pairs.filter(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
@@ -2844,6 +3266,63 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
+@_q(
+    "split_assign",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN h < 0.8 THEN 'train'
+                WHEN h < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang,
+                 {_duck_hash01("'split:' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents) t
+    """,
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    assign_splits): a doc's split is a pure function of its id hash, so
+    no doc can migrate between train and test across runs, engines, or
+    partitionings — the leakage guarantee RNG-based splits don't give.
+    Pure column expression: no shuffle; the derived column is one md5
+    per row and the whole thing pushes through the scan."""
+    from faust_spark.operators.sampling import assign_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_splits(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+@_q(
+    "shard_shuffle",
+    f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INT) AS pos
+    FROM (SELECT doc_id,
+                 CAST(floor(
+                   {_duck_hash01("'shuffle:' || CAST(doc_id AS VARCHAR)")}
+                   * 8) AS INT) AS shard,
+                 md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents) t
+    """,
+)
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into ordered shards
+    (operators/sampling.py shuffle_shards): training-order
+    randomization without a global sort. A naive ORDER BY hash is a
+    single-partition sort at 100 TB; this shards by hash (uniform) and
+    sorts only within each shard — n parallel local sorts, one
+    shuffle. Fully reproducible: same doc -> same (shard, pos) on
+    every engine and partitioning."""
+    from faust_spark.operators.sampling import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -2890,6 +3369,8 @@ _PRIORITY: list[str] = [
     "sample_mixture_weights",
     "dedup_keep_best",
     "ivf_assign",
+    "split_assign",
+    "shard_shuffle",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

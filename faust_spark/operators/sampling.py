@@ -82,4 +82,66 @@ def mixture_sample(
     return df.filter(_hash01(F.col(key), salt, hex_chars) < frac)
 
 
-__all__ = ["hash_sample", "top_k_per_key", "mixture_sample"]
+def assign_splits(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    salt: str = "split:",
+    hex_chars: int = 8,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    ``splits`` maps name -> fraction (must sum to ~1.0); a row lands in
+    the first split whose cumulative fraction exceeds its key-hash. The
+    same key always lands in the same split — on every run, every
+    engine, and every partitioning — which is the leakage guarantee a
+    training pipeline needs (a doc can never migrate from test to train
+    between runs). Pure column expression: no shuffle, no RNG, and the
+    derived column costs one md5 per row.
+    """
+    h = _hash01(F.col(key), salt, hex_chars)
+    names = list(splits)
+    out = F.lit(names[-1])
+    bounds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        bounds.append((cum, name))
+    for cum, name in reversed(bounds):
+        out = F.when(h < cum, name).otherwise(out)
+    return df.withColumn(out_col, out)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    salt: str = "shuffle:",
+    hex_chars: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` ordered shards.
+
+    Training wants data in a reproducible random order; a global
+    ``ORDER BY hash`` is a single-partition sort at scale. Instead:
+    shard = floor(hash01 * n) (uniform), position = row_number within
+    the shard ordered by the full md5 (ties broken by key). One hash
+    shuffle into n_shards groups, per-shard local sort — every shard
+    sorts in parallel, nothing global. At 100 TB pick n_shards so a
+    shard's keys fit an executor's sort buffer (the payload columns
+    ride along; sort keys are 32-byte digests).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    shard = F.floor(_hash01(F.col(key), salt, hex_chars) * n_shards).cast("int")
+    out = df.withColumn("__h", h).withColumn("shard", shard)
+    w = W.partitionBy("shard").orderBy("__h", F.col(key))
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+__all__ = [
+    "hash_sample",
+    "top_k_per_key",
+    "mixture_sample",
+    "assign_splits",
+    "shuffle_shards",
+]

@@ -62,3 +62,59 @@ def test_mixture_sample_fractions_and_determinism(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_assign_splits_partitions_and_leakage_guarantee(spark, sf_dir):
+    """Every doc gets exactly one split; proportions land near target;
+    the assignment is a pure function of the key (identical on rerun
+    and under different partitioning)."""
+    from faust_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, "doc_id", splits)
+    n = docs.count()
+    got = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(got.values()) == n  # total partition, no drops/dupes
+    assert set(got) <= set(splits)
+    assert abs(got.get("train", 0) / n - 0.8) < 0.1
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in assign_splits(
+            docs.repartition(7), "doc_id", splits
+        ).collect()
+    )
+    assert a == b  # partitioning-invariant
+
+
+def test_shuffle_shards_is_a_deterministic_permutation(spark, sf_dir):
+    """Shard+pos form a permutation: every row appears once, positions
+    within a shard are 1..shard_size with no gaps, and the whole
+    ordering is identical on rerun."""
+    from faust_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shards(docs, "doc_id", n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shards(
+            docs.repartition(5), "doc_id", n_shards=4
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.shard, r.pos) for r in rows)
+    # the "shuffle" actually reorders: shard-order != doc_id order
+    first_shard = sorted(
+        (r.pos, r.doc_id) for r in rows if r.shard == min(by_shard)
+    )
+    ids_in_pos_order = [d for _, d in first_shard]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
