@@ -50,6 +50,12 @@ ALLOW_NESTED_LOOP = {
     "ann_cosine_topk",
     "embedding_dup_pairs",
     "edit_distance_pairs",  # bounded pairwise on a pre-blocked subset
+    # one-ROW broadcast scalars (decorrelated scalar subqueries): the
+    # "nested loop" is O(n·1) — each row compared against a single
+    # broadcast aggregate row via an inequality, which Catalyst cannot
+    # turn into a hash join (q15's equality version does become one)
+    "q11_important_parts",
+    "q22_dormant_customers",
 }
 
 
