@@ -3267,6 +3267,91 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunking",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+               FROM documents),
+    c AS (SELECT doc_id, ws, CAST(s.i AS INT) AS start
+          FROM t, unnest(generate_series(1, len(ws), 15)) s(i))
+    SELECT doc_id, start,
+           CAST(len(ws[start:start+19]) AS INT) AS n_tokens,
+           md5(array_to_string(ws[start:start+19], ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    chunk_tokens): 20-token windows every 15 tokens — the
+    context-window prep fan-out. Codegen only (sequence + explode +
+    slice), no shuffle; chunk content verified by hash, not just
+    counts. DuckDB's 1-based-inclusive list slice ws[s:s+19] ==
+    Spark's slice(ws, s, 20)."""
+    from faust_spark.operators.text import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(d, size=20, stride=15).select(
+        "doc_id",
+        "start",
+        "n_tokens",
+        "chunk_hash",
+    )
+
+
+@_q(
+    "distinctive_terms",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+               FROM documents),
+    bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
+           FROM t, unnest(generate_series(1, len(ws) - 1)) s(i)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, t.tf, d.df
+    FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    WHERE t.tf >= 2 AND d.df * 5 <= n.n_docs
+    """,
+)
+def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped distinctive-phrase extraction: bigrams that repeat
+    within a document (tf >= 2) but are rare across the corpus
+    (document frequency <= 20% of docs). Bigrams, not unigrams,
+    because rarity lives in combinations when the base vocabulary is
+    small — the same reason shingles beat words for dedup. The two
+    corpus passes of TF-IDF — per-(doc,term) tf, then per-term df over
+    THAT — reuse one term-keyed partitioning; doc count is a one-row
+    broadcast. The bigram build is the O(n) zip-with-tail (no
+    per-position slice copies); the rarity test is integer
+    (df*5 <= n), not a float idf threshold: log/divide scores differ
+    across engines in final ulps and would make near-ties unhashable
+    (same reason cosine scores are rank-only elsewhere).
+
+    The explicit repartition("term") is the whole plan: hash(term)
+    satisfies the (doc_id, term) grouping, the term grouping, AND the
+    join key, so tf-agg, df-agg, and the join all reuse ONE exchange
+    (plan shows ReusedExchange) instead of three."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), r"\s+")
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, m), F.slice(ws, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    toks = d.select(
+        "doc_id", F.explode(bigrams).alias("term")
+    ).repartition("term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("tf") >= 2) & (F.col("df") * 5 <= F.col("n_docs")))
+        .select("doc_id", "term", "tf", "df")
+    )
+
+
+@_q(
     "split_assign",
     f"""
     SELECT doc_id, lang,
@@ -3371,6 +3456,8 @@ _PRIORITY: list[str] = [
     "ivf_assign",
     "split_assign",
     "shard_shuffle",
+    "doc_chunking",
+    "distinctive_terms",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

@@ -56,7 +56,11 @@ HEADLINE = [
     "enumerate_stream",  # distributed zipWithIndex
     "multimodal_frames",  # Arrow one-to-many media expand
     "q8_market_share",  # five-dim broadcast star join
+    "q21_waiting_supplier",  # EXISTS/NOT-EXISTS pair as shared-key rollups
     "approx_percentiles",  # GK sketch + rank-bound check
+    "doc_chunking",  # context-window fan-out in codegen
+    "shard_shuffle",  # hash-sharded training-order permutation
+    "distinctive_terms",  # TF-IDF-shaped two-pass corpus stats
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",

@@ -278,6 +278,45 @@ def domain_stats(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking: split each document into overlapping chunks
+    of ``size`` whitespace tokens every ``stride`` tokens — the
+    context-window prep step before tokenization proper (stride < size
+    gives overlap so no boundary context is lost).
+
+    One row in, ceil(n_tokens/stride) rows out, entirely in codegen:
+    ``sequence`` builds the start offsets, ``explode`` fans out,
+    ``slice`` cuts the window — no UDF, no shuffle; the expansion
+    happens after any pushed-down filters, so at 100 TB you chunk only
+    the documents that survive filtering. Emits (id, start, n_tokens,
+    chunk_hash) with the md5 of the re-joined window so chunk CONTENT
+    (not just counts) is verifiable.
+    """
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    ws = F.split(F.col(text_col), r"\s+")
+    # guard the empty doc: sequence(1, 0) counts DOWN in Spark
+    starts = F.when(
+        F.size(ws) >= 1, F.sequence(F.lit(1), F.size(ws), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        F.col(id_col), ws.alias("__ws"), F.explode(starts).alias("start")
+    )
+    window = F.slice(F.col("__ws"), F.col("start"), size)
+    return out.select(
+        id_col,
+        "start",
+        F.size(window).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", window)).alias("chunk_hash"),
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -287,6 +326,7 @@ __all__ = [
     "repetition_stats",
     "ngram_contamination",
     "domain_stats",
+    "chunk_tokens",
     "LANG_MARKERS",
     "STOPWORDS",
 ]

@@ -110,3 +110,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits >= 6, f"IVF top-1 recall too low: {hits}/10"
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from faust_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, size=3, stride=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 7 tokens -> starts 1,3,5,7; window sizes 3,3,3,1
+    d1 = sorted(by_doc[1], key=lambda r: r.start)
+    assert [r.start for r in d1] == [1, 3, 5, 7]
+    assert [r.n_tokens for r in d1] == [3, 3, 3, 1]
+    # overlap: consecutive windows share size-stride tokens by construction
+    # single-token doc -> one chunk of one token
+    assert [(r.start, r.n_tokens) for r in by_doc[2]] == [(1, 1)]
+    # empty doc: split('') yields one empty token; one 1-token chunk, no
+    # sequence(1,0) count-down blowup
+    assert len(by_doc.get(3, [])) == 1

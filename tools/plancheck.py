@@ -56,6 +56,7 @@ ALLOW_NESTED_LOOP = {
     # turn into a hash join (q15's equality version does become one)
     "q11_important_parts",
     "q22_dormant_customers",
+    "distinctive_terms",  # df*5 <= n_docs against the one-row count
 }
 
 
