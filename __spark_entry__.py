@@ -3352,6 +3352,42 @@ def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_incremental",
+    f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS nid, b.doc_id AS oid, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT nid FROM inter
+      JOIN sz s1 ON s1.doc_id = nid
+      JOIN sz s2 ON s2.doc_id = oid
+      WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT nid FROM dups)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.py incremental_dedup):
+    admit only the new-batch docs (doc_id % 5 = 0 plays the daily
+    crawl) that aren't near-dups of the existing corpus (the rest).
+    The join is new-shingles x corpus-shingles ONLY — O(batch x
+    overlap), never corpus x corpus: the whole point of incremental
+    dedup at 100 TB is that admitting a batch costs batch-sized work,
+    not corpus-sized work."""
+    from faust_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new, corpus, threshold=0.5).select("doc_id")
+
+
+@_q(
     "split_assign",
     f"""
     SELECT doc_id, lang,
@@ -3458,6 +3494,7 @@ _PRIORITY: list[str] = [
     "shard_shuffle",
     "doc_chunking",
     "distinctive_terms",
+    "dedup_incremental",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

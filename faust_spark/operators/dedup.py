@@ -154,6 +154,63 @@ def jaccard_pairs(
     return out.select("doc1", "doc2", "jaccard")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Incremental corpus dedup: keep the NEW rows that are not near-dups
+    of any existing-corpus row (n-gram-shingle Jaccard >= threshold).
+
+    The production shape for a daily crawl: join new-batch shingles
+    against corpus shingles ONLY — never corpus x corpus (re-deduping a
+    100 TB corpus to admit a 100 GB batch would dominate the cost) and
+    never new x new (run a self-dedup on the batch separately if
+    wanted). Work is O(batch x shingle-overlap); the corpus side only
+    contributes shingles that actually collide with the batch, so a
+    pre-bucketed/Delta shingle table on the corpus side turns this into
+    a pruned lookup at scale. ``max_shingle_freq`` caps hub shingles on
+    the corpus side before the join (same guard as
+    :func:`jaccard_pairs`).
+    """
+    sh_new = shingles(new_df, n, text_col, id_col).persist()
+    sh_old = shingles(corpus_df, n, text_col, id_col).persist()
+    if max_shingle_freq is not None:
+        freq = sh_old.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh_old = sh_old.join(
+            freq.filter(F.col("df") <= max_shingle_freq), "shingle"
+        ).select(id_col, "shingle")
+    sz_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n1"))
+    sz_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("n2"))
+    inter = (
+        sh_new.alias("a")
+        .join(sh_old.alias("b"), "shingle")
+        .groupBy(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("old_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    dup_ids = (
+        inter.join(sz_new.withColumnRenamed(id_col, "new_id"), "new_id")
+        .join(sz_old.withColumnRenamed(id_col, "old_id"), "old_id")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("i"))
+            >= threshold
+        )
+        .select("new_id")
+        .distinct()
+    )
+    return new_df.join(
+        dup_ids, new_df[id_col] == dup_ids["new_id"], "left_anti"
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

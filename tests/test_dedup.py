@@ -182,3 +182,29 @@ def test_keep_best_prefers_quality_over_id(spark):
     assert set(rows) == {3, 4}
     assert rows[3].n_in_group == 3 and rows[3].keeper_quality == 14
     assert rows[4].n_in_group == 1
+
+
+def test_incremental_dedup_drops_corpus_dups_keeps_fresh(spark):
+    from faust_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus sentence about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-identical to corpus doc 1 -> must be dropped
+            (10, "the quick brown fox jumps over the lazy dog now"),
+            # genuinely fresh -> must survive
+            (11, "unrelated fresh document with novel words entirely"),
+            # near-dup of ANOTHER NEW doc but not of corpus -> survives
+            # (incremental mode never compares new x new)
+            (12, "unrelated fresh document with novel words entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_dedup(new, corpus, 0.5).collect()}
+    assert kept == {11, 12}
