@@ -35,6 +35,10 @@ PROBES_DOCS = [
     "edit_distance_pairs",  # length-blocked; replicas add near-dup pairs
     "repetition_stats",
     "ngram_contamination",
+    "doc_chunking",  # linear fan-out, no shuffle
+    "shard_shuffle",  # per-shard parallel sorts
+    "distinctive_terms",  # single shared term exchange
+    "dedup_incremental",  # batch x corpus join (replicas inflate overlap)
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
