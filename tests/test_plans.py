@@ -152,3 +152,43 @@ def test_keep_best_single_aggregation_no_window(spark, sf_dir):
     plan = plan_of(entry.queries()["dedup_keep_best"](spark, sf_dir))
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_doc_chunking_no_shuffle(spark, sf_dir):
+    """The chunk fan-out is pure codegen (sequence+explode+slice): zero
+    exchanges — chunking 100 TB must not move data."""
+    plan = plan_of(entry.queries()["doc_chunking"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_shard_shuffle_no_global_sort(spark, sf_dir):
+    """The training-order shuffle sorts per shard, never globally."""
+    df = entry.queries()["shard_shuffle"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global ORDER BY
+    assert "Exchange hashpartitioning" in plan  # the one shard exchange
+
+
+def test_q2_partition_min_single_window_shuffle(spark, sf_dir):
+    """Q2's correlated-min decorrelates to an unordered partition-min
+    window: one partkey exchange, no single-partition sort, no
+    self-join re-evaluation of the cost CTE."""
+    df = entry.queries()["q2_min_cost_supplier"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_distinctive_terms_reuses_term_exchange(spark, sf_dir):
+    """hash(term) satisfies the (doc,term) grouping, the term grouping,
+    and the join key: tf-agg, df-agg, and the join share ONE data
+    exchange (plan shows ReusedExchange)."""
+    df = entry.queries()["distinctive_terms"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan
