@@ -3444,6 +3444,130 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('dup', 'vector', 'hash') GROUP BY 1, 2, 3),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n,
+                     SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*)
+                       AS avgdl
+              FROM documents),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_terms,
+             SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                 tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               AS score
+      FROM tf JOIN dfs USING (term) CROSS JOIN stats GROUP BY 1
+    ),
+    r AS (SELECT doc_id, n_terms,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    SELECT doc_id, n_terms, rank FROM r WHERE rank <= 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a 3-term query (operators/search.py bm25_topk):
+    the corpus-probe / hard-negative-mining retrieval step. One corpus
+    scan — term match is a map-side isin on the exploded token stream
+    (never a self-join), document frequencies come from the matched
+    postings (one partial-agg shuffle + broadcast back), (N, avgdl) is
+    a one-row broadcast, and the global top-k is orderBy().limit() =
+    TakeOrderedAndProject. Ranks + integer term counts only in the
+    output — BM25's ln() differs across engines in final ulps (same
+    rank-not-score contract as ann_cosine_topk)."""
+    from faust_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, ["dup", "vector", "hash"], k=20).select(
+        "doc_id", "n_terms", "rank"
+    )
+
+
+@_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) WHERE rn <= CEIL(n * 0.2)
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample (operators/sampling.py
+    stratified_sample): exactly ceil(0.2 * n_lang) docs per language,
+    chosen by hash rank. mixture_sample gives each row an independent
+    p (binomial realized counts); this is the exact-mixture variant —
+    rank and stratum count share ONE window partitioning, so the whole
+    thing is a single shuffle on the stratum key. Deterministic across
+    runs, engines, partitionings."""
+    from faust_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", "doc_id", 0.2)
+
+
+@_q(
+    "boilerplate_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+               FROM documents),
+    c AS (SELECT doc_id,
+                 md5(array_to_string(ws[s.i:s.i+2], ' ')) AS chunk_hash
+          FROM t, unnest(generate_series(1, len(ws), 3)) s(i)),
+    counts AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+               FROM c GROUP BY 1)
+    SELECT c.doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM c JOIN counts USING (chunk_hash)
+    GROUP BY 1
+    """,
+)
+def boilerplate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-chunk profile (operators/text.py
+    boilerplate_chunks): the CCNet/RefinedWeb line-dedup idea over
+    non-overlapping 3-token windows — how much of each document is
+    boilerplate shared with other documents. Only 32-byte chunk digests
+    shuffle (never text), and the cross-doc count + per-doc rollup share
+    one hash(chunk_hash) exchange. 3-token windows suit the fixture's
+    tiny vocabulary; real corpora use line-sized chunks."""
+    from faust_spark.operators.text import boilerplate_chunks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_chunks(d, size=3)
+
+
+@_q("pq_ann_topk")  # rows-only: iterative per-subspace k-means fit
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_topk):
+    8 subspaces x 16 centroids compress each 64-dim vector to 8 codes
+    (32x fewer bytes than float32). Two-stage FAISS-style serving:
+    ADC shortlist over the code table (codes index the broadcast
+    codebook literal inside one codegen expression — corpus vectors
+    never decoded), then exact cosine re-rank of candidates only.
+    Recall vs brute-force cosine asserted in tests/test_similarity.py."""
+    from faust_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=8, ksub=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_topk(emb, queries, books, k=5)
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -3495,6 +3619,10 @@ _PRIORITY: list[str] = [
     "doc_chunking",
     "distinctive_terms",
     "dedup_incremental",
+    "bm25_search",
+    "stratified_sample",
+    "boilerplate_chunks",
+    "pq_ann_topk",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

@@ -113,6 +113,39 @@ def assign_splits(
     return df.withColumn(out_col, out)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    row_key: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-count stratified sample: ceil(fraction * n_g) rows from every
+    stratum g, chosen deterministically by hash rank.
+
+    ``hash_sample`` with a per-group fraction (``mixture_sample``) gives
+    each row an independent p — the realized per-group count varies
+    (binomial), which matters when strata are small or the mixture must
+    be exact. This takes *exactly* ceil(fraction * count(g)) rows per
+    stratum: rank rows within the stratum by salted row-hash, count the
+    stratum with an unbounded window over the SAME partitioning (the sort
+    for row_number is reused — one shuffle total, no second agg+join),
+    keep rank <= ceil(fraction * count). Deterministic across runs,
+    engines, partitionings.
+    """
+    w = W.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(row_key).cast("string"))),
+        F.col(row_key),
+    )
+    wcnt = W.partitionBy(stratum_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .drop("__rn", "__n")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key: str,
@@ -142,6 +175,7 @@ __all__ = [
     "hash_sample",
     "top_k_per_key",
     "mixture_sample",
+    "stratified_sample",
     "assign_splits",
     "shuffle_shards",
 ]

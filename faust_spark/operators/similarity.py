@@ -313,6 +313,143 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and fit a deterministic k-means (``ksub``
+    centroids) in each.
+
+    PQ is the storage-scale path for ANN: a d-dim float corpus (4d bytes
+    per vector) compresses to ``m`` single-byte codes — 256× smaller at
+    d=64, m=4 — so a 100 TB embedding corpus becomes a few hundred GB of
+    codes that fit the page cache of a modest cluster.  The codebooks
+    (m × ksub × d/m floats) are a driver-side model, same contract as
+    ``kmeans_centroids``.
+    """
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col)
+        )
+        books.append(
+            kmeans_centroids(
+                sub, k=ksub, iters=iters, vec_col=vec_col, id_col=id_col
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook cell ids (narrow map, no
+    shuffle): per subspace, the same argmin-over-centroids expression as
+    ``assign_cells`` over the sliced vector."""
+    d = len(books[0][0])
+    codes = []
+    for j, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), j * d + 1, d)
+        terms = []
+        for i, c in enumerate(book):
+            carr = F.array(*[F.lit(v) for v in c])
+            dist = F.aggregate(
+                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            terms.append(F.struct(dist.alias("d"), F.lit(i).alias("i")))
+        codes.append(F.array_min(F.array(*terms))["i"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """PQ two-stage top-k: ADC shortlist over codes, exact re-rank.
+
+    Stage 1 scans only the code table (``m`` small ints per vector —
+    the 100 TB corpus is a few hundred GB of codes): approximate
+    distance = Σ_j ‖q_j − book_j[code_j]‖², where the code indexes the
+    broadcast codebook literal (``element_at``) so the whole distance is
+    one codegen expression — no UDF and no decode of corpus vectors.
+    Per-query ``shortlist`` candidates survive (window rank).
+
+    Stage 2 fetches full vectors for candidates ONLY (an equi-join on
+    the id — |queries|·shortlist rows, never the corpus) and re-ranks by
+    exact cosine.  Quantization distortion ~cancels over a shortlist
+    this size even when neighbor margins are tiny (near-uniform
+    embeddings), which is why FAISS-style serving always re-ranks.
+
+    Returns (qid, nid, rank); recall vs brute force is the test contract
+    (tests/test_similarity.py), scores are not emitted.
+    """
+    d = len(books[0][0])
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+        books,
+        vec_col=vec_col,
+    ).select("nid", "codes")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    dist_terms = []
+    for j, book in enumerate(books):
+        qsub = F.slice(F.col("qv"), j * d + 1, d)
+        book_lit = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in book]
+        )
+        cent = F.element_at(book_lit, F.element_at("codes", j + 1) + 1)
+        dist_terms.append(
+            F.aggregate(
+                F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    adist = sum(dist_terms[1:], dist_terms[0])
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("adist", adist)
+    )
+    wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.col("nid"))
+    cand = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= shortlist)
+        .select("qid", "qv", "nid")
+    )
+    full = cand.join(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+        "nid",
+    ).withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
 __all__ = [
     "dot_expr",
     "norm_expr",
@@ -323,4 +460,7 @@ __all__ = [
     "kmeans_centroids",
     "assign_cells",
     "ivf_topk",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
 ]

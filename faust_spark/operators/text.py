@@ -317,6 +317,47 @@ def chunk_tokens(
     )
 
 
+def boilerplate_chunks(
+    df: DataFrame,
+    size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-chunk (boilerplate) profile per document.
+
+    The CCNet/RefinedWeb line-dedup idea generalized to token windows:
+    split every document into NON-overlapping ``size``-token chunks,
+    hash each, and count — per document — how many of its chunks also
+    appear in at least one other document.  Headers, footers, cookie
+    banners, and licence blocks surface as high ``shared_frac``;
+    downstream filters drop those chunks (or whole documents) before
+    training.
+
+    Scale shape: one explode to (doc, chunk_hash) cells, then the
+    cross-doc count and the per-doc rollup share ONE hash(chunk_hash)
+    exchange (``repartition`` before both aggs); only 32-byte digests
+    shuffle — never text.  Chunk hashing reuses :func:`chunk_tokens`
+    (stride = size → non-overlapping).
+
+    Returns (id, n_chunks, n_shared) — integers, so the result is
+    exactly comparable across engines.
+    """
+    ch = chunk_tokens(
+        df, size=size, stride=size, text_col=text_col, id_col=id_col
+    ).repartition("chunk_hash")
+    counts = ch.groupBy("chunk_hash").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        ch.join(counts, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -327,6 +368,7 @@ __all__ = [
     "ngram_contamination",
     "domain_stats",
     "chunk_tokens",
+    "boilerplate_chunks",
     "LANG_MARKERS",
     "STOPWORDS",
 ]

@@ -118,3 +118,25 @@ def test_shuffle_shards_is_a_deterministic_permutation(spark, sf_dir):
     )
     ids_in_pos_order = [d for _, d in first_shard]
     assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    """Exactly ceil(frac * n_g) rows per stratum, identical on rerun
+    and under a different input partitioning."""
+    import math
+
+    from faust_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = stratified_sample(docs, "lang", "doc_id", 0.25)
+    got = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {g: math.ceil(0.25 * n) for g, n in totals.items()}
+    again = stratified_sample(docs.repartition(7), "lang", "doc_id", 0.25)
+    assert out.subtract(again).count() == 0

@@ -51,3 +51,39 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits >= 6, f"LSH top-1 recall too low: {hits}/10"
+
+
+def test_pq_roundtrip_codes_and_recall(spark, sf_dir):
+    """PQ codes are in range, encoding is deterministic, and ADC top-1
+    recall beats random chance by a wide margin (≥60% of 10 queries)."""
+    from faust_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=8, ksub=16, iters=2)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64/8 dims each
+    enc = pq_encode(emb.limit(50), books)
+    rows = enc.select("vec_id", "codes").collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    again = {r.vec_id: r.codes for r in pq_encode(emb.limit(50), books)
+             .select("vec_id", "codes").collect()}
+    assert {r.vec_id: r.codes for r in rows} == again
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        r.qid: r.nid
+        for r in cosine_topk(emb, q, k=1).filter("rank = 1").collect()
+    }
+    approx = {
+        r.qid: r.nid
+        for r in pq_topk(emb, q, books, k=1).filter("rank = 1").collect()
+    }
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= 6, f"PQ top-1 recall too low: {hits}/10"

@@ -133,3 +133,23 @@ def test_chunk_tokens_windows_and_overlap(spark):
     # empty doc: split('') yields one empty token; one 1-token chunk, no
     # sequence(1,0) count-down blowup
     assert len(by_doc.get(3, [])) == 1
+
+
+def test_boilerplate_chunks_counts_shared_windows(spark):
+    """Docs sharing an exact 3-token window are flagged; unique windows
+    are not. Doc layout: 1 and 2 share 'x y z'; 3 is disjoint."""
+    from faust_spark.operators.text import boilerplate_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),
+            (2, "x y z d e f"),
+            (3, "g h i j k l"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_shared)
+        for r in boilerplate_chunks(docs, size=3).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}

@@ -57,6 +57,8 @@ ALLOW_NESTED_LOOP = {
     "q11_important_parts",
     "q22_dormant_customers",
     "distinctive_terms",  # df*5 <= n_docs against the one-row count
+    "bm25_search",  # one-ROW (N, avgdl) stats broadcast
+    "pq_ann_topk",  # ADC stage: tiny query set broadcast against code scan
 }
 
 
