@@ -2368,6 +2368,62 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_left_outer_join",
+    """
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')
+      ) - INTERVAL '1 hour' AS w
+    ),
+    j AS (
+      SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    )
+    SELECT user_id, p_ts, c_ts FROM j CROSS JOIN wm
+    WHERE c_ts IS NOT NULL OR p_ts < w
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the genuinely
+    streaming-only semantics: matched pairs emit immediately; an
+    unmatched purchase emits its null-extended row only once the
+    watermark proves no future click can join it (no click with
+    c_ts <= p_ts can still arrive once watermark > p_ts). The oracle
+    encodes exactly that: batch left join, outer rows kept iff
+    p_ts < min(max_purchase_ts, max_click_ts) - 1h (the final global
+    watermark — Spark takes the min across both inputs). Purchases
+    inside the final watermark hour stay open forever in a finite
+    replay, and the driver-checked row set pins that boundary."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = run_to_memory(j, output_mode="append")
+    return out.select("user_id", "p_ts", "c_ts")
+
+
+@_q(
     "stream_enriched_counts",
     """
     SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt
@@ -3445,6 +3501,46 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.4 family, alongside rollup_revenue):
+    per-returnflag totals, per-linestatus totals, and the grand total in
+    one pass — Catalyst expands the sets once and shares the scan, where
+    three separate aggs would scan three times. NULL markers coalesced to
+    'ALL' so both engines agree on the encoding."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+@_q(
     "bm25_search",
     """
     WITH toks AS (
@@ -3623,6 +3719,8 @@ _PRIORITY: list[str] = [
     "stratified_sample",
     "boilerplate_chunks",
     "pq_ann_topk",
+    "grouping_sets_revenue",
+    "stream_left_outer_join",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

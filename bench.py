@@ -61,6 +61,9 @@ HEADLINE = [
     "doc_chunking",  # context-window fan-out in codegen
     "shard_shuffle",  # hash-sharded training-order permutation
     "distinctive_terms",  # TF-IDF-shaped two-pass corpus stats
+    "bm25_search",  # BM25 retrieval: one scan + TakeOrdered top-k
+    "stratified_sample",  # exact per-stratum counts, one shuffle
+    "boilerplate_chunks",  # cross-doc repeated-chunk profile
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",

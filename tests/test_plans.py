@@ -192,3 +192,41 @@ def test_distinctive_terms_reuses_term_exchange(spark, sf_dir):
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "ReusedExchange" in plan
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS must plan as one scan + Expand, not three aggs."""
+    df = entry.queries()["grouping_sets_revenue"](spark, sf_dir)
+    df.collect()
+    assert "Expand" in plan_of(df)
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """Rank and stratum count share ONE window partitioning: every
+    hash exchange in the plan is on the stratum key."""
+    df = entry.queries()["stratified_sample"](spark, sf_dir)
+    df.collect()
+    lines = [
+        ln for ln in plan_of(df).splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert lines and all("lang" in ln for ln in lines)
+
+
+def test_boilerplate_reuses_chunk_hash_exchange(spark, sf_dir):
+    """Cross-doc count and per-doc rollup share the chunk_hash
+    repartition (ReusedExchange), and only digests shuffle."""
+    df = entry.queries()["boilerplate_chunks"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan
+
+
+def test_pq_encode_is_narrow(spark, sf_dir):
+    """PQ encoding is a narrow map: no exchange between scan and codes."""
+    from faust_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=8, ksub=16, iters=1)
+    enc = pq_encode(emb, books).select("vec_id", "codes")
+    assert "Exchange" not in plan_of(enc)

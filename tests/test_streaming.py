@@ -194,3 +194,26 @@ def test_take_buffers_processing_time_trigger(spark, tmp_path):
     assert sum(len(b) for b in buffers) == 40
     assert all(len(b) <= 9 for b in buffers)
     assert any(len(b) < 9 for b in buffers)  # 40 % 9 != 0 → time flush
+
+
+def test_stream_left_outer_join_emits_closed_outer_rows(spark):
+    """Left-outer stream-stream join: matched rows emit immediately;
+    null-extended rows only for purchases past the final watermark —
+    never inside the last watermark hour."""
+    import datetime
+    import importlib
+
+    from pyspark.sql import functions as F
+
+    entry = importlib.import_module("__spark_entry__")
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["stream_left_outer_join"](spark, sf).cache()
+    nulls = out.filter("c_ts IS NULL")
+    assert nulls.count() > 0  # outer semantics actually exercised
+    from faust_spark.catalog import load_table
+
+    e = load_table(spark, sf, "events")
+    maxp = e.filter("event_type='purchase'").agg(F.max("ts")).first()[0]
+    maxc = e.filter("event_type='click'").agg(F.max("ts")).first()[0]
+    wm = min(maxp, maxc) - datetime.timedelta(hours=1)
+    assert nulls.agg(F.max("p_ts")).first()[0] < wm
