@@ -3501,6 +3501,99 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): how many users
+    complete each stage IN ORDER — the canonical event-analytics query a
+    faust user hand-writes in an agent with per-user state. Batch shape:
+    each stage is a first-occurrence-after-previous-stage aggregation;
+    all three stages key on user_id, so at scale the three joins/aggs
+    reuse one hash(user_id) partitioning — the funnel costs one logical
+    shuffle of the events table, not three."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("purchased_after_click"))
+            )
+        )
+    )
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                 AS cohort
+               FROM events GROUP BY 1)
+    SELECT f.cohort,
+           CAST(floor(date_diff('day', f.cohort, CAST(e.ts AS DATE)) / 7)
+                AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct in each later week — the second canonical event-analytics
+    report. The first-event aggregation and the enrichment join share
+    the user_id partitioning; the final (cohort, offset) agg is the
+    only new shuffle, and COUNT(DISTINCT user) partial-aggregates
+    map-side. date_trunc('week') is ISO-Monday in both engines."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    joined = e.join(first, "user_id")
+    return joined.groupBy(
+        "cohort",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("cohort")) / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+@_q(
     "grouping_sets_revenue",
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -3721,6 +3814,8 @@ _PRIORITY: list[str] = [
     "pq_ann_topk",
     "grouping_sets_revenue",
     "stream_left_outer_join",
+    "funnel_conversion",
+    "cohort_retention",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

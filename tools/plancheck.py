@@ -58,6 +58,8 @@ ALLOW_NESTED_LOOP = {
     "q22_dormant_customers",
     "distinctive_terms",  # df*5 <= n_docs against the one-row count
     "bm25_search",  # one-ROW (N, avgdl) stats broadcast
+    "funnel_conversion",  # three one-ROW stage counts cross-joined
+
     "pq_ann_topk",  # ADC stage: tiny query set broadcast against code scan
 }
 

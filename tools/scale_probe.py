@@ -39,6 +39,9 @@ PROBES_DOCS = [
     "shard_shuffle",  # per-shard parallel sorts
     "distinctive_terms",  # single shared term exchange
     "dedup_incremental",  # batch x corpus join (replicas inflate overlap)
+    "bm25_search",  # one scan + TakeOrdered: should be ~linear
+    "boilerplate_chunks",  # digest-only shuffles, shared exchange
+    "stratified_sample",  # one stratum-keyed shuffle
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
