@@ -3,9 +3,10 @@
 The composition a data-curation team actually runs, built from the
 operator layer (each stage is individually oracle-checked by the gate):
 
-    quality filter -> exact dedup -> incremental near-dup vs existing
-    corpus -> leakage-proof split -> training-order shuffle ->
-    context-window chunking
+    quality filter -> boilerplate filter -> exact dedup -> incremental
+    near-dup vs existing corpus -> exact-mixture stratified sample ->
+    leakage-proof split -> training-order shuffle -> context-window
+    chunking
 
 Run::
 
@@ -21,14 +22,25 @@ same plan that runs here on fixture parquet runs unchanged on a
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
 from faust_spark.catalog import load_table
 from faust_spark.operators.dedup import exact_dedup, incremental_dedup
-from faust_spark.operators.sampling import assign_splits, shuffle_shards
-from faust_spark.operators.text import chunk_tokens, quality_score
+from faust_spark.operators.sampling import (
+    assign_splits,
+    shuffle_shards,
+    stratified_sample,
+)
+from faust_spark.operators.text import (
+    boilerplate_chunks,
+    chunk_tokens,
+    quality_score,
+)
 from faust_spark.session import get_spark
 
 
@@ -50,6 +62,18 @@ def main() -> None:
     )
     print(f"quality gate: {docs.count()} -> {kept.count()}")
 
+    # 1b. boilerplate gate: drop docs that are mostly chunks shared
+    #     with other docs (headers/footers/licence blocks); only chunk
+    #     digests shuffle
+    bp = boilerplate_chunks(kept, size=3)
+    clean = kept.join(
+        bp.filter(F.col("n_shared") * 2 < F.col("n_chunks")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    print(f"boilerplate:  -> {clean.count()}")
+    kept = clean
+
     # 2. exact dedup within the batch (hash-groupBy; text never shuffles
     #    — only the md5 does); keep the keeper rows
     keepers = exact_dedup(kept).select(F.col("keeper_id").alias("doc_id"))
@@ -62,6 +86,11 @@ def main() -> None:
     corpus = uniq.filter(F.col("doc_id") % 2 != 0)
     admitted = incremental_dedup(new, corpus, threshold=0.5)
     print(f"incremental:  {new.count()} new -> {admitted.count()} admitted")
+
+    # 3b. exact-mixture control: exactly ceil(0.9 * n_lang) docs per
+    #     language (hash-ranked, one shuffle) — binomial-free mixture
+    admitted = stratified_sample(admitted, "lang", "doc_id", 0.9)
+    print(f"mixture:      -> {admitted.count()}")
 
     # 4. leakage-proof split: split = f(md5(doc_id)), stable forever
     split = assign_splits(

@@ -164,6 +164,37 @@ def redact_pii(
     return c
 
 
+# 1:1 foldings handled by a single translate() pass (curly quotes,
+# en/em dashes, NBSP); multi-char foldings (ellipsis) and zero-width
+# removals take one regexp each.  All of it is one codegen stage.
+_FOLD_SRC = (
+    "\u2018\u2019\u201a"  # curly/low single quotes -> '
+    "\u201c\u201d\u201e"  # curly/low double quotes -> "
+    "\u2013\u2014"          # en/em dash -> -
+    "\u00a0"                  # NBSP -> space
+)
+_FOLD_DST = "'''\"\"\"-- "
+
+
+def normalize_text(col: Column | str, lowercase: bool = False) -> Column:
+    """Corpus text normalization: fold smart quotes/dashes/NBSP to ASCII,
+    drop zero-width and C0/C1 control characters, collapse whitespace
+    runs, trim — the canonical cleanup pass before hashing, dedup, or
+    tokenization.  Chained ``translate``/``regexp_replace`` only: one
+    whole-stage-codegen pass over the scan, no UDF, deterministic on
+    every engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(c, _FOLD_SRC, _FOLD_DST)
+    c = F.regexp_replace(c, "\u2026", "...")
+    # zero-width space/joiners, BOM, soft hyphen
+    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+    # control chars except tab/newline (folded into whitespace next)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.lower(c) if lowercase else c
+
+
 __all__ = [
     "b64encode",
     "b64decode",
@@ -177,4 +208,5 @@ __all__ = [
     "PII_PATTERNS",
     "pii_counts",
     "redact_pii",
+    "normalize_text",
 ]

@@ -181,3 +181,21 @@ def test_pii_counts_and_redaction(spark):
     # no Python in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_normalize_text_folds_and_strips(spark):
+    """Smart quotes/dashes fold to ASCII; zero-width + control chars drop;
+    whitespace collapses; lowercase is opt-in."""
+    from faust_spark.functions import normalize_text
+
+    raw = "  ‘Hi’—there friend… \x07ok​  "
+    df = spark.createDataFrame([(raw,)], ["t"])
+    got = df.select(
+        normalize_text("t").alias("n"),
+        normalize_text("t", lowercase=True).alias("l"),
+    ).first()
+    assert got.n == "'Hi'-there friend... ok"
+    assert got.l == "'hi'-there friend... ok"
+    # null-safe
+    df2 = spark.createDataFrame([(None,)], "t string")
+    assert df2.select(normalize_text("t").alias("n")).first().n is None
