@@ -3501,6 +3501,33 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vocab_build",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    c AS (SELECT term, COUNT(*) AS freq FROM t
+          GROUP BY 1 HAVING COUNT(*) >= 50)
+    SELECT term, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) - 1 AS INT)
+             AS token_id
+    FROM c
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cutoff vocabulary with deterministic token ids
+    (operators/text.py build_vocab) — the tokenizer-prep step. Corpus
+    frequencies are one partial-agg shuffle; the (freq DESC, term) rank
+    runs over the cutoff-capped VOCABULARY (model-sized, ≪ corpus), so
+    the global window is a driver-model step, not a data-path sort.
+    Same (corpus → vocab) function on every engine and partitioning —
+    token ids never silently reshuffle between runs."""
+    from faust_spark.operators.text import build_vocab
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return build_vocab(d, min_freq=50)
+
+
+@_q(
     "funnel_conversion",
     """
     WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -3816,6 +3843,7 @@ _PRIORITY: list[str] = [
     "stream_left_outer_join",
     "funnel_conversion",
     "cohort_retention",
+    "vocab_build",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

@@ -10,6 +10,7 @@ DuckDB oracle (``string_split(text, ' ')``) agrees byte-for-byte.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lists for the n-gram/stopword language-ID
@@ -317,6 +318,36 @@ def chunk_tokens(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    min_freq: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-cutoff vocabulary with deterministic token ids — the
+    tokenizer-prep step before training.
+
+    One partial-agg shuffle keyed by term produces corpus frequencies;
+    terms below ``min_freq`` drop; ids assign by (freq DESC, term) rank
+    so the same corpus always yields the same vocab on any engine or
+    partitioning.  The final rank runs over the *vocabulary*, which is
+    model-sized by construction (the cutoff caps it ≪ corpus): a global
+    window there is a few MB on one task, not a data-path sort — the
+    same driver-side-model contract as k-means centroids.
+    """
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    w = W.orderBy(F.desc("freq"), F.col("term"))
+    return counts.select(
+        "term",
+        "freq",
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+    )
+
+
 def boilerplate_chunks(
     df: DataFrame,
     size: int = 3,
@@ -368,6 +399,7 @@ __all__ = [
     "ngram_contamination",
     "domain_stats",
     "chunk_tokens",
+    "build_vocab",
     "boilerplate_chunks",
     "LANG_MARKERS",
     "STOPWORDS",

@@ -1,0 +1,80 @@
+"""Property-based invariants for the corpus-prep operators (hypothesis).
+
+Each property batches its hypothesis examples through a handful of tiny
+Spark jobs (Spark-per-example would be prohibitively slow), asserting
+invariants that must hold for ANY input — the corpus-prep analogue of
+the window-math property suite.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+words = st.text(
+    alphabet=st.sampled_from("abcxyz"), min_size=1, max_size=4
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_strategy, frac=st.floats(0.01, 1.0))
+@settings(max_examples=8, deadline=None)
+def test_stratified_sample_exact_ceil_property(spark, docs, frac):
+    """For ANY corpus and fraction, every stratum yields exactly
+    ceil(frac * n_g) rows."""
+    from faust_spark.operators.sampling import stratified_sample
+
+    rows = [(i, d, "g" + str(len(d) % 3)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    totals = {
+        r.grp: r.n
+        for r in df.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.grp: r.n
+        for r in stratified_sample(df, "grp", "doc_id", frac)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {g: math.ceil(frac * n) for g, n in totals.items()}
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=8, deadline=None)
+def test_vocab_ids_are_dense_and_rank_ordered(spark, docs):
+    """Token ids are 0..|V|-1 with no gaps, ordered by (freq DESC, term),
+    and every kept term meets the cutoff."""
+    from faust_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    out = build_vocab(df, min_freq=2).collect()
+    ids = sorted(r.token_id for r in out)
+    assert ids == list(range(len(out)))
+    ordered = sorted(out, key=lambda r: (-r.freq, r.term))
+    assert [r.token_id for r in ordered] == list(range(len(out)))
+    assert all(r.freq >= 2 for r in out)
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_normalize_text_idempotent(spark, s):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode."""
+    from faust_spark.functions import normalize_text
+
+    df = spark.createDataFrame([(s,)], "t string")
+    once = df.select(normalize_text("t").alias("n"))
+    twice = once.select(normalize_text("n").alias("n"))
+    assert once.first().n == twice.first().n
