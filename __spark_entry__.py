@@ -2424,6 +2424,41 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_blocklist_filter",
+    """
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.user_id NOT IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def stream_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static LEFT ANTI join through the streaming engine: drop
+    every event whose user is on a static blocklist — the
+    abuse/opt-out/PII-suppression filter every production stream runs.
+    The blocklist is a broadcast build side, so the stream never
+    shuffles; at 100 TB/day this is a map-side filter against a
+    replicated hash set, refreshed by restarting the query (or via
+    foreachBatch re-read for hot reload)."""
+    from faust_spark.streaming.runner import run_to_memory
+
+    s = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    block = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    out = run_to_memory(
+        s.join(F.broadcast(block), "user_id", "left_anti"),
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+@_q(
     "stream_enriched_counts",
     """
     SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt
@@ -3844,6 +3879,7 @@ _PRIORITY: list[str] = [
     "funnel_conversion",
     "cohort_retention",
     "vocab_build",
+    "stream_blocklist_filter",
     # -- batch/streaming queries blind in round 1 ------------------------
     "session_windows",
     "multires_rollup",

@@ -64,6 +64,7 @@ HEADLINE = [
     "bm25_search",  # BM25 retrieval: one scan + TakeOrdered top-k
     "stratified_sample",  # exact per-stratum counts, one shuffle
     "boilerplate_chunks",  # cross-doc repeated-chunk profile
+    "vocab_build",  # tokenizer-prep vocab with deterministic ids
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",
