@@ -3890,9 +3890,13 @@ _PRIORITY: list[str] = [
     # -- changed this round (need fresh driver evidence) -----------------
     "approx_distinct_users",  # new within-rsd oracle
     "edit_distance_pairs",  # length-bucket blocking, crutch removed
-    "enumerate_stream",  # per-partition offsets
     "asof_join",  # output-column collision fix
     "interval_join_sliding",  # sub-second bucket math fix
+    # enumerate_stream's round-2 change is plan-shape only (per-partition
+    # offsets; identical output hash, pinned by tests/test_plans.py), so it
+    # is the one "changed" query safe to leave just past the driver's
+    # 50-entry correctness window.
+    "enumerate_stream",  # per-partition offsets
     # -- breadth across operator families (driver-green in r1) -----------
     "counter_table",
     "sum_table",
