@@ -3819,6 +3819,226 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, books, k=5)
 
 
+_VOCAB_CTE = """
+    v AS (SELECT term, freq,
+                 CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) - 1
+                      AS INT) AS token_id
+          FROM (SELECT term, COUNT(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents) t
+                GROUP BY 1 HAVING COUNT(*) >= 50) c)
+"""
+
+
+@_q(
+    "tokenize_ids",
+    f"""
+    WITH {_VOCAB_CTE},
+    t AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+    j AS (SELECT t.doc_id, t.pos, v.token_id
+          FROM t LEFT JOIN v USING (term))
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           COALESCE(list(token_id ORDER BY pos)
+                      FILTER (WHERE token_id IS NOT NULL),
+                    []) AS token_ids
+    FROM j GROUP BY doc_id
+    """,
+)
+def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (operators/text.py tokenize_with_vocab): build the
+    frequency-cutoff vocab, then map every document to its ordered
+    token-id array with an OOV count — the step that turns the cleaned
+    corpus into model input. The vocab is model-sized, so the lookup is
+    a BROADCAST join against the exploded token stream (corpus never
+    shuffles by term); the one real exchange is the groupBy(doc_id)
+    array reassembly. Full id SEQUENCES (not just counts) are
+    oracle-verified."""
+    from faust_spark.operators.text import build_vocab, tokenize_with_vocab
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocab(d, min_freq=50)
+    return tokenize_with_vocab(d, vocab)
+
+
+@_q(
+    "remove_boilerplate",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ch AS (SELECT doc_id, s AS start,
+                  array_to_string(list_slice(ws, s, s + 2), ' ') AS chunk
+           FROM w, unnest(range(1, len(ws) + 1, 3)) AS u(s)),
+    b AS (SELECT md5(chunk) AS h FROM ch
+          GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    k AS (SELECT * FROM ch WHERE md5(chunk) NOT IN (SELECT h FROM b)),
+    t AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1),
+    p AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(chunk, ' ' ORDER BY start)) AS clean_hash
+          FROM k GROUP BY 1)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(p.n_kept, 0) AS n_kept,
+           COALESCE(p.clean_hash, md5('')) AS clean_hash
+    FROM t LEFT JOIN p USING (doc_id)
+    """,
+)
+def remove_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (operators/text.py remove_boilerplate):
+    CCNet/RefinedWeb-style cleaning — chunks repeated across >=2 docs are
+    stripped and each document's surviving text is reassembled in order
+    (md5 of the reconstruction is oracle-checked, so the cleaned CONTENT
+    is verified, not just counts). Digest-only aggregation finds the
+    boilerplate set; the anti-join on the digest broadcasts via AQE when
+    the set is small (its usual shape at 100 TB)."""
+    from faust_spark.operators.text import remove_boilerplate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate(d, size=3, min_docs=2)
+
+
+@_q(
+    "zipf_slope",
+    f"""
+    WITH {_VOCAB_CTE},
+    terms AS (SELECT
+        CAST(round(ln(token_id + 1.0), 9) AS DECIMAL(28,9)) AS x,
+        CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+        CAST(round(round(ln(token_id + 1.0), 9)
+                   * round(ln(CAST(freq AS DOUBLE)), 9), 9)
+             AS DECIMAL(28,9)) AS xy,
+        CAST(round(round(ln(token_id + 1.0), 9)
+                   * round(ln(token_id + 1.0), 9), 9)
+             AS DECIMAL(28,9)) AS xx
+      FROM v),
+    s AS (SELECT COUNT(*) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(xy) AS sxy, SUM(xx) AS sxx
+          FROM terms),
+    f AS (SELECT n_terms,
+                 CAST(n_terms AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd
+          FROM s),
+    g AS (SELECT n_terms, nd, sxd, syd,
+                 (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
+          FROM f)
+    SELECT n_terms, slope, (syd - slope * sxd) / nd AS intercept FROM g
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (operators/text.py zipf_stats): OLS slope
+    of ln(freq) ~ ln(rank) over the vocabulary — the one-number corpus
+    health check (natural text ~ -1). Cross-engine determinism: each
+    regression term is rounded to 9 decimals and summed as exact
+    decimal(28,9); the closed-form ratio is evaluated once on exact
+    operands — bit-identical on any engine or partitioning."""
+    from faust_spark.operators.text import zipf_stats
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return zipf_stats(d, min_freq=50)
+
+
+@_q(
+    "semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM e ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, c.cell,
+                 list_sum(list_transform(list_zip(e.v, c.cv),
+                          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+          FROM e CROSS JOIN c),
+    r AS (SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cell) AS rn
+          FROM d),
+    a AS (SELECT e.vec_id, e.v,
+                 sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm,
+                 r.cell
+          FROM e JOIN r ON e.vec_id = r.vec_id AND r.rn = 1),
+    dup AS (SELECT DISTINCT y.vec_id
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            WHERE list_sum(list_transform(list_zip(x.v, y.v),
+                           z -> z[1] * z[2])) / (x.nrm * y.nrm) >= 0.42)
+    SELECT a.vec_id, a.cell,
+           (dup.vec_id IS NOT NULL) AS is_dup
+    FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup): k-means-cell-bounded
+    semantic deduplication — mark vectors whose within-cell cosine to a
+    lower-id vector reaches the threshold (Abbas et al. 2023). Cells via
+    the engine-portable double-cast argmin (same contract as ivf_assign,
+    iters=0 seed centroids so the oracle is exactly expressible); the
+    pairwise stage is an equi-join on cell, so the quadratic term is
+    capped per cell — scale len(cents) with the corpus, never all-pairs.
+    Threshold 0.42 sits >1e-3 from every observed cosine at both test
+    SFs, so the cut is numerically unambiguous."""
+    from faust_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(8).select("embedding").collect()
+    cents = [list(r[0]) for r in seed]
+    return semantic_dedup(e, cents, threshold=0.42)
+
+
+@_q(
+    "user_anomaly",
+    """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, day, cnt,
+                 CAST(SUM(cnt) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean,
+                 CAST(SUM(cnt * cnt) OVER w AS DOUBLE) / COUNT(*) OVER w
+                   AS m2
+          FROM d WINDOW w AS (PARTITION BY user_id))
+    SELECT user_id, day, cnt
+    FROM s
+    WHERE cnt > mean + 2 * sqrt(greatest(m2 - mean * mean, 0))
+    """,
+)
+def user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomaly detection: flag (user, day) cells whose
+    event count exceeds mean + 2 sigma of that user's own daily history —
+    the z-score outlier screen an event pipeline runs before training on
+    behavioral data (bot bursts, instrumentation storms). Determinism:
+    mean/variance derive from exact integer window sums, so the double
+    threshold expression is bit-identical on both engines. One shuffle
+    (hash by user) feeds both the daily rollup and the stats window."""
+    e = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    # one hash(user_id) exchange satisfies BOTH the (user, day) rollup
+    # (user_id ⊆ keys ⇒ co-partitioned) and the per-user stats window
+    daily = (
+        e.repartition("user_id")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "cnt",
+        (F.sum("cnt").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "mean"
+        ),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("m2"),
+    )
+    return stats.filter(
+        F.col("cnt")
+        > F.col("mean")
+        + 2 * F.sqrt(F.greatest(F.col("m2") - F.col("mean") * F.col("mean"), F.lit(0.0)))
+    ).select("user_id", "day", "cnt")
+
+
 # =====================================================================
 # driver contract
 # =====================================================================

@@ -709,6 +709,63 @@ def _lsh_candidate_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    then mark as duplicates the vectors whose within-cluster cosine to a
+    lower-id vector reaches ``threshold`` (Abbas et al. 2023, "SemDeDup" —
+    prune semantically redundant training data by deduplicating inside
+    k-means cells, never across the whole corpus).
+
+    ``cents`` is the coarse-quantizer model (from
+    :func:`faust_spark.operators.similarity.kmeans_centroids`, or the
+    deterministic lowest-id seed rows for an oracle-checkable iters=0
+    run).  Assignment is the broadcast argmin expression (no shuffle);
+    the pairwise stage is an EQUI-join on the cell id, so the quadratic
+    term is bounded per cell — at 100 TB you scale ``len(cents)`` with
+    the corpus to cap cell population, and no all-pairs or
+    BroadcastNestedLoopJoin ever appears.  Keeper choice is the
+    deterministic min-id rule, so results are stable across runs,
+    engines, and partitionings.
+
+    Output: every input row as ``(id, cell, is_dup)`` — downstream keeps
+    ``NOT is_dup`` rows; emitting the flag (rather than pre-filtering)
+    makes the pruning decision itself auditable.
+    """
+    from faust_spark.operators.similarity import assign_cells, dot_expr, norm_expr
+
+    a = assign_cells(emb, cents, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), "cell"
+    )
+    lhs = a.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "cell"
+    )
+    rhs = a.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "cell"
+    )
+    cos = dot_expr(F.col("a_v"), F.col("b_v")) / (
+        norm_expr(F.col("a_v")) * norm_expr(F.col("b_v"))
+    )
+    dups = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return a.join(dups, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -718,4 +775,5 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_dup_pairs",
+    "semantic_dedup",
 ]

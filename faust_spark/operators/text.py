@@ -389,6 +389,184 @@ def boilerplate_chunks(
     )
 
 
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a built vocabulary to documents → ordered token-id arrays —
+    the "tokenizer apply" step that turns a cleaned corpus into model
+    input (the consumer of :func:`build_vocab`).
+
+    ``vocab`` is ``(term, token_id)`` (extra columns ignored).  The
+    vocabulary is model-sized by construction, so the term lookup is a
+    **broadcast** hash join against the exploded token stream — the corpus
+    is never shuffled by term.  The only exchange is the ``groupBy(id)``
+    that reassembles per-document arrays, keyed by the id the documents
+    already carry.  Out-of-vocabulary terms are counted (``n_oov``) and
+    dropped from the id sequence, the usual min-frequency-tokenizer
+    behavior.
+
+    Reference parity: faust expresses this as a per-event agent with a
+    table lookup per token (faust/agents/agent.py processing loop); here
+    the lookup is one joined columnar pass.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("bigint")).alias("n_oov"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("token_id").isNotNull(),
+                        F.struct(F.col("pos"), F.col("token_id")),
+                    )
+                )
+            ),
+            lambda s: s["token_id"],
+        ).alias("token_ids"),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    size: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL: strip repeated chunks and
+    return per-document cleaned-content evidence.
+
+    :func:`boilerplate_chunks` only *profiles* shared chunks; this is the
+    cleaning transform a prep pipeline actually runs — CCNet/RefinedWeb
+    line-dedup generalized to non-overlapping ``size``-token chunks.  A
+    chunk is boilerplate when it appears in ``>= min_docs`` distinct
+    documents; surviving chunks are reassembled in order.
+
+    Scale shape: the boilerplate-hash set is built from a digest-only
+    aggregation (only 32-byte hashes shuffle); the anti-join of chunks
+    against that set is an equi-join on the digest that AQE converts to a
+    broadcast join whenever the boilerplate set is small (its usual
+    shape — headers/footers/banners ≪ corpus).  Reassembly is one
+    ``groupBy(id)`` exchange whose payload is exactly the surviving text —
+    the same bytes any reshard of the cleaned corpus would move.
+
+    Returns ``(id, n_chunks, n_kept, clean_hash)`` where ``clean_hash`` =
+    md5 of the space-joined surviving chunks ('' → md5 of empty string
+    when everything was boilerplate) so full reconstructed CONTENT — not
+    just counts — is verifiable against the oracle.
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    ws = F.split(F.col(text_col), " ")
+    starts = F.when(
+        F.size(ws) >= 1, F.sequence(F.lit(1), F.size(ws), F.lit(size))
+    ).otherwise(F.array().cast("array<int>"))
+    ch = (
+        df.select(F.col(id_col), ws.alias("__ws"), F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            "start",
+            F.concat_ws(" ", F.slice(F.col("__ws"), F.col("start"), size)).alias(
+                "chunk"
+            ),
+        )
+        .withColumn("h", F.md5(F.col("chunk")))
+    )
+    boiler = (
+        ch.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    kept = ch.join(boiler, "h", "left_anti")
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("start"), F.col("chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    empty_hash = F.md5(F.lit(""))
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("clean_hash"), empty_hash).alias("clean_hash"),
+    )
+
+
+def zipf_stats(
+    df: DataFrame,
+    min_freq: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope and
+    intercept of ``ln(freq) ~ ln(rank)`` — the canonical one-number
+    health check of a text corpus (natural language ≈ -1; templated or
+    synthetic spam drifts far off).
+
+    Determinism across engines: double sums are partition-order
+    dependent, so each regression term is rounded to 9 decimals and
+    accumulated as an exact ``decimal(28,9)``; the closed-form OLS
+    ratio is then evaluated once on exact operands cast to double.
+    Same corpus → bit-identical slope on any engine or partitioning.
+
+    Scale shape: corpus frequencies are one partial-agg shuffle
+    (:func:`build_vocab`); the regression runs over the model-sized
+    vocabulary, and the decimal sums reduce it to a single row.
+    """
+    v = build_vocab(df, min_freq=min_freq, text_col=text_col)
+    x = F.round(F.ln(F.col("token_id") + F.lit(1.0)), 9)
+    y = F.round(F.ln(F.col("freq").cast("double")), 9)
+    d = "decimal(28,9)"
+    terms = v.select(
+        x.cast(d).alias("x"),
+        y.cast(d).alias("y"),
+        F.round(x * y, 9).cast(d).alias("xy"),
+        F.round(x * x, 9).cast(d).alias("xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    # The sums are exact decimals (identical on every engine); convert each
+    # ONCE to double and evaluate the closed form in pure IEEE arithmetic —
+    # decimal multiplication would hit engine-specific precision-loss rules.
+    nd = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return s.select(
+        F.col("n_terms"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -401,6 +579,9 @@ __all__ = [
     "chunk_tokens",
     "build_vocab",
     "boilerplate_chunks",
+    "tokenize_with_vocab",
+    "remove_boilerplate",
+    "zipf_stats",
     "LANG_MARKERS",
     "STOPWORDS",
 ]
