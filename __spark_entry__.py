@@ -4039,6 +4039,69 @@ def user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "day", "cnt")
 
 
+@_q(
+    "stream_anomaly",
+    """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, day, cnt,
+                 CAST(SUM(cnt) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean,
+                 CAST(SUM(cnt * cnt) OVER w AS DOUBLE) / COUNT(*) OVER w
+                   AS m2
+          FROM d WINDOW w AS (PARTITION BY user_id))
+    SELECT user_id, day, cnt
+    FROM s
+    WHERE cnt > mean + 2 * sqrt(greatest(m2 - mean * mean, 0))
+    """,
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature table + analytic screen: the STREAM builds the
+    per-(user, day) activity table in keyed state — the faust windowed
+    Table ``table[(user, day)] += 1`` (streaming/state.py
+    stateful_counts, applyInPandasWithState with a composite key) — and
+    the z-score anomaly screen then reads the finished table, same
+    math as ``user_anomaly``. This is the reference's idiomatic
+    deployment shape (agent keeps windowed counters, a reader flags
+    outliers), so the composition itself is what's verified: streaming
+    state accumulation must land exactly on the batch oracle."""
+    from pyspark.sql.types import DateType, LongType
+
+    from faust_spark.streaming.runner import run_to_memory
+    from faust_spark.streaming.state import stateful_counts
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        s = _events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
+        counted = stateful_counts(
+            s.groupBy("user_id", "day"),
+            [("user_id", LongType()), ("day", DateType())],
+        )
+        out = run_to_memory(counted, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    daily = out.groupBy("user_id", "day").agg(F.max("cnt").alias("cnt"))
+    w = W.partitionBy("user_id")
+    stats = daily.select(
+        "user_id",
+        "day",
+        "cnt",
+        (F.sum("cnt").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "mean"
+        ),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("m2"),
+    )
+    return stats.filter(
+        F.col("cnt")
+        > F.col("mean")
+        + 2
+        * F.sqrt(F.greatest(F.col("m2") - F.col("mean") * F.col("mean"), F.lit(0.0)))
+    ).select("user_id", "day", "cnt")
+
+
 # =====================================================================
 # driver contract
 # =====================================================================

@@ -65,6 +65,11 @@ HEADLINE = [
     "stratified_sample",  # exact per-stratum counts, one shuffle
     "boilerplate_chunks",  # cross-doc repeated-chunk profile
     "vocab_build",  # tokenizer-prep vocab with deterministic ids
+    "tokenize_ids",  # tokenizer apply: broadcast vocab -> id arrays
+    "remove_boilerplate",  # CCNet-style chunk stripping + reassembly
+    "semantic_dedup",  # SemDeDup within-cell cosine dedup
+    "zipf_slope",  # corpus rank-frequency health check
+    "user_anomaly",  # per-user z-score outlier screen
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",

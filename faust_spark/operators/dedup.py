@@ -742,15 +742,23 @@ def semantic_dedup(
     a = assign_cells(emb, cents, vec_col=vec_col).select(
         F.col(id_col), F.col(vec_col), "cell"
     )
-    lhs = a.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "cell"
+    # norms once per ROW (not per pair — the pairwise stage dominates);
+    # the oracle computes the identical per-row sqrt, so the double
+    # arithmetic still matches bit-for-bit
+    an = a.withColumn("__nrm", norm_expr(F.col(vec_col)))
+    lhs = an.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_v"),
+        F.col("__nrm").alias("a_n"),
+        "cell",
     )
-    rhs = a.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "cell"
+    rhs = an.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_v"),
+        F.col("__nrm").alias("b_n"),
+        "cell",
     )
-    cos = dot_expr(F.col("a_v"), F.col("b_v")) / (
-        norm_expr(F.col("a_v")) * norm_expr(F.col("b_v"))
-    )
+    cos = dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
     dups = (
         lhs.join(rhs, "cell")
         .filter(F.col("a_id") < F.col("b_id"))

@@ -89,6 +89,50 @@ def stateful_counter(
     )
 
 
+def stateful_counts(
+    grouped,
+    keys: Iterable[Tuple[str, Any]],
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Cumulative counter over a COMPOSITE key — the windowed-Table shape
+    ``table[(k, window)] += 1`` (faust keys windowed tables by
+    (key, window range); here the window bucket is just another grouping
+    column, e.g. a day derived from event time).
+
+    ``grouped`` is ``df.groupBy(*names)`` with one (name, DataType) per
+    grouping column, in the same order.  State is one scalar per
+    composite key; every batch emits the key's cumulative count
+    (update-mode semantics — readers take ``max`` per key for the final
+    value, batching-invariant like :func:`stateful_counter`).
+    """
+    keys = list(keys)
+    fields = [StructField(n, t, False) for n, t in keys]
+    fields.append(StructField(count_alias, LongType(), False))
+    out_schema = StructType(fields)
+    state_schema = StructType([StructField("c", LongType(), False)])
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        c = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            c += len(pdf)
+        state.update((c,))
+        row = {n: v for (n, _t), v in zip(keys, key)}
+        row[count_alias] = c
+        yield pd.DataFrame([row])
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def reduce_by_key(
     grouped,
     value_col: str,
@@ -230,4 +274,9 @@ def session_tracker(
     )
 
 
-__all__ = ["stateful_counter", "reduce_by_key", "session_tracker"]
+__all__ = [
+    "stateful_counter",
+    "stateful_counts",
+    "reduce_by_key",
+    "session_tracker",
+]

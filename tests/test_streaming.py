@@ -65,6 +65,43 @@ def test_stateful_counter_multibatch_no_gaps_no_dups(
         assert counts[-1] == totals[uid], f"gap for {uid}"
 
 
+def test_stateful_counts_composite_key_matches_batch(
+    spark, multi_file_events
+):
+    """Composite-key state (the windowed-Table shape table[(user, day)])
+    across 4 micro-batches lands exactly on the batch rollup."""
+    from pyspark.sql.types import DateType, LongType
+
+    from faust_spark.streaming.state import stateful_counts
+
+    s = stream_parquet(
+        spark, multi_file_events, max_files_per_trigger=1
+    ).withColumn("day", F.to_date("ts"))
+    out = run_to_memory(
+        stateful_counts(
+            s.groupBy("user_id", "day"),
+            [("user_id", LongType()), ("day", DateType())],
+        ),
+        output_mode="update",
+    )
+    final = {
+        (r.user_id, r.day): r.cnt
+        for r in out.groupBy("user_id", "day")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    batch = spark.read.parquet(multi_file_events).withColumn(
+        "day", F.to_date("ts")
+    )
+    expected = {
+        (r.user_id, r.day): r.cnt
+        for r in batch.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert final == expected
+
+
 def test_append_mode_emits_only_closed_windows(spark, multi_file_events):
     s = stream_parquet(spark, multi_file_events)
     agg = (
