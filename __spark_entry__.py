@@ -4040,6 +4040,53 @@ def user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_classifier",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in','is')))
+               AS stop_hits
+      FROM documents),
+    f AS (SELECT doc_id,
+                 -3.65 + 0.35 * round(ln(1 + n_tokens), 9)
+                 + 0.25 * (CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+                           / n_tokens)
+                 + 6.0 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+                 + 1.2 * (CAST(n_alpha AS DOUBLE) / n_chars) AS logit
+          FROM t)
+    SELECT doc_id, logit, logit > 0 AS keep FROM f
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter apply (operators/text.py
+    classifier_score): a trained fastText-style linear model scores every
+    document — driver-sized weights baked as literals into one codegen
+    expression, so the apply is exactly one corpus scan (no UDF, no
+    shuffle, no model serving). The ln feature is rounded to 9 decimals
+    at the source and the dot product accumulates in declaration order,
+    making logits bit-identical across engines; the decision margin
+    (min |logit| ≈ 2e-4 at sf0.1) is orders of magnitude above ulp
+    noise, so keep flags are unambiguous."""
+    from faust_spark.operators.text import classifier_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_score(
+        d,
+        weights={
+            "ln_tokens": 0.35,
+            "mean_word_len": 0.25,
+            "stop_ratio": 6.0,
+            "alpha_ratio": 1.2,
+        },
+        bias=-3.65,
+    )
+
+
+@_q(
     "stream_anomaly",
     """
     WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt

@@ -69,6 +69,7 @@ HEADLINE = [
     "remove_boilerplate",  # CCNet-style chunk stripping + reassembly
     "semantic_dedup",  # SemDeDup within-cell cosine dedup
     "zipf_slope",  # corpus rank-frequency health check
+    "quality_classifier",  # model apply: literal weights, one scan
     "user_anomaly",  # per-user z-score outlier screen
     # streaming engine path
     "stream_tumbling_hourly",

@@ -567,6 +567,56 @@ def zipf_stats(
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filter APPLY — the fastText-classifier-at-scale
+    step (CCNet/LLaMA-style: a tiny trained model scores every document;
+    the corpus keeps the positive class).
+
+    The model is driver-sized (a handful of floats), so the weights bake
+    into ONE codegen expression as literals: the apply costs exactly one
+    corpus scan — no UDF, no shuffle, no model serving.  Features are the
+    engineered text ratios (ln-token-count, mean word length, stopword
+    ratio, alpha ratio); ``weights`` maps feature name → coefficient.
+
+    Determinism: the only transcendental (ln) is rounded to 9 decimals
+    at the source; everything else is rational arithmetic on exact
+    integer counts, and the dot product accumulates in declaration order
+    — bit-identical logits on any engine or partitioning.
+
+    Returns (id, logit, keep); emitting the score (not just the flag)
+    keeps the filter auditable and re-thresholdable downstream.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    feats = {
+        "ln_tokens": F.round(F.log(F.lit(1.0) + n_tokens), 9),
+        "mean_word_len": (n_chars - (n_tokens - 1)).cast("double")
+        / F.nullif(n_tokens, F.lit(0)),
+        "stop_ratio": stop_hits.cast("double") / F.nullif(n_tokens, F.lit(0)),
+        "alpha_ratio": n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)),
+    }
+    unknown = set(weights) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown features: {sorted(unknown)}")
+    logit = F.lit(float(bias))
+    for name, w in weights.items():
+        logit = logit + F.lit(float(w)) * feats[name]
+    return df.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        F.coalesce(logit > 0, F.lit(False)).alias("keep"),
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -582,6 +632,7 @@ __all__ = [
     "tokenize_with_vocab",
     "remove_boilerplate",
     "zipf_stats",
+    "classifier_score",
     "LANG_MARKERS",
     "STOPWORDS",
 ]

@@ -123,6 +123,57 @@ def test_zipf_slope_partitioning_invariant(spark):
     assert (a.slope, a.intercept) == (b.slope, b.intercept)
 
 
+# ------------------------------------------------------------ classifier
+
+
+def test_classifier_score_known_logit(spark):
+    from faust_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id int, text string"
+    )
+    r = classifier_score(
+        docs, weights={"stop_ratio": 2.0}, bias=-0.5
+    ).collect()[0]
+    # STOPWORDS hits in "the cat sat on the mat": "the" x2 -> ratio 2/6
+    assert abs(r.logit - (-0.5 + 2.0 * (2 / 6))) < 1e-12
+    assert bool(r.keep) is (r.logit > 0)
+
+
+def test_classifier_score_rejects_unknown_feature(spark):
+    import pytest as _pytest
+
+    from faust_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        classifier_score(docs, weights={"nope": 1.0}, bias=0.0)
+
+
+def test_classifier_partitioning_invariant(spark):
+    from faust_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps of and to") for i in range(40)],
+        "doc_id int, text string",
+    )
+    kw = dict(
+        weights={
+            "ln_tokens": 0.35,
+            "mean_word_len": 0.25,
+            "stop_ratio": 6.0,
+            "alpha_ratio": 1.2,
+        },
+        bias=-3.65,
+    )
+    a = {r.doc_id: r.logit for r in classifier_score(docs, **kw).collect()}
+    b = {
+        r.doc_id: r.logit
+        for r in classifier_score(docs.repartition(7), **kw).collect()
+    }
+    assert a == b
+
+
 # -------------------------------------------------------------- semdedup
 
 

@@ -27,6 +27,8 @@ PROBES_EVENTS = [
     "interval_join_sliding",
     "asof_join",
     "stream_tumbling_hourly",
+    "user_anomaly",  # one user-keyed exchange; replicas grow users AND days
+    "funnel_conversion",  # stage joins share the user partitioning
 ]
 PROBES_DOCS = [
     "dedup_jaccard",
@@ -42,11 +44,23 @@ PROBES_DOCS = [
     "bm25_search",  # one scan + TakeOrdered: should be ~linear
     "boilerplate_chunks",  # digest-only shuffles, shared exchange
     "stratified_sample",  # one stratum-keyed shuffle
+    "tokenize_ids",  # broadcast vocab; one doc-keyed reassembly exchange
+    "remove_boilerplate",  # digest-only boilerplate set + ordered rebuild
+    "vocab_build",  # term-keyed partial agg; rank over model-sized vocab
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
 # the sub-0.72 regime; the LSH probe below shows the near-dup-regime path.
-PROBES_EMB = ["ann_cosine_topk", "ivf_topk", "embedding_dup_pairs"]
+# semantic_dedup with FIXED cells pays quadratic within-cell growth when
+# replicas multiply cell population — the probe shows it; the operator's
+# scale contract is that len(cents) grows with the corpus (cell size
+# capped), which the fixed-k probe deliberately does NOT do.
+PROBES_EMB = [
+    "ann_cosine_topk",
+    "ivf_topk",
+    "embedding_dup_pairs",
+    "semantic_dedup",
+]
 
 
 def main() -> int:
