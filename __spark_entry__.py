@@ -2148,18 +2148,15 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    from pyspark.sql.types import LongType
-
+    from faust_spark.catalog import normalize_event_time
     from faust_spark.streaming.runner import stream_parquet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s = stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
-    # the driver fixture stores TIMESTAMP(NANOS) (read as long under the
-    # legacy conf); regular timestamp parquet needs no conversion
-    if isinstance(s.schema["ts"].dataType, LongType):
-        s = s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return s
+    # one shared helper handles every fixture encoding the driver has
+    # shipped (nanos-as-long, µs-as-NTZ) — see catalog.normalize_event_time
+    return normalize_event_time(s)
 
 
 @_q(
@@ -2766,8 +2763,9 @@ def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_calc,
-           (SELECT SUM(CAST(ceil(length(w) / 4.0) AS BIGINT))
-            FROM unnest(string_split(text, ' ')) t(w)) AS n_subwords
+           CAST((SELECT SUM(CAST(ceil(length(w) / 4.0) AS BIGINT))
+                 FROM unnest(string_split(text, ' ')) t(w))
+                AS BIGINT) AS n_subwords
     FROM documents
     """,
 )
@@ -3844,9 +3842,10 @@ _VOCAB_CTE = """
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_oov,
-           COALESCE(list(token_id ORDER BY pos)
-                      FILTER (WHERE token_id IS NOT NULL),
-                    []) AS token_ids
+           array_to_string(
+             COALESCE(list(token_id ORDER BY pos)
+                        FILTER (WHERE token_id IS NOT NULL),
+                      []), ' ') AS token_ids
     FROM j GROUP BY doc_id
     """,
 )
@@ -3858,12 +3857,13 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     a BROADCAST join against the exploded token stream (corpus never
     shuffles by term); the one real exchange is the groupBy(doc_id)
     array reassembly. Full id SEQUENCES (not just counts) are
-    oracle-verified."""
+    oracle-verified — emitted space-joined (ids_as_string) so the
+    driver's pandas canonicalizer can sort the cells."""
     from faust_spark.operators.text import build_vocab, tokenize_with_vocab
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = build_vocab(d, min_freq=50)
-    return tokenize_with_vocab(d, vocab)
+    return tokenize_with_vocab(d, vocab, ids_as_string=True)
 
 
 @_q(

@@ -111,12 +111,13 @@ def main() -> None:
     # baseline = pass-through consume; forward = +1 repartition hop.
     from pyspark.sql import functions as SF
 
+    from faust_spark.catalog import normalize_event_time
     from faust_spark.streaming.runner import run_to_memory, stream_parquet
 
     def _events_stream():
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s = stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
-        return s.withColumn("ts", SF.expr("timestamp_micros(ts DIV 1000)"))
+        return normalize_event_time(s)
 
     t0 = time.time()
     run_to_memory(

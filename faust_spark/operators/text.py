@@ -322,6 +322,7 @@ def build_vocab(
     df: DataFrame,
     min_freq: int = 2,
     text_col: str = "text",
+    max_vocab: int = 262_144,
 ) -> DataFrame:
     """Frequency-cutoff vocabulary with deterministic token ids — the
     tokenizer-prep step before training.
@@ -329,10 +330,25 @@ def build_vocab(
     One partial-agg shuffle keyed by term produces corpus frequencies;
     terms below ``min_freq`` drop; ids assign by (freq DESC, term) rank
     so the same corpus always yields the same vocab on any engine or
-    partitioning.  The final rank runs over the *vocabulary*, which is
-    model-sized by construction (the cutoff caps it ≪ corpus): a global
-    window there is a few MB on one task, not a data-path sort — the
-    same driver-side-model contract as k-means centroids.
+    partitioning.
+
+    Scale guard: ``min_freq`` alone does NOT bound the vocabulary — a
+    100 TB corpus has billions of terms above any small absolute cutoff,
+    and the id-assign rank would become an unbounded single-partition
+    window.  ``max_vocab`` makes the bound explicit (the standard
+    tokenizer contract: keep the top-N terms).  The cap is applied
+    BEFORE the rank window using only model-sized state:
+
+    1. a (freq → n_terms) histogram — distinct frequency values are
+       O(√total_tokens) by Zipf's law, driver-safe metadata like a
+       k-means model — locates the cutoff frequency ``f*`` and how many
+       tie terms to keep at ``f*``;
+    2. terms with freq > f* pass; the freq == f* band is trimmed to the
+       remaining quota by ``sort(term).limit(k)``, which Spark executes
+       as a distributed TakeOrderedAndProject, not a global sort.
+
+    The final rank window therefore sees at most ``max_vocab`` rows —
+    provably model-sized at any corpus scale.
     """
     counts = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
@@ -340,6 +356,31 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_freq)
     )
+    # model-sized frequency histogram → cutoff frequency + tie quota
+    hist = sorted(
+        (
+            (r["freq"], r["n"])
+            for r in counts.groupBy("freq")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda t: -t[0],
+    )
+    kept = 0
+    f_star, quota = None, 0
+    for freq, n in hist:
+        if kept + n > max_vocab:
+            f_star, quota = freq, max_vocab - kept
+            break
+        kept += n
+    if f_star is not None:
+        head = counts.filter(F.col("freq") > f_star)
+        tie = (
+            counts.filter(F.col("freq") == f_star)
+            .sort("term")
+            .limit(quota)
+        )
+        counts = head.unionByName(tie)
     w = W.orderBy(F.desc("freq"), F.col("term"))
     return counts.select(
         "term",
@@ -394,6 +435,7 @@ def tokenize_with_vocab(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ids_as_string: bool = False,
 ) -> DataFrame:
     """Apply a built vocabulary to documents → ordered token-id arrays —
     the "tokenizer apply" step that turns a cleaned corpus into model
@@ -408,6 +450,11 @@ def tokenize_with_vocab(
     dropped from the id sequence, the usual min-frequency-tokenizer
     behavior.
 
+    ``ids_as_string=True`` emits ``token_ids`` as the space-joined
+    canonical string instead of ``array<int>`` — for comparison harnesses
+    whose canonicalizers can't sort list-valued cells (same information,
+    scalar-typed).
+
     Reference parity: faust expresses this as a per-event agent with a
     table lookup per token (faust/agents/agent.py processing loop); here
     the lookup is one joined columnar pass.
@@ -419,7 +466,7 @@ def tokenize_with_vocab(
     joined = toks.join(
         F.broadcast(vocab.select("term", "token_id")), "term", "left"
     )
-    return joined.groupBy(id_col).agg(
+    out = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.col("token_id").isNull().cast("bigint")).alias("n_oov"),
         F.transform(
@@ -434,6 +481,14 @@ def tokenize_with_vocab(
             lambda s: s["token_id"],
         ).alias("token_ids"),
     )
+    if ids_as_string:
+        out = out.withColumn(
+            "token_ids",
+            F.array_join(
+                F.transform("token_ids", lambda x: x.cast("string")), " "
+            ),
+        )
+    return out
 
 
 def remove_boilerplate(

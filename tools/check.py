@@ -89,9 +89,13 @@ def main() -> int:
             sdf = qs[key](spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
+        except Exception as e:
             print(f"FAIL {key}: spark error\n{traceback.format_exc()}")
-            results[key] = {"status": "fail", "err": "spark error"}
+            results[key] = {
+                "status": "fail",
+                "err": f"spark error: {type(e).__name__}: "
+                       f"{str(e).splitlines()[0][:300] if str(e) else ''}",
+            }
             n_fail += 1
             continue
         if key not in oracles:
@@ -105,8 +109,13 @@ def main() -> int:
             cur = con.execute(oracles[key])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
-        except Exception:
+        except Exception as e:
             print(f"FAIL {key}: duckdb error\n{traceback.format_exc()}")
+            results[key] = {
+                "status": "fail",
+                "err": f"duckdb error: {type(e).__name__}: "
+                       f"{str(e).splitlines()[0][:300] if str(e) else ''}",
+            }
             n_fail += 1
             continue
         problems = []
