@@ -1,0 +1,157 @@
+"""Exactly-once delivery to Kafka: transactional foreachBatch sink.
+
+The reference guarantees exactly-once to Kafka via producer transactions
+(``processing_guarantee='exactly_once'`` —
+faust/types/settings/settings.py:1393; commit/offset machinery in
+faust/transport/consumer.py:184-302).  Structured Streaming's built-in
+kafka sink is at-least-once: a crash between the batch write and Spark's
+checkpoint commit re-delivers the same ``batch_id``.  This module closes
+the gap with the standard two-phase-commit recipe:
+
+1. one Kafka **transaction per micro-batch**, under a STABLE
+   ``transactional.id`` (same id across restarts → the broker bumps the
+   producer epoch on ``init_transactions`` and **fences zombies**: a
+   crashed-but-still-running old producer's commit is rejected);
+2. the data rows AND a batch-id marker (sent to a control topic, keyed by
+   the transactional id) are written **inside the same transaction**, so
+   they commit or abort atomically;
+3. on (re)start, the last committed marker is read back (with
+   ``isolation.level=read_committed``) and any re-delivered
+   ``batch_id <= last`` is skipped — the sink observes each batch exactly
+   once even though Spark delivers at-least-once;
+4. any failure mid-batch aborts the transaction — readers running
+   ``read_committed`` never see partial batches.
+
+No broker ships in this container, so the Kafka client is an injectable
+**transport contract** (``init_transactions / begin_transaction / send /
+commit_transaction / abort_transaction / last_committed``) — the exact
+surface of a confluent-kafka ``Producer`` configured with
+``{'transactional.id': ..., 'enable.idempotence': True}`` plus one
+read-committed consumer of the control topic.  tests/test_kafka_eos.py
+pins the protocol (2PC ordering, abort-on-failure atomicity, replay
+skip, zombie fencing) against a transaction-honoring mock broker; only
+the network round trip needs a cluster.
+
+Scale note: this driver-side loop is the orchestration shape.  With a
+real client the identical transaction body runs inside
+``bdf.foreachPartition`` with ``transactional.id`` suffixed by the
+partition id (one fenced producer lineage per partition) — Kafka
+transactions are per-producer, so per-partition producers commit
+independently and the control-topic marker is sent by the one partition
+that also carries the batch marker key.  Nothing in the recipe requires
+rows to pass through the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Protocol
+
+from pyspark.sql import DataFrame
+
+DEFAULT_CONTROL_TOPIC = "__faust_spark_txn_commits"
+
+
+class TransactionalTransport(Protocol):
+    """The slice of a transactional Kafka producer (+ control-topic
+    reader) this sink needs.  confluent-kafka mapping: everything but
+    ``last_committed`` is the Producer transactional API verbatim;
+    ``last_committed`` is one read-committed consumer poll of the control
+    topic filtered to ``key == transactional_id``."""
+
+    def init_transactions(self) -> None: ...
+
+    def begin_transaction(self) -> None: ...
+
+    def send(self, topic: str, key: Optional[str], value: str) -> None: ...
+
+    def commit_transaction(self) -> None: ...
+
+    def abort_transaction(self) -> None: ...
+
+    def last_committed(
+        self, control_topic: str, transactional_id: str
+    ) -> Optional[int]: ...
+
+
+def kafka_transactional_batch_sink(
+    topic: str,
+    transport_factory: Callable[[str], TransactionalTransport],
+    transactional_id: str,
+    value_col: str = "value",
+    key_col: Optional[str] = None,
+    control_topic: str = DEFAULT_CONTROL_TOPIC,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch callback implementing the two-phase commit.
+
+    The producer is created once per sink lifetime (first batch) — its
+    ``init_transactions`` is the fencing point; creating it per batch
+    would bump the epoch every batch and defeat zombie detection of a
+    concurrently-running stale driver.
+    """
+    state: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = state.get("t")
+        if t is None:
+            t = transport_factory(transactional_id)
+            t.init_transactions()
+            state["t"] = t
+        last = t.last_committed(control_topic, transactional_id)
+        if last is not None and batch_id <= last:
+            return  # re-delivered batch: its transaction already committed
+        t.begin_transaction()
+        try:
+            cols = ([key_col] if key_col else []) + [value_col]
+            for row in batch_df.select(*cols).toLocalIterator():
+                key = str(row[key_col]) if key_col else None
+                t.send(topic, key, str(row[value_col]))
+            # marker rides in the SAME transaction as the data
+            t.send(control_topic, transactional_id, str(batch_id))
+            t.commit_transaction()
+        except BaseException:
+            t.abort_transaction()
+            raise
+
+    return sink
+
+
+def kafka_transactional_foreach_batch(
+    df: DataFrame,
+    topic: str,
+    transport_factory: Callable[[str], TransactionalTransport],
+    checkpoint: str,
+    transactional_id: str,
+    value_col: str = "value",
+    key_col: Optional[str] = None,
+    control_topic: str = DEFAULT_CONTROL_TOPIC,
+    timeout_sec: float = 300.0,
+) -> None:
+    """Run ``df`` to completion (availableNow) through the transactional
+    Kafka sink — the EOS counterpart of the built-in at-least-once
+    ``writeStream.format('kafka')`` path."""
+    sink = kafka_transactional_batch_sink(
+        topic,
+        transport_factory,
+        transactional_id,
+        value_col=value_col,
+        key_col=key_col,
+        control_topic=control_topic,
+    )
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("kafka_transactional_foreach_batch didn't finish")
+
+
+__all__ = [
+    "DEFAULT_CONTROL_TOPIC",
+    "TransactionalTransport",
+    "kafka_transactional_batch_sink",
+    "kafka_transactional_foreach_batch",
+]
