@@ -4311,6 +4311,97 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com call 555-123-4567 from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/text.py pii_scan) — the privacy
+    scrub before corpus release. The fixture corpus is synthetic word
+    salad with no real PII, so the query first plants deterministic
+    doc_id-derived PII (email + phone + IPv4) via the SAME concat
+    expression in both engines, then detects and masks it; counts AND
+    the md5 of the fully redacted text are value-verified. Pure codegen
+    regex — one scan, no UDF; patterns restricted to the Java/RE2 common
+    subset so both engines match identically."""
+    from faust_spark.operators.text import pii_scan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567 from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scan(d).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@_q(
+    "unigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    lm AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(freq) AS total FROM lm),
+    nll AS (SELECT term,
+                   CAST(round(-ln(CAST(freq AS DOUBLE) / total), 9)
+                        AS DECIMAL(28,9)) AS nll
+            FROM lm, tot)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM toks JOIN nll USING (term)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (operators/text.py unigram_logprob):
+    fit a unigram LM on the corpus, score each document by mean NLL —
+    KenLM-style fluency filtering's cheap first rung. Term-keyed LM agg +
+    posting-shaped score join; per-term NLL rounded to 9 decimals then
+    summed exactly as decimals (order-independent), so engines agree
+    bit-for-bit."""
+    from faust_spark.operators.text import unigram_logprob as _ulp
+
+    return _ulp(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@_q(
     "stream_anomaly",
     """
     WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
@@ -4442,8 +4533,8 @@ _PRIORITY: list[str] = [
     "stream_dedup",
     "stream_window_close",
     "value_trend",
-    "funnel_conversion",
-    "cohort_retention",
+    "pii_redact",  # r3: new operator
+    "unigram_logprob",  # r3: new operator
     "vocab_build",  # r3: max_vocab pre-rank guard
     "stream_blocklist_filter",
     "tokenize_ids",  # r3: ids_as_string (driver canon fix)
@@ -4461,6 +4552,8 @@ _PRIORITY: list[str] = [
     "asof_join",
     "interval_join_sliding",
     "domain_stats",
+    "funnel_conversion",
+    "cohort_retention",
     "enumerate_stream",
     # driver- or judge-verified in earlier rounds, unchanged
     "doc_fingerprint",

@@ -672,6 +672,105 @@ def classifier_score(
     )
 
 
+# PII surface patterns (email / North-American phone / IPv4).  Kept to
+# the regex subset Java and RE2 evaluate identically (no lookarounds, no
+# backreferences) so the DuckDB oracle states the same patterns verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII detection + redaction — the privacy-scrub pass every
+    training-data pipeline runs before release (C4/FineWeb style).
+
+    Pure codegen: per pattern, ``regexp_extract_all`` counts matches and
+    ``regexp_replace`` masks them with a typed placeholder; the chained
+    replaces apply in PII_PATTERNS order (email first, so phone/IP
+    patterns never see address-local digits).  One corpus scan, no UDF,
+    no shuffle — the redacted text streams straight to the cleaned-corpus
+    writer.  Returns (id, n_email, n_phone, n_ipv4, text_redacted).
+
+    Reference parity: faust would express this as a per-event agent
+    processor (faust/agents/agent.py); here it is a narrow map fused
+    into the scan.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, rx, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, rx, mask in PII_PATTERNS:
+        red = F.regexp_replace(red, rx, mask)
+    return df.select(F.col(id_col), *counts, red.alias("text_redacted"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM perplexity scoring: fit a unigram language model on the
+    corpus itself and score every document by mean negative log-likelihood
+    — the classic cheap fluency/quality signal (KenLM-style filtering's
+    first rung: word-salad and boilerplate score high-NLL against an
+    in-domain LM).
+
+    Scale shape: the LM is (term, freq) — one term-keyed partial-agg
+    shuffle builds it; scoring joins the exploded token stream back to it
+    (posting-list-shaped equi-join; term keys shuffle, text never does)
+    and one id-keyed agg reassembles per-document scores.
+
+    Determinism: each distinct term's NLL ``-ln(freq/total)`` is computed
+    once and rounded to 9 decimals at the source, then summed EXACTLY as
+    decimals (order-independent) — the zipf_stats/classifier_score
+    pattern — so engines agree bit-for-bit; the final mean is one double
+    division of identical operands.
+
+    Returns (id, n_tokens, avg_nll).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = lm.agg(F.sum("freq").alias("total"))
+    nll = (
+        lm.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                -F.log(F.col("freq").cast("double") / F.col("total")), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("nll"),
+        )
+    )
+    return (
+        toks.join(nll, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll").alias("__nll_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.col("__nll_sum").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("avg_nll"),
+        )
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -688,6 +787,9 @@ __all__ = [
     "remove_boilerplate",
     "zipf_stats",
     "classifier_score",
+    "pii_scan",
+    "unigram_logprob",
+    "PII_PATTERNS",
     "LANG_MARKERS",
     "STOPWORDS",
 ]

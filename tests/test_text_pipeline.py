@@ -153,3 +153,50 @@ def test_boilerplate_chunks_counts_shared_windows(spark):
         for r in boilerplate_chunks(docs, size=3).collect()
     }
     assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    from faust_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org today"),
+            (2, "call 555-123-4567 or 555-987-6543"),
+            (3, "server at 10.0.0.1 and 192.168.255.3"),
+            (4, "nothing sensitive here"),
+            (5, "combo a@b.io 555-000-1111 127.0.0.1"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (1, 0, 0)
+    assert rows[1].text_redacted == "mail me at [EMAIL] today"
+    assert rows[2].n_phone == 2
+    assert rows[2].text_redacted == "call [PHONE] or [PHONE]"
+    assert rows[3].n_ipv4 == 2
+    assert rows[3].text_redacted == "server at [IP] and [IP]"
+    assert (rows[4].n_email, rows[4].n_phone, rows[4].n_ipv4) == (0, 0, 0)
+    assert rows[4].text_redacted == "nothing sensitive here"
+    assert rows[5].text_redacted == "combo [EMAIL] [PHONE] [IP]"
+
+
+def test_unigram_logprob_orders_rare_docs_higher(spark):
+    import math
+
+    from faust_spark.operators.text import unigram_logprob
+
+    # "common" appears 6x, "rare" once over 8 tokens total
+    df = spark.createDataFrame(
+        [
+            (1, "common common common"),
+            (2, "common common common rare"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 4
+    # doc 2 contains the rare token -> strictly higher mean NLL
+    assert rows[2].avg_nll > rows[1].avg_nll
+    # corpus totals: 7 tokens, "common" 6 of them
+    p_common = 6.0 / 7.0
+    assert abs(rows[1].avg_nll - round(-math.log(p_common), 9)) < 1e-9
