@@ -4171,8 +4171,11 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
+    kk AS (SELECT GREATEST(8, CAST(ceil(COUNT(*) / 250.0) AS INT)) AS k
+           FROM e),
     c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-          FROM e ORDER BY vec_id LIMIT 8),
+          FROM e
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
     d AS (SELECT e.vec_id, c.cell,
                  list_sum(list_transform(list_zip(e.v, c.cv),
                           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
@@ -4201,13 +4204,20 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine-portable double-cast argmin (same contract as ivf_assign,
     iters=0 seed centroids so the oracle is exactly expressible); the
     pairwise stage is an equi-join on cell, so the quadratic term is
-    capped per cell — scale len(cents) with the corpus, never all-pairs.
+    capped per cell — and the query LIVES that contract: the cell count
+    is corpus-derived, k = max(8, ceil(n/250)), stated identically in
+    the oracle, so mean cell population is bounded (~250) at any corpus
+    size and the within-cell quadratic term stays linear overall (the
+    round-2 fixed-k scale probe showed 66x at 10x without this).
     Threshold 0.42 sits >1e-3 from every observed cosine at both test
     SFs, so the cut is numerically unambiguous."""
+    import math
+
     from faust_spark.operators.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = e.orderBy("vec_id").limit(8).select("embedding").collect()
+    k = max(8, math.ceil(e.count() / 250.0))
+    seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
     cents = [list(r[0]) for r in seed]
     return semantic_dedup(e, cents, threshold=0.42)
 
@@ -4402,6 +4412,53 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS sym_hits
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_words, sym_hits,
+             CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_wl,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS alpha_words,
+             len(list_filter(toks,
+                 w -> w IN ('the','a','of','and','to','in','is')))
+               AS stop_hits
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+           CAST(sym_hits AS DOUBLE) / n_words < 0.1 AS ok_symbol_ratio,
+           CAST(alpha_words AS DOUBLE) / n_words > 0.8 AS ok_alpha_words,
+           stop_hits >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+             AND (CAST(sym_hits AS DOUBLE) / n_words < 0.1)
+             AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
+             AND (stop_hits >= 2) AS keep
+    FROM f
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (operators/text.py gopher_rules): word-count
+    bounds, mean-word-length band, symbol ratio, alphabetic-word
+    fraction, stopword floor — per-rule booleans plus the combined keep,
+    all in one codegen scan. Integer counts and rational comparisons
+    only, so both engines agree exactly."""
+    from faust_spark.operators.text import gopher_rules as _gr
+
+    return _gr(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@_q(
     "stream_anomaly",
     """
     WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
@@ -4535,8 +4592,8 @@ _PRIORITY: list[str] = [
     "value_trend",
     "pii_redact",  # r3: new operator
     "unigram_logprob",  # r3: new operator
+    "gopher_rules",  # r3: new operator
     "vocab_build",  # r3: max_vocab pre-rank guard
-    "stream_blocklist_filter",
     "tokenize_ids",  # r3: ids_as_string (driver canon fix)
     "remove_boilerplate",
     "zipf_slope",
@@ -4554,6 +4611,7 @@ _PRIORITY: list[str] = [
     "domain_stats",
     "funnel_conversion",
     "cohort_retention",
+    "stream_blocklist_filter",
     "enumerate_stream",
     # driver- or judge-verified in earlier rounds, unchanged
     "doc_fingerprint",

@@ -70,6 +70,8 @@ HEADLINE = [
     "semantic_dedup",  # SemDeDup within-cell cosine dedup
     "zipf_slope",  # corpus rank-frequency health check
     "quality_classifier",  # model apply: literal weights, one scan
+    "pii_redact",  # codegen regex detect + mask, one scan
+    "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "user_anomaly",  # per-user z-score outlier screen
     # streaming engine path
     "stream_tumbling_hourly",

@@ -771,6 +771,69 @@ def unigram_logprob(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021 §A1.1) — the standard
+    heuristic gate a corpus passes before any model-based filtering.
+
+    Every rule is an integer-count ratio over the one tokenized scan:
+    word-count bounds, mean-word-length band, symbol-to-word ratio
+    ('#'/'...'), alphabetic-word fraction, stopword floor.  All codegen —
+    one pass, no UDF, no shuffle; the per-rule booleans are emitted
+    alongside the final ``keep`` so downstream audits can see WHICH gate
+    dropped a document (the same reason the reference's agents emit
+    per-stage streams rather than one opaque filter).
+
+    Determinism: counts are integers and the ratio comparisons are exact
+    rational-vs-literal in IEEE double — no transcendentals, engine-safe.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_wl = (n_chars - (n_words - 1)).cast("double") / F.nullif(
+        n_words, F.lit(0)
+    )
+    sym_hits = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    rules = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": sym_hits.cast("double")
+        / F.nullif(n_words, F.lit(0))
+        < max_symbol_ratio,
+        "ok_alpha_words": alpha_words.cast("double")
+        / F.nullif(n_words, F.lit(0))
+        > min_alpha_word_ratio,
+        "ok_stopwords": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[
+            F.coalesce(expr, F.lit(False)).alias(name)
+            for name, expr in rules.items()
+        ],
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -789,6 +852,7 @@ __all__ = [
     "classifier_score",
     "pii_scan",
     "unigram_logprob",
+    "gopher_rules",
     "PII_PATTERNS",
     "LANG_MARKERS",
     "STOPWORDS",

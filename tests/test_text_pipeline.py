@@ -200,3 +200,19 @@ def test_unigram_logprob_orders_rare_docs_higher(spark):
     # corpus totals: 7 tokens, "common" 6 of them
     p_common = 6.0 / 7.0
     assert abs(rows[1].avg_nll - round(-math.log(p_common), 9)) < 1e-9
+
+
+def test_gopher_rules_flags(spark):
+    from faust_spark.operators.text import gopher_rules
+
+    long_good = " ".join(["the", "quick", "brown", "fox"] * 15)  # 60 words
+    short = "too short"
+    symbols = " ".join(["the"] * 50 + ["#"] * 10)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols)],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert rows[1].keep and rows[1].ok_word_count and rows[1].ok_stopwords
+    assert not rows[2].keep and not rows[2].ok_word_count
+    assert not rows[3].ok_symbol_ratio and not rows[3].keep

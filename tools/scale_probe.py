@@ -51,10 +51,11 @@ PROBES_DOCS = [
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
 # the sub-0.72 regime; the LSH probe below shows the near-dup-regime path.
-# semantic_dedup with FIXED cells pays quadratic within-cell growth when
-# replicas multiply cell population — the probe shows it; the operator's
-# scale contract is that len(cents) grows with the corpus (cell size
-# capped), which the fixed-k probe deliberately does NOT do.
+# semantic_dedup's registered query derives its cell count from the
+# corpus (k = max(8, ceil(n/250)), mirrored in the oracle) since round 3,
+# so replicas that multiply the corpus also multiply cells and the
+# within-cell quadratic term stays bounded — the round-2 fixed-k probe
+# measured 66x at 10x, which is exactly what the auto-scaling prevents.
 PROBES_EMB = [
     "ann_cosine_topk",
     "ivf_topk",
