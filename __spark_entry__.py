@@ -2720,6 +2720,29 @@ _SHINGLE_CTE = """
 """
 
 
+def _mh_oracle_pieces() -> tuple[str, str, str]:
+    """SQL fragments for the universal-hash minhash family: the 8-nibble
+    md5 prefix decode (column ``d``) and the (a, b) coefficient list
+    literals — same deterministic constants the Spark operator embeds
+    (operators/dedup.py minhash_coeffs)."""
+    from faust_spark.operators.dedup import minhash_coeffs
+
+    nibbles = " + ".join(
+        f"(instr('0123456789abcdef', substr(d, {i + 1}, 1)) - 1) * "
+        f"{16 ** (7 - i)}"
+        for i in range(8)
+    )
+    a_co, b_co = minhash_coeffs(16)
+    return (
+        nibbles,
+        "[" + ",".join(str(v) for v in a_co) + "]",
+        "[" + ",".join(str(v) for v in b_co) + "]",
+    )
+
+
+_MH_NIBBLES, _MH_A, _MH_B = _mh_oracle_pieces()
+
+
 @_q(
     "dedup_jaccard",
     f"""
@@ -2750,13 +2773,20 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLE_CTE},
     seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    hsh AS (
+      SELECT doc_id,
+             ({_MH_NIBBLES}) % 2147483647 AS h
+      FROM (SELECT doc_id, shingle, md5(shingle) AS d FROM sh)
+    ),
     sig AS (
-      SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS mh
-      FROM sh CROSS JOIN seeds GROUP BY 1, 2
+      SELECT doc_id, seed,
+             MIN(({_MH_A}[seed + 1] * h + {_MH_B}[seed + 1])
+                 % 2147483647) AS mh
+      FROM hsh CROSS JOIN seeds GROUP BY 1, 2
     ),
     band AS (
       SELECT doc_id, seed // 4 AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
       FROM sig GROUP BY 1, 2
     ),
     cand AS (
@@ -2782,9 +2812,11 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard
-    verified — the sub-quadratic near-dup path. The oracle replicates the
-    identical algorithm (md5 min-hashing is engine-portable), so the
-    check verifies the full pipeline, not just the final pairs."""
+    verified — the sub-quadratic near-dup path. One md5 per shingle; the
+    16 permutations are the universal integer family (a*h+b) mod 2^31-1
+    with md5-derived literal coefficients, so the oracle replicates the
+    identical algorithm bit-for-bit and the check verifies the full
+    pipeline, not just the final pairs."""
     from faust_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -4208,7 +4240,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is corpus-derived, k = max(8, ceil(n/250)), stated identically in
     the oracle, so mean cell population is bounded (~250) at any corpus
     size and the within-cell quadratic term stays linear overall (the
-    round-2 fixed-k scale probe showed 66x at 10x without this).
+    round-2 fixed-k scale probe showed 66x at 10x without this). The
+    remaining super-linear term is the flat argmin ASSIGNMENT, O(n*k) —
+    at true corpus scale the coarse quantizer goes hierarchical
+    (two-level argmin or a broadcast-centroid join with cell pruning,
+    standard FAISS IMI practice); the flat expression is the exact,
+    oracle-checkable reference implementation.
     Threshold 0.42 sits >1e-3 from every observed cosine at both test
     SFs, so the cut is numerically unambiguous."""
     import math

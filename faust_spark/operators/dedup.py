@@ -216,6 +216,24 @@ def incremental_dedup(
 # --------------------------------------------------------------------------
 
 
+_MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """md5-derived (a, b) coefficient pairs for the universal hash family
+    ``(a*h + b) mod p`` (p = 2^31-1) — deterministic, so both engines
+    embed the same literals (same pattern as the LSH hyperplanes)."""
+    import hashlib
+
+    a, b = [], []
+    for i in range(num_hashes):
+        ha = hashlib.md5(f"mh-a:{i}".encode()).hexdigest()
+        hb = hashlib.md5(f"mh-b:{i}".encode()).hexdigest()
+        a.append(int(ha[:8], 16) % (_MERSENNE_P - 1) + 1)
+        b.append(int(hb[:8], 16) % _MERSENNE_P)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -223,8 +241,15 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, seed, minhash) — min over shingles of md5(seed || ':' || s).
+    """(id, seed, minhash) via ONE md5 per shingle + a universal integer
+    hash family per seed.
 
+    The naive formulation hashes every (shingle × seed) combination —
+    num_hashes full digests per shingle.  Here the digest is computed
+    once (``h`` = first 8 hex chars of md5(shingle) as an int, mod
+    p = 2^31-1) and the per-seed permutations are ``(a_i*h + b_i) mod p``
+    — pure 64-bit integer codegen (products < 2^62, no overflow on
+    either engine), ~num_hashes× less hashing on the dominant explode.
     One explode of (shingle × seed) followed by a min-agg: partial
     aggregation makes the shuffle carry only (id, seed, current-min).
     """
@@ -232,17 +257,58 @@ def minhash_signatures(
     return _signatures_from_shingles(sh, num_hashes, id_col)
 
 
+def _hex_int_expr(md5_col, n_chars: int = 8):
+    """First ``n_chars`` hex chars of an md5 string column as a bigint —
+    nibble instr-decode, the engine-portable simhash trick."""
+    total = None
+    for i in range(n_chars):
+        nib = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(md5_col, i + 1, 1))
+            - 1
+        ).cast("bigint")
+        term = nib * F.lit(16 ** (n_chars - 1 - i)).cast("bigint")
+        total = term if total is None else total + term
+    return total
+
+
+def _signature_row(sh: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+    """One WIDE row per document: ``__mh0..__mhN`` parallel min columns.
+
+    The naive shape explodes (shingle × seed) — num_hashes× the shingle
+    rows through the aggregation.  Like simhash's 32 vote columns, the
+    permutation mins are independent aggregates over the SAME shingle
+    rows, so they compute as parallel agg columns in one codegen
+    HashAggregate: the shuffle carries one partially-aggregated
+    num_hashes-column row per (partition, doc) instead of num_hashes×
+    the shingle rows.
+    """
+    a_co, b_co = minhash_coeffs(num_hashes)
+    hashed = sh.withColumn(
+        "__h", _hex_int_expr(F.md5(F.col("shingle"))) % F.lit(_MERSENNE_P)
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (
+                    F.lit(a_co[i]).cast("bigint") * F.col("__h")
+                    + F.lit(b_co[i]).cast("bigint")
+                )
+                % F.lit(_MERSENNE_P)
+            ).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def _signatures_from_shingles(
     sh: DataFrame, num_hashes: int, id_col: str
 ) -> DataFrame:
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    ).alias("seed")
-    exploded = sh.select(F.col(id_col), F.col("shingle"), seeds)
-    return exploded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
-        ).alias("mh")
+    wide = _signature_row(sh, num_hashes, id_col)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)])
+        ).alias("seed", "mh"),
     )
 
 
@@ -251,12 +317,15 @@ def lsh_bands(
     band_size: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, band, band_sig): md5 over the band's minhashes in seed order.
+    """(id, band, band_sig): the band's minhashes in seed order, joined
+    into one equality key.
 
     Seed order is reconstructed with one conditional MIN per band slot
     (exactly one row exists per (id, seed)) — a plain codegen'd
     HashAggregate, instead of the ObjectHashAggregate a
-    sort_array(collect_list(struct)) would force.
+    sort_array(collect_list(struct)) would force.  The key is the plain
+    comma-joined string (only equality matters; a digest would add one
+    hash per (id, band) for nothing).
     """
     banded = sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
     slots = [
@@ -269,8 +338,8 @@ def lsh_bands(
     return agg.select(
         F.col(id_col),
         F.col("band"),
-        F.md5(
-            F.concat_ws(",", *[F.col(f"__m{r}") for r in range(band_size)])
+        F.concat_ws(
+            ",", *[F.col(f"__m{r}") for r in range(band_size)]
         ).alias("band_sig"),
     )
 
@@ -293,8 +362,27 @@ def minhash_lsh_pairs(
     # one shingle materialization serves signatures, verification joins,
     # and sizes (persist → localCheckpoint/Delta staging at corpus scale)
     sh = shingles(df, n, text_col, id_col).persist()
-    sigs = _signatures_from_shingles(sh, num_hashes, id_col)
-    bands = lsh_bands(sigs, band_size, id_col)
+    # band signatures straight off the wide signature row — the banding
+    # needs NO second shuffle (lsh_bands' (id, band) re-agg exists only
+    # for callers holding the long (id, seed, mh) shape)
+    wide = _signature_row(sh, num_hashes, id_col)
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"__mh{b * band_size + r}")
+                    for r in range(band_size)
+                ],
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cands = (
         b1.join(

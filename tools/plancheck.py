@@ -61,6 +61,12 @@ ALLOW_NESTED_LOOP = {
     "funnel_conversion",  # three one-ROW stage counts cross-joined
 
     "pq_ann_topk",  # ADC stage: tiny query set broadcast against code scan
+    # r3: the recall-contract queries embed the brute-force exact ranking
+    # (same tiny-query-set broadcast as ann_cosine_topk) plus a one-ROW
+    # aggregate crossJoin for the recall bound
+    "ivf_topk",
+    # one-ROW corpus-total broadcast into the per-term NLL expression
+    "unigram_logprob",
 }
 
 

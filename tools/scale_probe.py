@@ -47,6 +47,9 @@ PROBES_DOCS = [
     "tokenize_ids",  # broadcast vocab; one doc-keyed reassembly exchange
     "remove_boilerplate",  # digest-only boilerplate set + ordered rebuild
     "vocab_build",  # term-keyed partial agg; rank over model-sized vocab
+    "pii_redact",  # codegen regex: pure scan, no shuffle
+    "unigram_logprob",  # term-keyed LM agg + posting-shaped score join
+    "gopher_rules",  # rule battery: pure scan, no shuffle
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
