@@ -4240,12 +4240,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is corpus-derived, k = max(8, ceil(n/250)), stated identically in
     the oracle, so mean cell population is bounded (~250) at any corpus
     size and the within-cell quadratic term stays linear overall (the
-    round-2 fixed-k scale probe showed 66x at 10x without this). The
-    remaining super-linear term is the flat argmin ASSIGNMENT, O(n*k) —
-    at true corpus scale the coarse quantizer goes hierarchical
-    (two-level argmin or a broadcast-centroid join with cell pruning,
-    standard FAISS IMI practice); the flat expression is the exact,
-    oracle-checkable reference implementation.
+    round-2 fixed-k scale probe showed 66x at 10x without this).
+    Assignment runs in "join" mode: the centroids are a broadcast TABLE
+    crossed against the corpus scan with a partial-agg min(struct(dist,
+    cell)) argmin — a constant-size codegen expression whatever k is
+    (the literal-expression argmin's Janino compile time grows with k
+    and was the dominant probe cost), with values and tie-break
+    identical to the oracle's flat CROSS JOIN formulation.
     Threshold 0.42 sits >1e-3 from every observed cosine at both test
     SFs, so the cut is numerically unambiguous."""
     import math
@@ -4256,7 +4257,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, math.ceil(e.count() / 250.0))
     seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
     cents = [list(r[0]) for r in seed]
-    return semantic_dedup(e, cents, threshold=0.42)
+    return semantic_dedup(e, cents, threshold=0.42, assign_mode="join")
 
 
 @_q(

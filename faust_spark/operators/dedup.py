@@ -803,6 +803,7 @@ def semantic_dedup(
     threshold: float = 0.42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space,
     then mark as duplicates the vectors whose within-cluster cosine to a
@@ -824,12 +825,35 @@ def semantic_dedup(
     Output: every input row as ``(id, cell, is_dup)`` — downstream keeps
     ``NOT is_dup`` rows; emitting the flag (rather than pre-filtering)
     makes the pruning decision itself auditable.
-    """
-    from faust_spark.operators.similarity import assign_cells, dot_expr, norm_expr
 
-    a = assign_cells(emb, cents, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), "cell"
+    ``assign_mode`` picks the assignment physical shape (identical
+    values): ``"expr"`` — the flat literal argmin (best tiny k);
+    ``"two_level"`` — hierarchical argmin expression (O(sqrt k) per-row
+    evals, approximate routing); ``"join"`` — broadcast centroid TABLE +
+    partial-agg argmin (constant-size codegen, the shape that scales
+    when ``len(cents)`` grows with the corpus under the bounded-cell
+    contract).
+    """
+    from faust_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_join,
+        assign_cells_two_level,
+        dot_expr,
+        norm_expr,
     )
+
+    if assign_mode == "join":
+        cells = assign_cells_join(emb, cents, vec_col=vec_col, id_col=id_col)
+        a = emb.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
+    else:
+        assign = (
+            assign_cells_two_level
+            if assign_mode == "two_level"
+            else assign_cells
+        )
+        a = assign(emb, cents, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), "cell"
+        )
     # norms once per ROW (not per pair — the pairwise stage dominates);
     # the oracle computes the identical per-row sqrt, so the double
     # arithmetic still matches bit-for-bit

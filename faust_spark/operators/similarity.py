@@ -252,6 +252,109 @@ def assign_cells(
     return df.withColumn("cell", _cell_expr(cents, vec_col))
 
 
+def assign_cells_join(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) via a broadcast CENTROID TABLE instead of a literal
+    argmin expression.
+
+    The expression forms (:func:`assign_cells`,
+    :func:`assign_cells_two_level`) bake k distance terms into ONE
+    codegen expression — exact and shuffle-free, but both expression size
+    and Janino compile time grow with k (measured: the compile dominates
+    the whole assignment once k reaches ~100).  Here the centroids are
+    DATA: a k-row broadcast table crossed against the corpus scan (the
+    FAISS coarse-quantizer shape), one small fixed expression computes
+    the squared distance, and a partial-aggregated ``min(struct(dist,
+    cell))`` per id picks the argmin — same values and tie-break as the
+    flat expression (lexicographic struct min == ORDER BY dist, cell),
+    so the SQL oracle is unchanged.  Scales to any k a broadcast can
+    carry; beyond that the same plan works with the centroid table
+    bucketed instead of broadcast.
+    """
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, __cv array<double>",
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("__cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.join(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cell"))).alias("__m")
+        )
+        .select(F.col(id_col), F.col("__m.cell").alias("cell"))
+    )
+
+
+def assign_cells_two_level(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    block_size: Optional[int] = None,
+) -> DataFrame:
+    """Two-level (hierarchical) cell assignment — the flat argmin is
+    O(k) distance evaluations per row, which turns quadratic overall once
+    ``k`` itself scales with the corpus (the SemDeDup bounded-cell
+    contract).  Standard IVF/IMI practice splits the quantizer: route to
+    the nearest of ~sqrt(k) block REPRESENTATIVES first, then argmin only
+    over that block's members — O(sqrt k) per row, still one narrow
+    codegen map with no shuffle.
+
+    Blocks are contiguous ``block_size`` runs of the centroid list and
+    the representative is each block's FIRST centroid (no averaging —
+    deterministic and exactly replicable in the SQL oracle; a mean rep
+    would re-open cross-engine float-sum ordering).  Assignment is
+    approximate versus the flat argmin (a vector near a block boundary
+    may route to the second-best block), which SemDeDup tolerates by
+    construction: cells are arbitrary partitions of the space.
+
+    ``block_size`` defaults to ceil(sqrt(k)) — the cost-balanced split.
+    """
+    import math
+
+    k = len(cents)
+    bs = block_size or math.ceil(math.sqrt(k))
+    n_blocks = math.ceil(k / bs)
+    if n_blocks <= 1:
+        return assign_cells(df, cents, vec_col)
+    reps = [cents[b * bs] for b in range(n_blocks)]
+    blk = _cell_expr(reps, vec_col)
+
+    def dist_to(c: list[float]) -> Column:
+        carr = F.array(*[F.lit(v) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cell = None
+    for b in range(n_blocks):
+        members = cents[b * bs : (b + 1) * bs]
+        terms = [
+            F.struct(dist_to(c).alias("d"), F.lit(b * bs + i).alias("i"))
+            for i, c in enumerate(members)
+        ]
+        within = F.array_min(F.array(*terms))["i"]
+        cell = (
+            F.when(blk == b, within)
+            if cell is None
+            else cell.when(blk == b, within)
+        )
+    return df.withColumn("cell", cell)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -459,6 +562,7 @@ __all__ = [
     "hyperplane_lsh_topk",
     "kmeans_centroids",
     "assign_cells",
+    "assign_cells_two_level",
     "ivf_topk",
     "pq_codebooks",
     "pq_encode",

@@ -216,3 +216,31 @@ def test_gopher_rules_flags(spark):
     assert rows[1].keep and rows[1].ok_word_count and rows[1].ok_stopwords
     assert not rows[2].keep and not rows[2].ok_word_count
     assert not rows[3].ok_symbol_ratio and not rows[3].keep
+
+
+def test_assign_cells_two_level_routes_through_blocks(spark):
+    from faust_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_two_level,
+    )
+
+    # 4 centroids on the axes of R^2 -> bs=2: blocks {0,1} rep=c0=[1,0],
+    # {2,3} rep=c2=[-1,0]. Vectors in the left half-plane route to block
+    # 1 via its rep, then the within-block argmin separates c2 from c3.
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),    # clearly c0 (block 0)
+            (2, [0.1, 0.9]),    # c1 — same block, within-block argmin
+            (3, [-0.9, -0.1]),  # c2 (block 1 rep itself)
+            (4, [-0.1, -0.9]),  # c3 via block-1 routing
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r.vec_id: r.cell for r in assign_cells_two_level(df, cents).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # one-block degenerate case falls back to the flat argmin exactly
+    two = cents[:2]
+    flat = {r.vec_id: r.cell for r in assign_cells(df, two).collect()}
+    tl = {r.vec_id: r.cell for r in assign_cells_two_level(df, two).collect()}
+    assert flat == tl

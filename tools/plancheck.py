@@ -67,6 +67,9 @@ ALLOW_NESTED_LOOP = {
     "ivf_topk",
     # one-ROW corpus-total broadcast into the per-term NLL expression
     "unigram_logprob",
+    # broadcast centroid TABLE × corpus scan (assign_cells_join): the
+    # FAISS coarse-quantizer shape — k-row broadcast, partial-agg argmin
+    "semantic_dedup",
 }
 
 
