@@ -3125,6 +3125,136 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs), max_frames=4)
 
 
+def _features_oracle_sql(dim: int = 16) -> str:
+    """The fake feature kernel (md5-chained floats, operators/multimodal
+    _fake_features) replicated in SQL: d0 = md5(payload), d_{i+1} =
+    md5(d_i || str(i)), feature_i = first-8-hex(d_{i+1}) / 2^32, stored
+    float32 (the realistic embedding width, FEATURES_SCHEMA) — so the
+    signature states the same quantization, round(float32(i/2^32)*2^32),
+    identical IEEE round-to-nearest on both engines."""
+    chain = ",\n             ".join(
+        f"md5(d{i} || '{i}') AS d{i + 1}" for i in range(dim)
+    )
+
+    def nib(col: str) -> str:
+        return " + ".join(
+            f"(instr('0123456789abcdef', substr({col}, {j + 1}, 1)) - 1)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    sig = " || ' ' || ".join(
+        f"CAST(CAST(round(CAST(({nib(f'd{i + 1}')}) / 4294967296.0 AS REAL)"
+        f" * 4294967296.0) AS BIGINT) AS VARCHAR)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, 'image/fake' AS media_type, md5(text) AS d0
+               FROM documents),
+    c AS (SELECT doc_id, media_type, d0,
+             {chain}
+          FROM p)
+    SELECT doc_id, media_type, {sig} AS features_sig
+    FROM c
+    """
+
+
+@_q("multimodal_features", None)  # oracle registered below (programmatic)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction — the embedding-model stage over binary media:
+    Arrow-batched mapInPandas one-to-one map, binary column dropped in
+    the same stage (operators/multimodal.py extract_features). The fake
+    kernel's md5-chained floats are exact 32-bit ints / 2^32, so the
+    features are emitted as scaled integers and the oracle recomputes
+    the whole chain in SQL — full value verification of the batch path,
+    schema, and per-element kernel application."""
+    from faust_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(docs), dim=16)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x * F.lit(4294967296.0))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            " ",
+        ).alias("features_sig"),
+    )
+
+
+_ORACLES["multimodal_features"] = _features_oracle_sql()
+
+
+@_q(
+    "multimodal_resize",
+    """
+    WITH p AS (
+      SELECT doc_id, 'image/fake' AS media_type, text,
+             octet_length(encode(text)) AS nb, md5(text) AS h
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, media_type, text, nb,
+             CAST((
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+               (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+               (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+               (instr('0123456789abcdef', substr(h, 4, 1)) - 1)
+             ) % 1920 + 1 AS INT) AS w,
+             CAST((
+               (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 +
+               (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 +
+               (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 +
+               (instr('0123456789abcdef', substr(h, 8, 1)) - 1)
+             ) % 1080 + 1 AS INT) AS hh
+      FROM p
+    ),
+    s AS (
+      SELECT doc_id, media_type, text, nb, w, hh,
+             LEAST(256.0 / w, 256.0 / hh, 1.0) AS scale
+      FROM d
+    )
+    SELECT doc_id, media_type,
+           GREATEST(1, CAST(FLOOR(w * scale) AS INT)) AS width,
+           GREATEST(1, CAST(FLOOR(hh * scale) AS INT)) AS height,
+           CAST(GREATEST(1, CAST(FLOOR(nb * scale) AS BIGINT))
+                AS BIGINT) AS payload_bytes,
+           md5(substr(text, 1,
+               CAST(GREATEST(1, CAST(FLOOR(nb * scale) AS BIGINT)) AS INT)))
+             AS payload_md5
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode — the payload→payload media stage: binary in,
+    binary out inside one narrow Arrow map, dims clamped to a 256x256
+    bounding box with aspect preserved (operators/multimodal.py
+    resize_media). The fake kernel truncates the payload to len*scale
+    bytes; the oracle recomputes dims, output size, AND the md5 of the
+    resized payload (fixture text is ASCII, so byte slicing == substr),
+    verifying the full binary-transform path."""
+    from faust_spark.operators.multimodal import attach_payload, resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resize_media(attach_payload(docs), max_w=256, max_h=256)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 @_q(
     "multires_rollup",
     """
@@ -4651,6 +4781,10 @@ _PRIORITY: list[str] = [
     "cohort_retention",
     "stream_blocklist_filter",
     "enumerate_stream",
+    # r3 additions just past the window (full-gate-verified; the window
+    # itself is reserved for changed-contract queries)
+    "multimodal_features",
+    "multimodal_resize",
     # driver- or judge-verified in earlier rounds, unchanged
     "doc_fingerprint",
     "session_windows",
