@@ -206,7 +206,14 @@ def kmeans_centroids(
     )
     cents = [list(r[0]) for r in seed]
     for _ in range(iters):
-        assigned = assign_cells(df, cents, vec_col=vec_col)
+        # join-form assignment: argmin values identical to the literal
+        # expression, but codegen stays constant-size as k grows (the
+        # literal form's compile time scales with k — see
+        # assign_cells_join)
+        cells = assign_cells_join(df, cents, vec_col=vec_col, id_col=id_col)
+        assigned = df.select(F.col(id_col), F.col(vec_col)).join(
+            cells, id_col
+        )
         per_dim = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
