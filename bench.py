@@ -72,6 +72,9 @@ HEADLINE = [
     "quality_classifier",  # model apply: literal weights, one scan
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
+    "gopher_rules",  # heuristic rule battery, one scan
+    "multimodal_features",  # Arrow-batched media feature extraction
+    "multimodal_resize",  # payload->payload media transform
     "user_anomaly",  # per-user z-score outlier screen
     # streaming engine path
     "stream_tumbling_hourly",
