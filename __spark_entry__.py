@@ -2991,24 +2991,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+def _lsh_oracle_sql(
+    n_planes: int = 6, dim: int = 64, k: int = 5, n_tables: int = 1
+) -> str:
     """Exact DuckDB replica of hyperplane_lsh_topk: the hyperplanes are
     deterministic md5-derived doubles, so they embed as SQL literals and
-    the whole pipeline — sign-bit signatures, multiprobe bucket
-    expansion, in-bucket cosine re-rank — is reproducible bit-for-bit
-    (float→double casts on both engines, same ivf_assign precedent)."""
+    the whole pipeline — per-table sign-bit signatures, multiprobe bucket
+    expansion, candidate UNION across tables, cosine re-rank — is
+    reproducible bit-for-bit (float→double casts on both engines, same
+    ivf_assign precedent)."""
     from faust_spark.operators.similarity import _deterministic_planes
-
-    planes = _deterministic_planes(n_planes, dim)
 
     def arr(row: list[float]) -> str:
         return "[" + ",".join(repr(v) for v in row) + "]"
 
-    bits = ",\n             ".join(
-        "CASE WHEN list_sum(list_transform(list_zip(v, {}), "
-        "x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END".format(arr(p))
-        for p in planes
-    )
     flips = ", ".join(
         "substr(bucket, 1, {i}) || "
         "(CASE WHEN substr(bucket, {i1}, 1) = '1' THEN '0' ELSE '1' END)"
@@ -3017,18 +3013,33 @@ def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
         )
         for i in range(n_planes)
     )
+    table_ctes, cand_selects = [], []
+    for t in range(n_tables):
+        planes = _deterministic_planes(n_planes, dim, seed=t)
+        bits = ",\n             ".join(
+            "CASE WHEN list_sum(list_transform(list_zip(v, {}), "
+            "x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END".format(arr(p))
+            for p in planes
+        )
+        table_ctes.append(
+            f"""sig{t} AS (SELECT vec_id, v, concat({bits}) AS bucket
+            FROM e),
+    q{t} AS (SELECT vec_id AS qid, bucket FROM sig{t} WHERE vec_id < 10),
+    qp{t} AS (SELECT qid, unnest([bucket, {flips}]) AS bucket FROM q{t})"""
+        )
+        cand_selects.append(
+            f"""SELECT qp{t}.qid, s.vec_id AS nid
+             FROM sig{t} s JOIN qp{t} ON s.bucket = qp{t}.bucket
+             WHERE s.vec_id != qp{t}.qid"""
+        )
+    tables_sql = ",\n    ".join(table_ctes)
+    cand_union = "\n             UNION\n             ".join(cand_selects)
     return f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    sig AS (SELECT vec_id, v,
-                   concat({bits}) AS bucket
-            FROM e),
-    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < 10),
-    qp AS (SELECT qid, qv, unnest([bucket, {flips}]) AS bucket FROM q),
-    cand AS (SELECT DISTINCT qp.qid, s.vec_id AS nid
-             FROM sig s JOIN qp ON s.bucket = qp.bucket
-             WHERE s.vec_id != qp.qid),
+    {tables_sql},
+    cand AS (SELECT DISTINCT qid, nid FROM ({cand_union})),
     sc AS (SELECT c.qid, c.nid,
                   list_cosine_similarity(q2.v, e2.v) AS sim
            FROM cand c
@@ -3044,21 +3055,23 @@ def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
 
 @_q("ann_lsh_topk", None)  # oracle registered below (programmatic SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (the scale path): signature bucketing +
-    in-bucket exact re-rank. FULLY oracle-checked — the deterministic
-    hyperplanes are embedded in the DuckDB SQL as literals, so bucket
-    membership, multiprobe expansion, and the re-rank are all verified,
-    not just recall (which tests/test_similarity.py also asserts)."""
+    """Hyperplane-LSH bucketed ANN (the scale path): two independent
+    hash tables (seeded plane families) + Hamming-1 multiprobe, exact
+    cosine re-rank over the candidate union. FULLY oracle-checked — the
+    deterministic hyperplanes embed in the DuckDB SQL as literals, so
+    per-table bucket membership, multiprobe expansion, the cross-table
+    union, and the re-rank are all verified, not just recall (which
+    tests/test_similarity.py also asserts)."""
     from faust_spark.operators.similarity import hyperplane_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=6)
+    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=6, n_tables=2)
 
 
-_ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+_ORACLES["ann_lsh_topk"] = _lsh_oracle_sql(n_tables=2)
 
 
 @_q(

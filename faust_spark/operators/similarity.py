@@ -129,48 +129,61 @@ def hyperplane_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     multiprobe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's LSH bucket, exact cosine
-    re-rank inside. (qid, nid, rank).
+    """Approximate top-k: probe the query's LSH bucket(s), exact cosine
+    re-rank over the union of candidates. (qid, nid, rank).
 
-    ``multiprobe=1`` additionally probes every Hamming-distance-1 bucket
-    (flip each signature bit) — the standard multi-probe LSH recall
-    boost: ~(n_planes+1)× candidates instead of maintaining multiple
-    hash tables. The probe expansion happens on the (small, broadcast)
-    query side; the corpus is bucketed once.
+    Two independent recall knobs, both standard LSH practice:
+
+    * ``multiprobe=1`` additionally probes every Hamming-distance-1
+      bucket (flip each signature bit) — ~(n_planes+1)× candidates from
+      ONE table. The probe expansion happens on the (small, broadcast)
+      query side; the corpus is bucketed once per table.
+    * ``n_tables=T`` unions candidates from T INDEPENDENT hyperplane
+      families (seeded plane sets): a true neighbor missed by one
+      family's cut is caught by another — recall ≈ 1-(1-p)^T for
+      per-table collision rate p, at T corpus bucketing passes.
+
+    The re-rank joins candidate ids back to vectors once (candidates
+    broadcast — they are ≪ corpus), so vectors never ride the bucket
+    join.
     """
-    c = hyperplane_signature(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
-        n_planes,
-        dim,
-        "cv",
+    corpus_sel = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
     )
-    q = hyperplane_signature(
-        queries.select(
-            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ),
-        n_planes,
-        dim,
-        "qv",
+    queries_sel = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    if multiprobe >= 1:
-        # own bucket + each bit flipped once
-        def flip(i: int):
-            return F.concat(
-                F.substring("bucket", 1, i),
-                F.when(
-                    F.substring("bucket", i + 1, 1) == "1", F.lit("0")
-                ).otherwise(F.lit("1")),
-                F.substring("bucket", i + 2, n_planes - i - 1),
-            )
 
-        probes = F.array(F.col("bucket"), *[flip(i) for i in range(n_planes)])
-        q = q.withColumn("bucket", F.explode(probes))
+    def flip(i: int):
+        return F.concat(
+            F.substring("bucket", 1, i),
+            F.when(
+                F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1")),
+            F.substring("bucket", i + 2, n_planes - i - 1),
+        )
+
+    cand = None
+    for t in range(n_tables):
+        c = hyperplane_signature(corpus_sel, n_planes, dim, "cv", seed=t)
+        qt = hyperplane_signature(queries_sel, n_planes, dim, "qv", seed=t)
+        if multiprobe >= 1:
+            probes = F.array(
+                F.col("bucket"), *[flip(i) for i in range(n_planes)]
+            )
+            qt = qt.withColumn("bucket", F.explode(probes))
+        pairs = (
+            c.join(F.broadcast(qt.select("qid", "bucket")), "bucket")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["qid", "nid"])
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", "qv", "cv")
-        .dropDuplicates(["qid", "nid"])  # several probes, one candidate
+        corpus_sel.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(queries_sel), "qid")
         .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
