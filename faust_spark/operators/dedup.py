@@ -366,6 +366,12 @@ def minhash_lsh_pairs(
     # needs NO second shuffle (lsh_bands' (id, band) re-agg exists only
     # for callers holding the long (id, seed, mh) shape)
     wide = _signature_row(sh, num_hashes, id_col)
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of band_size "
+            f"({band_size}): a trailing partial band here would silently "
+            "diverge from lsh_bands, which emits one"
+        )
     n_bands = num_hashes // band_size
     band_structs = [
         F.struct(
@@ -826,13 +832,15 @@ def semantic_dedup(
     ``NOT is_dup`` rows; emitting the flag (rather than pre-filtering)
     makes the pruning decision itself auditable.
 
-    ``assign_mode`` picks the assignment physical shape (identical
-    values): ``"expr"`` — the flat literal argmin (best tiny k);
-    ``"two_level"`` — hierarchical argmin expression (O(sqrt k) per-row
-    evals, approximate routing); ``"join"`` — broadcast centroid TABLE +
-    partial-agg argmin (constant-size codegen, the shape that scales
-    when ``len(cents)`` grows with the corpus under the bounded-cell
-    contract).
+    ``assign_mode`` picks the assignment physical shape.  ``"expr"``
+    (flat literal argmin, best tiny k) and ``"join"`` (broadcast
+    centroid TABLE + partial-agg argmin — the shape that scales when
+    ``len(cents)`` grows with the corpus under the bounded-cell
+    contract) produce IDENTICAL values.  ``"two_level"`` (hierarchical
+    argmin, O(sqrt k) per-row evals) is APPROXIMATE: boundary vectors
+    may route to the second-best cell, so its output can diverge from
+    the exact-assignment oracle — use it only where approximate cell
+    routing is acceptable.
     """
     from faust_spark.operators.similarity import (
         assign_cells,

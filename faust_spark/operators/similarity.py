@@ -582,6 +582,7 @@ __all__ = [
     "hyperplane_lsh_topk",
     "kmeans_centroids",
     "assign_cells",
+    "assign_cells_join",
     "assign_cells_two_level",
     "ivf_topk",
     "pq_codebooks",

@@ -18,7 +18,14 @@ the gap with the standard two-phase-commit recipe:
 3. on (re)start, the last committed marker is read back (with
    ``isolation.level=read_committed``) and any re-delivered
    ``batch_id <= last`` is skipped — the sink observes each batch exactly
-   once even though Spark delivers at-least-once;
+   once even though Spark delivers at-least-once.  The marker key is
+   bound to the **checkpoint lineage** (``txn_id @ streaming-query id``,
+   read from the checkpoint's metadata file): if the checkpoint is
+   deleted or relocated, Spark assigns a fresh query id, batch ids
+   restart at 0, and old markers under the same ``transactional.id`` no
+   longer match — the sink reprocesses from scratch (duplicates are the
+   correct at-least-once degradation for a reset checkpoint) instead of
+   silently skipping every batch (data loss);
 4. any failure mid-batch aborts the transaction — readers running
    ``read_committed`` never see partial batches.
 
@@ -73,6 +80,23 @@ class TransactionalTransport(Protocol):
     ) -> Optional[int]: ...
 
 
+def _checkpoint_lineage_id(checkpoint: str) -> Optional[str]:
+    """The streaming-query id Spark wrote into ``<checkpoint>/metadata``
+    — stable across restarts of the same checkpoint, fresh whenever the
+    checkpoint is deleted or relocated.  That makes it the lineage token
+    batch ids are meaningful under: batch 0 of a reset checkpoint is NOT
+    batch 0 of the old one."""
+    import json
+    import os
+
+    path = os.path.join(checkpoint, "metadata")
+    try:
+        with open(path) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
 def kafka_transactional_batch_sink(
     topic: str,
     transport_factory: Callable[[str], TransactionalTransport],
@@ -80,6 +104,8 @@ def kafka_transactional_batch_sink(
     value_col: str = "value",
     key_col: Optional[str] = None,
     control_topic: str = DEFAULT_CONTROL_TOPIC,
+    lineage_id: Optional[str] = None,
+    checkpoint: Optional[str] = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch callback implementing the two-phase commit.
 
@@ -87,8 +113,28 @@ def kafka_transactional_batch_sink(
     ``init_transactions`` is the fencing point; creating it per batch
     would bump the epoch every batch and defeat zombie detection of a
     concurrently-running stale driver.
+
+    Markers are keyed ``{transactional_id}@{lineage}`` where ``lineage``
+    is ``lineage_id`` if given, else the streaming-query id read from
+    ``checkpoint`` (lazily, on the first batch — by then Spark has
+    written the metadata file).  A marker written under a previous
+    checkpoint lineage therefore never matches, so a checkpoint reset
+    reprocesses instead of silently skipping restarted batch ids.
+    With neither ``lineage_id`` nor ``checkpoint`` the key is the bare
+    ``transactional_id`` — callers then MUST rotate the transactional id
+    whenever the checkpoint is reset.
     """
     state: dict = {}
+
+    def marker_key() -> str:
+        if "mk" not in state:
+            lid = lineage_id
+            if lid is None and checkpoint is not None:
+                lid = _checkpoint_lineage_id(checkpoint)
+            state["mk"] = (
+                f"{transactional_id}@{lid}" if lid else transactional_id
+            )
+        return state["mk"]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t = state.get("t")
@@ -96,7 +142,7 @@ def kafka_transactional_batch_sink(
             t = transport_factory(transactional_id)
             t.init_transactions()
             state["t"] = t
-        last = t.last_committed(control_topic, transactional_id)
+        last = t.last_committed(control_topic, marker_key())
         if last is not None and batch_id <= last:
             return  # re-delivered batch: its transaction already committed
         t.begin_transaction()
@@ -106,7 +152,7 @@ def kafka_transactional_batch_sink(
                 key = str(row[key_col]) if key_col else None
                 t.send(topic, key, str(row[value_col]))
             # marker rides in the SAME transaction as the data
-            t.send(control_topic, transactional_id, str(batch_id))
+            t.send(control_topic, marker_key(), str(batch_id))
             t.commit_transaction()
         except BaseException:
             t.abort_transaction()
@@ -136,6 +182,7 @@ def kafka_transactional_foreach_batch(
         value_col=value_col,
         key_col=key_col,
         control_topic=control_topic,
+        checkpoint=checkpoint,
     )
     q = (
         df.writeStream.foreachBatch(sink)
