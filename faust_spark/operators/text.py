@@ -348,7 +348,12 @@ def build_vocab(
        as a distributed TakeOrderedAndProject, not a global sort.
 
     The final rank window therefore sees at most ``max_vocab`` rows —
-    provably model-sized at any corpus scale.
+    provably model-sized at any corpus scale — and is PARTITIONED by
+    frequency band: the histogram already tells us how many terms
+    precede each band in (freq DESC, term) order, so ids assign as
+    ``band_offset + rank-within-band(term)``, a per-freq window plus a
+    broadcast join of the model-sized (freq, offset) table instead of
+    one global single-partition window.
     """
     counts = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
@@ -368,10 +373,13 @@ def build_vocab(
     )
     kept = 0
     f_star, quota = None, 0
+    offsets: list[tuple[int, int]] = []  # (freq, #terms before the band)
     for freq, n in hist:
         if kept + n > max_vocab:
             f_star, quota = freq, max_vocab - kept
+            offsets.append((freq, kept))
             break
+        offsets.append((freq, kept))
         kept += n
     if f_star is not None:
         head = counts.filter(F.col("freq") > f_star)
@@ -381,11 +389,24 @@ def build_vocab(
             .limit(quota)
         )
         counts = head.unionByName(tie)
-    w = W.orderBy(F.desc("freq"), F.col("term"))
-    return counts.select(
-        "term",
-        "freq",
-        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+    if not offsets:
+        return counts.select(
+            "term", "freq", F.lit(0).cast("int").alias("token_id")
+        ).limit(0)
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "freq bigint, __off bigint")
+    )
+    w = W.partitionBy("freq").orderBy("term")
+    return (
+        counts.join(off, "freq")
+        .select(
+            "term",
+            "freq",
+            (F.col("__off") + F.row_number().over(w) - 1)
+            .cast("int")
+            .alias("token_id"),
+        )
     )
 
 
