@@ -3715,32 +3715,50 @@ _ANN_RECALL_ORACLE = """
     r AS (SELECT qid, nid,
                  ROW_NUMBER() OVER (PARTITION BY qid
                                     ORDER BY sim DESC, nid) AS rank
-          FROM s)
-    SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+          FROM s),
+    top AS (SELECT CAST(qid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)
+                     AS pair
+            FROM r WHERE rank <= 5)
+    SELECT CAST(COUNT(DISTINCT split_part(pair, ':', 1)) AS BIGINT)
+             AS n_queries,
            CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           md5(string_agg(pair, ',' ORDER BY pair)) AS exact_pairs_md5,
            TRUE AS recall_ok
-    FROM r WHERE rank <= 5
+    FROM top
     """
 
 
 def _ann_recall_contract(approx: DataFrame, exact: DataFrame,
                          min_recall: float) -> DataFrame:
-    """approx_distinct_users-style checkable contract for approximate
-    top-k: the oracle recomputes the exact brute-force ranking in DuckDB
-    (n_queries, n_exact_pairs are hard facts); ``recall_ok`` asserts the
-    approximate result's containment in it stays above ``min_recall``.
-    An index whose recall drifts below the bound turns the row red."""
+    """Checkable contract for approximate top-k. The oracle recomputes
+    the exact brute-force ranking in DuckDB and emits the md5 of its
+    canonically-sorted (qid, nid) pair set alongside the counts — so the
+    Spark-side exact ranking is itself VERIFIED against the oracle, not
+    merely recomputed (a bug hitting cosine_expr symmetrically on the
+    exact and approximate paths now breaks ``exact_pairs_md5`` instead
+    of passing silently).  ``recall_ok`` then asserts the approximate
+    result's containment in that verified exact set stays above
+    ``min_recall`` — an index whose recall drifts turns the row red."""
+    pair = F.concat_ws(
+        ":", F.col("qid").cast("string"), F.col("nid").cast("string")
+    )
     ex = exact.select("qid", "nid")
     hits = approx.select("qid", "nid").join(ex, ["qid", "nid"])
     return (
         ex.agg(
             F.count_distinct("qid").cast("long").alias("n_queries"),
             F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(pair))
+                ).cast("binary")
+            ).alias("exact_pairs_md5"),
         )
         .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("__h"))))
         .select(
             "n_queries",
             "n_exact_pairs",
+            "exact_pairs_md5",
             (
                 F.col("__h")
                 >= F.lit(min_recall) * F.col("n_exact_pairs")
@@ -3766,6 +3784,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     approx = _ivf(emb, queries, k=5, n_cells=16, nprobe=4)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_recall_contract(approx, exact, min_recall=0.8)
+
+
+@_q("ivf2_topk", _ANN_RECALL_ORACLE)
+def ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF ANN: same quantizer and probe budget as
+    ``ivf_topk`` but corpus vectors route through the hierarchical
+    O(sqrt k) assignment (operators/similarity.py
+    ``assign_cells_two_level``) — the shape that holds when ``n_cells``
+    scales with the corpus and the flat per-row argmin would itself turn
+    quadratic. Routing is approximate, so the bar is the same recall@5
+    >= 0.8 contract against the DuckDB-verified exact ranking
+    (``exact_pairs_md5`` pins the exact set cross-engine)."""
+    from faust_spark.operators.similarity import cosine_topk
+    from faust_spark.operators.similarity import ivf_topk as _ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = _ivf(
+        emb, queries, k=5, n_cells=16, nprobe=4, assign_mode="two_level"
+    )
     exact = cosine_topk(emb, queries, k=5)
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 

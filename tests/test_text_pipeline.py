@@ -224,9 +224,10 @@ def test_assign_cells_two_level_routes_through_blocks(spark):
         assign_cells_two_level,
     )
 
-    # 4 centroids on the axes of R^2 -> bs=2: blocks {0,1} rep=c0=[1,0],
-    # {2,3} rep=c2=[-1,0]. Vectors in the left half-plane route to block
-    # 1 via its rep, then the within-block argmin separates c2 from c3.
+    # 4 centroids on the axes of R^2 -> centroid_blocks clusters them
+    # into 2 coherent blocks ({c0,c3} and {c1,c2} under lowest-index
+    # init); with top_blocks=2 every vector routes through both and the
+    # within-block argmins recover the flat assignment exactly here.
     cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
     df = spark.createDataFrame(
         [
