@@ -4786,42 +4786,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-3 window policy: the 50-entry window holds (a) the LLM-pipeline
-# layer (graded as first-class) and (b) every query whose implementation,
-# oracle, or output contract changed this round — the five NTZ-fix
-# casualties (stream_stream_join, stream_left_outer_join, stream_dedup,
-# stream_window_close, value_trend), the two driver-canon fixes
-# (text_tokens, tokenize_ids), the four newly-oracled ANN queries
-# (ann_lsh_topk, embedding_centroids, ivf_topk, pq_ann_topk), vocab_build
-# (max_vocab guard), and edit_distance_pairs (band cap).  Displaced to
-# make room: domain_stats, approx_distinct_users, asof_join,
-# interval_join_sliding — all driver-green in CORRECTNESS_r02.json and
-# byte-identical this round.  Everything below position 50 is re-checked
-# every round by ``tools/check.py`` into ``artifacts/check_all_r{N}.json``.
+# Round-4 window policy (VERDICT r3 item 1): positions 1-22 are the 22
+# queries that had NEVER had a driver-green row (only repo-gate
+# evidence) — multimodal_features/resize, the batch session/percentile/
+# histogram/null-safe/fingerprint/rollup/enriched block, and the
+# 13-query TPC-H tail.  Positions 23-28 are every query whose contract
+# changed THIS round: edit_distance_pairs (exact PassJoin semantics,
+# exact oracle), ivf_topk/pq_ann_topk (oracle now pins the exact pair
+# set by md5), ivf2_topk (new), vocab_build/tokenize_ids (banded rank
+# plan, oracle unchanged).  Positions 29-50 keep the LLM-pipeline core
+# in the hard gate.  Displaced queries (all driver-green in r1-r3 and
+# byte-identical now) drop below 50 and stay covered by
+# ``tools/check.py`` → ``artifacts/check_all_r{N}.json``.
 _PRIORITY: list[str] = [
-    # ---- positions 1-50: the driver correctness window -----------------
-    # LLM-data-pipeline core
+    # ---- positions 1-22: first-time driver evidence --------------------
+    "multimodal_features",
+    "multimodal_resize",
+    "session_windows",
+    "value_percentiles",
+    "hourly_histogram",
+    "null_safe_join",
+    "doc_fingerprint",
+    "multires_rollup",
+    "stream_enriched_counts",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_late_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_bracket_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    # ---- positions 23-28: contract changed this round ------------------
+    "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
+    "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)
+    "pq_ann_topk",  # r4: same oracle change
+    "ivf2_topk",  # r4: NEW two-level IVF under the recall contract
+    "vocab_build",  # r4: freq-banded rank (plan change, same oracle)
+    "tokenize_ids",  # r4: consumes vocab_build
+    # ---- positions 29-50: LLM-pipeline core stays in the hard gate -----
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
-    "simhash_fp",
+    "dedup_keep_best",
     "dedup_components",
+    "simhash_fp",
     "embedding_dup_pairs",
+    "semantic_dedup",
     "ann_cosine_topk",
-    "ann_lsh_topk",  # r3: exact hyperplane oracle (was rows-only)
-    "embedding_centroids",  # r3: scaled-int centroid signature oracle
-    "text_tokens",  # r3: oracle BIGINT cast (driver hash fix)
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "text_tokens",
     "text_quality",
     "lang_id",
+    "gopher_rules",
+    "pii_redact",
+    "unigram_logprob",
+    "quality_classifier",
     "multimodal_decode",
+    "multimodal_frames",
+    "stratified_sample",
+    "sample_mixture_weights",
+    # ---- positions 51+: past the window; full-gate-checked every round --
+    # displaced this round (driver-green r1-r3, byte-identical r4)
     "pipeline_filter_dedup",
     "repetition_stats",
     "ngram_contamination",
-    "ivf_topk",  # r3: recall@5-bound oracle (was rows-only)
     "stream_session_windows",
-    "multimodal_frames",
-    "sample_mixture_weights",
-    "dedup_keep_best",
     "ivf_assign",
     "split_assign",
     "shard_shuffle",
@@ -4829,31 +4865,19 @@ _PRIORITY: list[str] = [
     "distinctive_terms",
     "dedup_incremental",
     "bm25_search",
-    "stratified_sample",
     "boilerplate_chunks",
-    "pq_ann_topk",  # r3: recall@5-bound oracle (was rows-only)
     "grouping_sets_revenue",
-    # the five NTZ-ingest-fix casualties (VERDICT r2 "What's wrong" #1)
     "stream_left_outer_join",
     "stream_stream_join",
     "stream_dedup",
     "stream_window_close",
     "value_trend",
-    "pii_redact",  # r3: new operator
-    "unigram_logprob",  # r3: new operator
-    "gopher_rules",  # r3: new operator
-    "vocab_build",  # r3: max_vocab pre-rank guard
-    "tokenize_ids",  # r3: ids_as_string (driver canon fix)
     "remove_boilerplate",
     "zipf_slope",
-    "semantic_dedup",
     "user_anomaly",
-    "quality_classifier",
     "stream_anomaly",
-    "edit_distance_pairs",  # r3: simhash band cap
     "approx_percentiles",
-    # ---- positions 51+: past the window; full-gate-checked every round --
-    # displaced this round (driver-green r2, byte-identical r3)
+    # displaced in earlier rounds
     "approx_distinct_users",
     "asof_join",
     "interval_join_sliding",
@@ -4862,18 +4886,6 @@ _PRIORITY: list[str] = [
     "cohort_retention",
     "stream_blocklist_filter",
     "enumerate_stream",
-    # r3 additions just past the window (full-gate-verified; the window
-    # itself is reserved for changed-contract queries)
-    "multimodal_features",
-    "multimodal_resize",
-    # driver- or judge-verified in earlier rounds, unchanged
-    "doc_fingerprint",
-    "session_windows",
-    "multires_rollup",
-    "value_percentiles",
-    "hourly_histogram",
-    "null_safe_join",
-    "stream_enriched_counts",
     "counter_table",
     "sum_table",
     "filter_project",
@@ -4905,19 +4917,6 @@ _PRIORITY: list[str] = [
     "q10_returns",
     "q14_promo",
     "q18_large_orders",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q17_small_quantity",
-    "q19_bracket_revenue",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q12_late_shipping",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_excess_shippers",
-    "q21_waiting_supplier",
     "window_functions",
     "rolling_revenue",
     "rank_analytics",
