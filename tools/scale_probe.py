@@ -30,17 +30,24 @@ PROBES_EVENTS = [
     "user_anomaly",  # one user-keyed exchange; replicas grow users AND days
     "funnel_conversion",  # stage joins share the user partitioning
 ]
-PROBES_DOCS = [
+# pairwise doc ops: candidate sets grow super-linearly under replication
+# (every replica pair is a planted near-dup), so the probe stays bounded
+# at 4x and reads time against rows_ratio
+PROBES_DOCS_PAIRWISE = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "edit_distance_pairs",  # PassJoin segment blocking (exact, r4)
+    "dedup_incremental",  # batch x corpus join (replicas inflate overlap)
+]
+# linear doc ops probe at the FULL multiplier (r3 verdict item 5: these
+# previously probed at 4x or not at all)
+PROBES_DOCS = [
     "simhash_fp",
-    "edit_distance_pairs",  # length-blocked; replicas add near-dup pairs
     "repetition_stats",
     "ngram_contamination",
     "doc_chunking",  # linear fan-out, no shuffle
     "shard_shuffle",  # per-shard parallel sorts
     "distinctive_terms",  # single shared term exchange
-    "dedup_incremental",  # batch x corpus join (replicas inflate overlap)
     "bm25_search",  # one scan + TakeOrdered: should be ~linear
     "boilerplate_chunks",  # digest-only shuffles, shared exchange
     "stratified_sample",  # one stratum-keyed shuffle
@@ -50,6 +57,8 @@ PROBES_DOCS = [
     "pii_redact",  # codegen regex: pure scan, no shuffle
     "unigram_logprob",  # term-keyed LM agg + posting-shaped score join
     "gopher_rules",  # rule battery: pure scan, no shuffle
+    "multimodal_features",  # Arrow-batched narrow map over payloads
+    "multimodal_resize",  # payload->payload narrow map
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
@@ -61,7 +70,9 @@ PROBES_DOCS = [
 # measured 66x at 10x, which is exactly what the auto-scaling prevents.
 PROBES_EMB = [
     "ann_cosine_topk",
+    "ann_lsh_topk",  # bucketed probe + multiprobe union (r4: at 10x)
     "ivf_topk",
+    "ivf2_topk",  # hierarchical corpus assignment (r4)
     "embedding_dup_pairs",
     "semantic_dedup",
 ]
@@ -99,24 +110,41 @@ def main() -> int:
         .write.mode("overwrite")
         .parquet(os.path.join(big, "events.parquet"))
     )
-    # documents: perturb text per replica so dup structure stays constant
+    # documents: perturb text per replica so dup structure stays constant.
+    # Full multiplier for the linear ops; a bounded 4x copy for pairwise
+    # ops whose candidate sets grow quadratically under replication.
     docs = load_table(spark, args.base, "documents")
     n_docs = docs.count()
     doc_mult = min(args.mult, 4)  # pairwise ops: keep the probe bounded
-    (
-        docs.crossJoin(spark.range(doc_mult).select(F.col("id").alias("rep")))
-        .select(
-            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias(
-                "text"
-            ),
-            "lang",
-            "source",
-            "n_chars",
+
+    def _write_docs(mult: int, dest: str) -> None:
+        (
+            docs.crossJoin(spark.range(mult).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .write.mode("overwrite")
+            .parquet(dest)
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(big, "documents.parquet"))
-    )
+
+    _write_docs(args.mult, os.path.join(big, "documents.parquet"))
+    big_docs4 = os.path.join(big, "docs4")
+    os.makedirs(big_docs4, exist_ok=True)
+    _write_docs(doc_mult, os.path.join(big_docs4, "documents.parquet"))
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        os.symlink(
+            os.path.join(big, f"{t}.parquet")
+            if t == "events"
+            else os.path.join(args.base, f"{t}.parquet"),
+            os.path.join(big_docs4, f"{t}.parquet"),
+        )
     emb = load_table(spark, args.base, "embeddings")
     n_emb = emb.count()
     (
@@ -170,13 +198,21 @@ def main() -> int:
         big_emb = big
 
     PAIRWISE_EMB = {"embedding_dup_pairs"}
-    for key in PROBES_EVENTS + PROBES_DOCS + PROBES_EMB:
-        big_dir = big_emb if key in PAIRWISE_EMB else big
+    for key in (
+        PROBES_EVENTS + PROBES_DOCS + PROBES_DOCS_PAIRWISE + PROBES_EMB
+    ):
+        big_dir = (
+            big_emb
+            if key in PAIRWISE_EMB
+            else big_docs4
+            if key in PROBES_DOCS_PAIRWISE
+            else big
+        )
         base_t, base_n = timed(key, args.base)
         big_t, big_n = timed(key, big_dir)
         mult = (
             doc_mult
-            if key in PROBES_DOCS
+            if key in PROBES_DOCS_PAIRWISE
             else emb_mult
             if key in PAIRWISE_EMB
             else args.mult
