@@ -3812,6 +3812,26 @@ def ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 
 
+@_q("ivfpq_topk", _ANN_RECALL_ORACLE)
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (operators/similarity.py ivfpq_topk) — the
+    FAISS IVFPQ serving shape: coarse cells prune the scan to
+    ~nprobe/n_cells of the corpus AND the probed scan reads only PQ
+    codes (~256x smaller), ADC-scored against broadcast codebook
+    literals; full vectors fetched for the shortlist only, exact-cosine
+    re-ranked. Same recall@5 >= 0.8 contract against the DuckDB-pinned
+    exact set as ivf_topk/pq_ann_topk/ivf2_topk."""
+    from faust_spark.operators.similarity import cosine_topk, ivfpq_topk as _ipq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = _ipq(emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_recall_contract(approx, exact, min_recall=0.8)
+
+
 @_q(
     "doc_chunking",
     """
@@ -4827,6 +4847,7 @@ _PRIORITY: list[str] = [
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)
     "pq_ann_topk",  # r4: same oracle change
     "ivf2_topk",  # r4: NEW two-level IVF under the recall contract
+    "ivfpq_topk",  # r4: NEW IVF+PQ composition, same recall contract
     "vocab_build",  # r4: freq-banded rank (plan change, same oracle)
     "tokenize_ids",  # r4: consumes vocab_build
     # ---- positions 29-50: LLM-pipeline core stays in the hard gate -----
@@ -4851,8 +4872,8 @@ _PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_frames",
     "stratified_sample",
-    "sample_mixture_weights",
     # ---- positions 51+: past the window; full-gate-checked every round --
+    "sample_mixture_weights",
     # displaced this round (driver-green r1-r3, byte-identical r4)
     "pipeline_filter_dedup",
     "repetition_stats",

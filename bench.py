@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_keep_best",  # quality-aware keeper argmax
     "ann_cosine_topk",
     "ivf_topk",  # IVF ANN (k-means fit + nprobe probe)
+    "ivfpq_topk",  # IVF+PQ: cell-pruned ADC over codes + exact re-rank
     "embedding_dup_pairs",  # block-grid GEMM exact path
     "edit_distance_pairs",  # length-bucket blocked Levenshtein
     "enumerate_stream",  # distributed zipWithIndex

@@ -647,6 +647,126 @@ def pq_topk(
     )
 
 
+def _adc_expr(
+    books: list[list[list[float]]], qv_col: str, codes_col: str
+) -> Column:
+    """Asymmetric-distance (ADC) expression: Σ_j ‖q_j − book_j[code_j]‖²
+    with the codebooks as broadcast literals — one codegen expression
+    over the code table, no decode of corpus vectors."""
+    d = len(books[0][0])
+    terms = []
+    for j, book in enumerate(books):
+        qsub = F.slice(F.col(qv_col), j * d + 1, d)
+        book_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+        cent = F.element_at(book_lit, F.element_at(codes_col, j + 1) + 1)
+        terms.append(
+            F.aggregate(
+                F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return sum(terms[1:], terms[0])
+
+
+def probe_cells_expr(
+    cents: list[list[float]], qv_col: str, nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cell ids for a query vector, as one
+    array-of-structs sort expression (shared by ivf_topk / ivfpq_topk)."""
+    probes = []
+    for i, cent in enumerate(cents):
+        carr = F.array(*[F.lit(v) for v in cent])
+        d = F.aggregate(
+            F.zip_with(F.col(qv_col), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probes.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.slice(
+        F.transform(F.array_sort(F.array(*probes)), lambda s: s["i"]),
+        1,
+        nprobe,
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 50,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF + PQ composition — the FAISS IVFPQ serving shape, and the
+    one that actually holds at 100 TB: the IVF coarse quantizer prunes
+    the scan to ~nprobe/n_cells of the corpus, and within the probed
+    cells the scan reads only PQ codes (``m`` small ints per vector,
+    ~256× smaller than the float corpus), scored by the ADC expression
+    against broadcast codebook literals.  Full vectors are fetched for
+    the per-query ``shortlist`` only, then exact-cosine re-ranked.
+
+    So the per-query cost is (nprobe/n_cells) · |codes| scanned +
+    shortlist vector fetches — both knobs independent of corpus width.
+    Codes are quantized from raw vectors (not residuals); residual
+    encoding is the standard refinement once cells are large enough for
+    the per-cell offset to dominate distortion.
+
+    Returns (qid, nid, rank); recall vs brute force is the contract
+    (same recall@5 gate as ivf_topk / pq_ann_topk).
+    """
+    cents = kmeans_centroids(
+        corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    books = pq_codebooks(
+        corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    # code table WITH cell id: (nid, cell, codes) — at scale this is the
+    # compact index artifact, written once and bucketed by cell
+    enc = pq_encode(
+        assign_cells(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+            cents,
+            vec_col,
+        ),
+        books,
+        vec_col=vec_col,
+    ).select("nid", "cell", "codes")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    qp = q.withColumn(
+        "cell", F.explode(probe_cells_expr(cents, "qv", nprobe))
+    )
+    scored = (
+        enc.join(F.broadcast(qp), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("adist", _adc_expr(books, "qv", "codes"))
+    )
+    wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.col("nid"))
+    cand = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= shortlist)
+        .select("qid", "qv", "nid")
+    )
+    full = cand.join(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+        "nid",
+    ).withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
 __all__ = [
     "dot_expr",
     "norm_expr",
@@ -660,7 +780,9 @@ __all__ = [
     "centroid_blocks",
     "assign_cells_two_level",
     "ivf_topk",
+    "ivfpq_topk",
     "pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "probe_cells_expr",
 ]

@@ -73,6 +73,7 @@ PROBES_EMB = [
     "ann_lsh_topk",  # bucketed probe + multiprobe union (r4: at 10x)
     "ivf_topk",
     "ivf2_topk",  # hierarchical corpus assignment (r4)
+    "ivfpq_topk",  # cell-pruned ADC over codes (r4)
     "embedding_dup_pairs",
     "semantic_dedup",
 ]
