@@ -446,6 +446,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     assign_mode: str = "flat",
+    physical: str = "join",
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, probe the
     ``nprobe`` nearest cells per query, exact cosine re-rank within.
@@ -470,33 +471,31 @@ def ivf_topk(
     cents = kmeans_centroids(
         corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    assign = (
-        assign_cells_two_level if assign_mode == "two_level" else assign_cells
+    base = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
     )
-    c = assign(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
-        cents,
-        "cv",
-    )
+    if assign_mode == "two_level":
+        c = assign_cells_two_level(base, cents, "cv")
+    elif physical == "join":
+        # centroids as a broadcast table (same argmin + tie-break as the
+        # literal expression, constant-size codegen — see
+        # assign_cells_join); reattach the vector for the re-rank
+        c = base.join(
+            assign_cells_join(base, cents, vec_col="cv", id_col="nid"),
+            "nid",
+        )
+    else:
+        c = assign_cells(base, cents, "cv")
     # nprobe nearest cells per query — rank the same distance terms
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    probes = []
-    for i, cent in enumerate(cents):
-        carr = F.array(*[F.lit(v) for v in cent])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if physical == "join":
+        qp = probe_cells_join(q, cents, nprobe)
+    else:
+        qp = q.withColumn(
+            "cell", F.explode(probe_cells_expr(cents, "qv", nprobe))
         )
-        probes.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    probe_cells = F.slice(
-        F.transform(F.array_sort(F.array(*probes)), lambda s: s["i"]),
-        1,
-        nprobe,
-    )
-    qp = q.withColumn("cell", F.explode(probe_cells))
     scored = (
         c.join(F.broadcast(qp), "cell")
         .filter(F.col("qid") != F.col("nid"))
@@ -508,6 +507,95 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank")
     )
+
+
+def kmeans_centroids_multi(
+    df: DataFrame,
+    specs: list[tuple[int, int, int]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Batched deterministic Lloyd k-means over MULTIPLE subvector slices
+    of one embedding column in a single fit.
+
+    ``specs`` is a list of ``(start, length, k)`` groups (1-based
+    ``start``, as in ``F.slice``): each group fits its own ``k``
+    centroids over ``vec[start : start+length-1]``.  Per group the math
+    is identical to :func:`kmeans_centroids` on the sliced column — seed
+    = the ``k`` lowest-id subvectors, argmin assignment with the same
+    ``min(struct(dist, cell))`` tie-break, per-(cell, dim) re-average —
+    but ALL groups ride the same scan: the corpus is posexploded into
+    (id, group, subvec) long form once, and the whole fit costs
+    ``iters + 1`` Spark actions regardless of ``len(specs)``.  That is
+    what makes an IVF+PQ fit (1 coarse group + m subspace groups)
+    affordable: 5 independent fits would be ~5x the driver round-trips
+    for byte-identical models.
+
+    Returns one codebook per spec, each ``k x length`` floats — only the
+    models reach the driver.
+    """
+    max_k = max(k for _, _, k in specs)
+    seed_rows = (
+        df.orderBy(F.col(id_col)).limit(max_k).select(vec_col).collect()
+    )
+    cents: list[list[list[float]]] = [
+        [list(r[0])[s - 1 : s - 1 + ln] for r in seed_rows[:k]]
+        for (s, ln, k) in specs
+    ]
+    long = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), s, ln) for s, ln, _ in specs])
+        ).alias("g", "sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    spark = df.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [
+                (g, i, [float(v) for v in c])
+                for g, book in enumerate(cents)
+                for i, c in enumerate(book)
+            ],
+            "g int, cell int, __cv array<double>",
+        )
+        assigned = (
+            long.join(F.broadcast(cdf), "g")
+            .groupBy(id_col, "g")
+            .agg(
+                F.min(F.struct(dist.alias("d"), F.col("cell"))).alias("__m"),
+                F.first("sv").alias("sv"),
+            )
+            .select("g", F.col("__m.cell").alias("cell"), "sv")
+        )
+        rows = (
+            assigned.select(
+                "g", "cell", F.posexplode("sv").alias("pos", "v")
+            )
+            .groupBy("g", "cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("g", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid"),
+            )
+            .collect()
+        )
+        new = {(r["g"], r["cell"]): list(r["centroid"]) for r in rows}
+        cents = [
+            [new.get((g, i), c) for i, c in enumerate(book)]
+            for g, book in enumerate(cents)
+        ]
+    return cents
 
 
 def pq_codebooks(
@@ -533,17 +621,13 @@ def pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    books = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col)
-        )
-        books.append(
-            kmeans_centroids(
-                sub, k=ksub, iters=iters, vec_col=vec_col, id_col=id_col
-            )
-        )
-    return books
+    return kmeans_centroids_multi(
+        df,
+        [(j * d + 1, d, ksub) for j in range(m)],
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
 
 
 def pq_encode(
@@ -572,6 +656,113 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes))
 
 
+def pq_encode_join(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    coarse: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "nid",
+) -> DataFrame:
+    """(id[, cell], codes) with the codebooks as broadcast TABLES instead
+    of literal argmin expressions.
+
+    :func:`pq_encode` / :func:`assign_cells` bake every centroid into the
+    expression tree, so Catalyst analysis and Janino compile time grow
+    with m*ksub*dim literals — measured on the fixture, the compile
+    dominates the whole encode.  Here the corpus is posexploded once into
+    (id, group, subvec) long form, joined against a broadcast (group,
+    cell, centroid) table (m*ksub + n_cells rows — always model-sized),
+    and a partial-aggregated ``min(struct(dist, cell))`` per (id, group)
+    picks each code with the same lexicographic tie-break as the literal
+    form — identical codes, constant-size expressions, one extra shuffle.
+    When ``coarse`` is given the IVF cell rides the same scan as group
+    ``m`` over the full vector.
+    """
+    m = len(books)
+    d = len(books[0][0])
+    slices = [F.slice(F.col(vec_col), j * d + 1, d) for j in range(m)]
+    rows = [
+        (j, i, [float(v) for v in c])
+        for j, book in enumerate(books)
+        for i, c in enumerate(book)
+    ]
+    if coarse is not None:
+        slices.append(F.col(vec_col))
+        rows += [(m, i, [float(v) for v in c]) for i, c in enumerate(coarse)]
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(rows, "j int, cell int, __cv array<double>")
+    long = df.select(
+        F.col(id_col), F.posexplode(F.array(*slices)).alias("j", "sv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        long.join(F.broadcast(bdf), "j")
+        .groupBy(id_col, "j")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cell"))).alias("__m"))
+    )
+    codes = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("j") < m,
+                    F.struct(F.col("j"), F.col("__m.cell").alias("c")),
+                )
+            )
+        ),
+        lambda s: s["c"],
+    ).alias("codes")
+    if coarse is None:
+        return assigned.groupBy(id_col).agg(codes)
+    return assigned.groupBy(id_col).agg(
+        codes,
+        F.max(
+            F.when(F.col("j") == m, F.col("__m.cell"))
+        ).alias("cell"),
+    )
+
+
+def adc_lut(
+    qp: DataFrame,
+    books: list[list[list[float]]],
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Per-query ADC lookup table: (qid, cell, j, code, ldist) =
+    ‖q_j − book_j[code]‖² for every (subspace, code) — the FAISS
+    precomputed-tables trick as a |queries|·nprobe·m·ksub-row DataFrame
+    (model-sized, broadcastable).  Scoring a code table then needs no
+    float math per corpus row: explode codes, hash-join the LUT, sum m
+    lookups."""
+    m = len(books)
+    d = len(books[0][0])
+    spark = qp.sparkSession
+    bdf = spark.createDataFrame(
+        [
+            (j, i, [float(v) for v in c])
+            for j, book in enumerate(books)
+            for i, c in enumerate(book)
+        ],
+        "j int, code int, __cv array<double>",
+    )
+    keys = ["qid"] + (["cell"] if "cell" in qp.columns else [])
+    qsub = qp.select(
+        *keys, F.posexplode(
+            F.array(*[F.slice(F.col(qv_col), j * d + 1, d) for j in range(m)])
+        ).alias("j", "qs"),
+    )
+    ldist = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return qsub.join(F.broadcast(bdf), "j").select(
+        *keys, "j", "code", ldist.alias("ldist")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -581,8 +772,16 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    physical: str = "join",
 ) -> DataFrame:
     """PQ two-stage top-k: ADC shortlist over codes, exact re-rank.
+
+    ``physical="join"`` (default) encodes and scores with the codebooks
+    as broadcast tables (:func:`pq_encode_join` + :func:`adc_lut` — here
+    the LUT has no cell column: every (qid, j, code) row applies
+    corpus-wide); ``"literal"`` bakes them into codegen expressions —
+    see :func:`ivfpq_topk` for the trade-off.  Codes are identical
+    either way.
 
     Stage 1 scans only the code table (``m`` small ints per vector —
     the 100 TB corpus is a few hundred GB of codes): approximate
@@ -600,45 +799,50 @@ def pq_topk(
     Returns (qid, nid, rank); recall vs brute force is the test contract
     (tests/test_similarity.py), scores are not emitted.
     """
-    d = len(books[0][0])
-    enc = pq_encode(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
-        books,
-        vec_col=vec_col,
-    ).select("nid", "codes")
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    dist_terms = []
-    for j, book in enumerate(books):
-        qsub = F.slice(F.col("qv"), j * d + 1, d)
-        book_lit = F.array(
-            *[F.array(*[F.lit(v) for v in c]) for c in book]
+    if physical == "join":
+        enc = pq_encode_join(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+            books,
+            vec_col=vec_col,
         )
-        cent = F.element_at(book_lit, F.element_at("codes", j + 1) + 1)
-        dist_terms.append(
-            F.aggregate(
-                F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+        lut = adc_lut(q, books)
+        expl = enc.select("nid", F.posexplode("codes").alias("j", "code"))
+        scored = (
+            expl.join(F.broadcast(lut), ["j", "code"])
+            .filter(F.col("qid") != F.col("nid"))
+            .groupBy("qid", "nid")
+            .agg(F.sum("ldist").alias("adist"))
         )
-    adist = sum(dist_terms[1:], dist_terms[0])
-    scored = (
-        enc.crossJoin(F.broadcast(q))
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("adist", adist)
-    )
+    else:
+        enc = pq_encode(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+            books,
+            vec_col=vec_col,
+        ).select("nid", "codes")
+        scored = (
+            enc.crossJoin(F.broadcast(q))
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("adist", _adc_expr(books, "qv", "codes"))
+        )
     wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.col("nid"))
     cand = (
         scored.withColumn("arank", F.row_number().over(wa))
         .filter(F.col("arank") <= shortlist)
-        .select("qid", "qv", "nid")
+        .select("qid", "nid")
     )
-    full = cand.join(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
-        "nid",
-    ).withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    full = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+            ),
+            "nid",
+        )
+        .join(F.broadcast(q), "qid")
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
     return (
         full.withColumn("rank", F.row_number().over(w))
@@ -667,6 +871,36 @@ def _adc_expr(
             )
         )
     return sum(terms[1:], terms[0])
+
+
+def probe_cells_join(
+    q: DataFrame, cents: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(qid, qv, cell): the ``nprobe`` nearest cells per query via a
+    broadcast centroid TABLE + per-query rank — value-identical to
+    exploding :func:`probe_cells_expr` (same ``ORDER BY dist, cell``
+    tie-break as the lexicographic struct sort), but the expression stays
+    constant-size as ``n_cells`` grows.  The query side is tiny, so the
+    rank window is per-qid over n_cells rows."""
+    cdf = q.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, __cv array<double>",
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("d"), F.col("cell"))
+    return (
+        q.join(F.broadcast(cdf))
+        .withColumn("d", qdist)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
 
 
 def probe_cells_expr(
@@ -703,14 +937,15 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    physical: str = "join",
 ) -> DataFrame:
     """IVF + PQ composition — the FAISS IVFPQ serving shape, and the
     one that actually holds at 100 TB: the IVF coarse quantizer prunes
     the scan to ~nprobe/n_cells of the corpus, and within the probed
     cells the scan reads only PQ codes (``m`` small ints per vector,
-    ~256× smaller than the float corpus), scored by the ADC expression
-    against broadcast codebook literals.  Full vectors are fetched for
-    the per-query ``shortlist`` only, then exact-cosine re-ranked.
+    ~256× smaller than the float corpus), ADC-scored.  Full vectors are
+    fetched for the per-query ``shortlist`` only, then exact-cosine
+    re-ranked.
 
     So the per-query cost is (nprobe/n_cells) · |codes| scanned +
     shortlist vector fetches — both knobs independent of corpus width.
@@ -718,47 +953,100 @@ def ivfpq_topk(
     encoding is the standard refinement once cells are large enough for
     the per-cell offset to dominate distortion.
 
-    Returns (qid, nid, rank); recall vs brute force is the contract
-    (same recall@5 gate as ivf_topk / pq_ann_topk).
+    ``physical`` picks the plan shape, not the semantics:
+
+    - ``"join"`` (default): codebooks are broadcast TABLES.  Encode via
+      :func:`pq_encode_join` (one long-form scan + partial-agg argmin),
+      scoring via the FAISS precomputed-LUT trick (:func:`adc_lut` —
+      per-query (j, code) → distance rows, broadcast hash-joined against
+      the exploded code table and partial-agg summed).  Expression size
+      and compile time are CONSTANT in n_cells/m/ksub, so this is the
+      shape that survives k growing with the corpus.
+    - ``"literal"``: every centroid baked into one codegen expression
+      (:func:`pq_encode` / :func:`_adc_expr`) — zero extra shuffles and
+      bit-pinned summation order, but analysis + Janino compile grow
+      with m·ksub·dim literals; the exact-reference form, kept for
+      parity with ``pq_topk`` and for small fixed codebooks.
+
+    Both produce the same codes (same lexicographic argmin tie-break);
+    LUT summation reorders the m float adds, which can flip
+    near-degenerate shortlist tails — recall is contract-checked either
+    way (same recall@5 gate as ivf_topk / pq_ann_topk).
+
+    Returns (qid, nid, rank).
     """
-    cents = kmeans_centroids(
-        corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    # one batched fit: group 0 is the coarse quantizer over the full
+    # vector, groups 1..m the PQ subspaces — iters+2 driver round-trips
+    # total instead of (m+1) independent fits
+    fitted = kmeans_centroids_multi(
+        corpus,
+        [(1, dim, n_cells)] + [(j * d + 1, d, ksub) for j in range(m)],
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
     )
-    books = pq_codebooks(
-        corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    cents, books = fitted[0], fitted[1:]
     # code table WITH cell id: (nid, cell, codes) — at scale this is the
     # compact index artifact, written once and bucketed by cell
-    enc = pq_encode(
-        assign_cells(
-            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
-            cents,
-            vec_col,
-        ),
-        books,
-        vec_col=vec_col,
-    ).select("nid", "cell", "codes")
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    qp = q.withColumn(
-        "cell", F.explode(probe_cells_expr(cents, "qv", nprobe))
-    )
-    scored = (
-        enc.join(F.broadcast(qp), "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("adist", _adc_expr(books, "qv", "codes"))
-    )
+    if physical == "join":
+        qp = probe_cells_join(q, cents, nprobe)
+        enc = pq_encode_join(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+            books,
+            coarse=cents,
+            vec_col=vec_col,
+        )
+        lut = adc_lut(qp, books)
+        expl = enc.select(
+            "nid", "cell", F.posexplode("codes").alias("j", "code")
+        )
+        scored = (
+            expl.join(F.broadcast(lut), ["cell", "j", "code"])
+            .filter(F.col("qid") != F.col("nid"))
+            .groupBy("qid", "nid")
+            .agg(F.sum("ldist").alias("adist"))
+        )
+    else:
+        qp = q.withColumn(
+            "cell", F.explode(probe_cells_expr(cents, "qv", nprobe))
+        )
+        enc = pq_encode(
+            assign_cells(
+                corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+                cents,
+                vec_col,
+            ),
+            books,
+            vec_col=vec_col,
+        ).select("nid", "cell", "codes")
+        scored = (
+            enc.join(F.broadcast(qp), "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("adist", _adc_expr(books, "qv", "codes"))
+        )
     wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.col("nid"))
     cand = (
         scored.withColumn("arank", F.row_number().over(wa))
         .filter(F.col("arank") <= shortlist)
-        .select("qid", "qv", "nid")
+        .select("qid", "nid")
     )
-    full = cand.join(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
-        "nid",
-    ).withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    full = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+            ),
+            "nid",
+        )
+        .join(F.broadcast(q), "qid")
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
     return (
         full.withColumn("rank", F.row_number().over(w))
@@ -775,6 +1063,7 @@ __all__ = [
     "hyperplane_signature",
     "hyperplane_lsh_topk",
     "kmeans_centroids",
+    "kmeans_centroids_multi",
     "assign_cells",
     "assign_cells_join",
     "centroid_blocks",
@@ -783,6 +1072,9 @@ __all__ = [
     "ivfpq_topk",
     "pq_codebooks",
     "pq_encode",
+    "pq_encode_join",
+    "adc_lut",
     "pq_topk",
     "probe_cells_expr",
+    "probe_cells_join",
 ]
