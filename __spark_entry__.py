@@ -4217,6 +4217,159 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hybrid_search",
+    """
+    WITH qd AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 5),
+    qterms AS (SELECT qid, unnest(list_distinct(string_split(text, ' ')))
+                 AS term FROM qd),
+    toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                    unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+           GROUP BY 1, 2, 3),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n,
+                     SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*)
+                       AS avgdl
+              FROM documents),
+    sp AS (
+      SELECT q.qid, t.doc_id,
+             SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                 t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / avgdl)))
+               AS score
+      FROM tf t JOIN qterms q USING (term) JOIN dfs USING (term)
+      CROSS JOIN stats
+      WHERE t.doc_id != q.qid
+      GROUP BY 1, 2
+    ),
+    spr AS (SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM sp),
+    qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+    dn AS (SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(q.qv, e.embedding) AS sim
+           FROM qe q, embeddings e WHERE e.vec_id != q.qid),
+    dnr AS (SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid) AS rank
+            FROM dn),
+    u AS (SELECT qid, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+          FROM spr WHERE rank <= 20
+          UNION ALL
+          SELECT qid, nid, CAST(1.0 AS DOUBLE) / (60 + rank)
+          FROM dnr WHERE rank <= 20),
+    f AS (SELECT qid, doc_id, SUM(c) AS s FROM u GROUP BY 1, 2),
+    fr AS (SELECT qid, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY s DESC, doc_id) AS fused_rank
+           FROM f)
+    SELECT qid, doc_id, fused_rank FROM fr WHERE fused_rank <= 5
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense hybrid retrieval with reciprocal-rank fusion
+    (operators/search.py bm25_multi_topk + rrf_fuse): 5 query docs run
+    BM25 over the corpus postings (ONE pass for all queries — query
+    terms broadcast into the postings join, never a scan per query) and
+    exact cosine over their embeddings (doc_id == vec_id in the
+    fixture); per-modality top-20 ranks fuse as Σ 1/(60+rank), top-5
+    per query.  RRF is rank-based so no cross-modality score
+    calibration exists to drift between engines, and the fused double
+    is a commutative two-term sum of exact rationals — ranks compare
+    exactly.  At 100 TB each modality's candidate list is already
+    per-query-bounded, so fusion shuffles |queries|·k rows however
+    large the corpus."""
+    from faust_spark.operators.search import bm25_multi_topk, rrf_fuse
+    from faust_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    qe = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    sparse = bm25_multi_topk(d, qd, k=20, exclude_self=True).select(
+        "qid", "doc_id", "rank"
+    )
+    dense = cosine_topk(emb, qe, k=20).select(
+        "qid", F.col("nid").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([sparse, dense], k=5)
+
+
+@_q(
+    "hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    s AS (SELECT q.qid, e.vec_id AS nid,
+                 list_cosine_similarity(q.qv, e.embedding) AS sim
+          FROM q, embeddings e
+          WHERE e.vec_id != q.qid AND e.label != q.qlabel),
+    r AS (SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, nid) AS rank
+          FROM s)
+    SELECT qid, nid, rank FROM r WHERE rank <= 3
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negative_topk):
+    per query, the 3 most-cosine-similar embeddings with a DIFFERENT
+    label — the contrastive-training negatives that are hardest to
+    separate. Label filter runs before the dot product; exact form is
+    the recall oracle for the IVF/LSH candidate cascade at scale. Ranks
+    only (same cross-engine float contract as ann_cosine_topk)."""
+    from faust_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, q, k=3)
+
+
+@_q(
+    "knn_label",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 20),
+    s AS (SELECT q.qid, e.vec_id AS nid, e.label,
+                 list_cosine_similarity(q.qv, e.embedding) AS sim
+          FROM q, embeddings e WHERE e.vec_id != q.qid),
+    r AS (SELECT qid, nid, label,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, nid) AS rank
+          FROM s),
+    v AS (SELECT qid, label, COUNT(*) AS votes FROM r WHERE rank <= 5
+          GROUP BY 1, 2),
+    p AS (SELECT qid, label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY votes DESC, label) AS vr
+          FROM v)
+    SELECT qid, label AS pred_label, votes FROM p WHERE vr = 1
+    """,
+)
+def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label propagation (operators/similarity.py
+    knn_vote): each of 20 query vectors takes the modal label of its 5
+    nearest neighbors — the scale-a-small-seed-set labeling step for
+    quality tiers / topic buckets. Deterministic argmax tie-break
+    (votes DESC, label ASC) in both engines; integer output only."""
+    from faust_spark.operators.similarity import knn_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return knn_vote(emb, q, k=5)
+
+
+@_q(
     "stratified_sample",
     """
     SELECT doc_id, lang FROM (
@@ -4810,11 +4963,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries that had NEVER had a driver-green row (only repo-gate
 # evidence) — multimodal_features/resize, the batch session/percentile/
 # histogram/null-safe/fingerprint/rollup/enriched block, and the
-# 13-query TPC-H tail.  Positions 23-28 are every query whose contract
-# changed THIS round: edit_distance_pairs (exact PassJoin semantics,
-# exact oracle), ivf_topk/pq_ann_topk (oracle now pins the exact pair
-# set by md5), ivf2_topk (new), vocab_build/tokenize_ids (banded rank
-# plan, oracle unchanged).  Positions 29-50 keep the LLM-pipeline core
+# 13-query TPC-H tail.  Positions 23-25 are the three operators NEW
+# this round (hybrid_search, hard_negatives, knn_label).  Positions
+# 26-32 are every query whose contract changed THIS round:
+# edit_distance_pairs (exact PassJoin semantics, exact oracle),
+# ivf_topk/pq_ann_topk (oracle now pins the exact pair set by md5),
+# ivf2_topk/ivfpq_topk (new), vocab_build/tokenize_ids (banded rank
+# plan, oracle unchanged).  Positions 33-50 keep the LLM-pipeline core
 # in the hard gate.  Displaced queries (all driver-green in r1-r3 and
 # byte-identical now) drop below 50 and stay covered by
 # ``tools/check.py`` → ``artifacts/check_all_r{N}.json``.
@@ -4842,7 +4997,11 @@ _PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_supplier",
     "q22_dormant_customers",
-    # ---- positions 23-28: contract changed this round ------------------
+    # ---- NEW this round: first driver evidence needed ------------------
+    "hybrid_search",  # r4: BM25+dense RRF fusion
+    "hard_negatives",  # r4: cross-label nearest-neighbor mining
+    "knn_label",  # r4: kNN majority-vote label propagation
+    # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)
     "pq_ann_topk",  # r4: same oracle change
@@ -4869,10 +5028,10 @@ _PRIORITY: list[str] = [
     "pii_redact",
     "unigram_logprob",
     "quality_classifier",
+    # ---- positions 51+: past the window; full-gate-checked every round --
     "multimodal_decode",
     "multimodal_frames",
     "stratified_sample",
-    # ---- positions 51+: past the window; full-gate-checked every round --
     "sample_mixture_weights",
     # displaced this round (driver-green r1-r3, byte-identical r4)
     "pipeline_filter_dedup",

@@ -63,6 +63,9 @@ HEADLINE = [
     "shard_shuffle",  # hash-sharded training-order permutation
     "distinctive_terms",  # TF-IDF-shaped two-pass corpus stats
     "bm25_search",  # BM25 retrieval: one scan + TakeOrdered top-k
+    "hybrid_search",  # BM25 + dense cosine fused by reciprocal-rank
+    "hard_negatives",  # cross-label nearest-neighbor mining
+    "knn_label",  # kNN majority-vote label propagation
     "stratified_sample",  # exact per-stratum counts, one shuffle
     "boilerplate_chunks",  # cross-doc repeated-chunk profile
     "vocab_build",  # tokenizer-prep vocab with deterministic ids

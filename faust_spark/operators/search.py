@@ -101,4 +101,125 @@ def bm25_topk(
     )
 
 
-__all__ = ["postings", "bm25_topk"]
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Per-query BM25 top-k for a TABLE of bag-of-words queries — the
+    batch-retrieval shape (every query rides one pass over the corpus
+    postings instead of one scan per query).
+
+    ``queries`` is (qid, text); each query's term set is its distinct
+    tokens.  Postings (term, doc, tf) and per-doc lengths come from one
+    corpus scan; the query terms are broadcast and hash-joined against
+    the postings on ``term`` (at 100 TB the postings relation is written
+    bucketed by term and the join prunes to the query terms' buckets —
+    never a scan per query).  Document frequencies are corpus-global per
+    term, identical to :func:`bm25_topk`'s.  Rank is per-qid
+    (score DESC, id).  ``exclude_self`` drops doc == qid rows (queries
+    drawn from the corpus itself, e.g. related-document search).
+
+    Returns (qid, id, n_terms, score, rank) with rank <= k.
+    """
+    toks = F.split(F.col(text_col), " ")
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+            "term"
+        ),
+    )
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    matched = tf.join(F.broadcast(qterms), "term")
+    if exclude_self:
+        matched = matched.filter(F.col(id_col) != F.col("qid"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(idf * tf_part).alias("score"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "n_terms", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    k_rrf: int = 60,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists (Cormack et al.):
+    fused score = Σ_lists 1/(k_rrf + rank), absent-from-list contributes
+    nothing.
+
+    Rank-based fusion needs no score calibration between modalities
+    (BM25 scores and cosine similarities live on different scales), which
+    is why it is the standard sparse+dense hybrid-retrieval combiner.
+    Each input is (qid, id, rank); the union is one partial-agg shuffle
+    on (qid, id) — candidate lists are per-query top-k, so the shuffle
+    volume is |queries| · k · n_lists however large the corpus.  With
+    two lists the fused double is order-independent (IEEE addition is
+    commutative), so the cross-engine oracle compares exactly.
+
+    Returns (qid, id, fused_rank) with fused_rank <= k under
+    (score DESC, id).
+    """
+    u = None
+    for r in rankings:
+        c = r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("__id"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))
+            ).alias("c"),
+        )
+        u = c if u is None else u.unionByName(c)
+    fused = u.groupBy("qid", "__id").agg(F.sum("c").alias("s"))
+    w = W.partitionBy("qid").orderBy(F.desc("s"), F.col("__id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("qid", F.col("__id").alias(id_col), "fused_rank")
+    )
+
+
+__all__ = ["postings", "bm25_topk", "bm25_multi_topk", "rrf_fuse"]

@@ -194,6 +194,102 @@ def hyperplane_lsh_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Top-k most-similar CROSS-label neighbors per query — hard-negative
+    mining for contrastive / embedding training (the negatives that are
+    hardest to separate are the ones nearest in embedding space with a
+    different label).
+
+    Exact form: broadcast queries (with their labels) against one corpus
+    scan, filter ``label != qlabel`` before scoring, per-qid window
+    rank.  The label filter runs BEFORE the cosine so disqualified rows
+    never pay the dot product.  At 100 TB, candidates come from
+    :func:`ivf_topk` / :func:`hyperplane_lsh_topk` with an over-fetched
+    k, then the same label filter + re-rank — the exact form here is the
+    recall oracle for that cascade.  Returns (qid, nid, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("nlabel"),
+        )
+        .join(F.broadcast(q))
+        .filter(
+            (F.col("nlabel") != F.col("qlabel"))
+            & (F.col("qid") != F.col("nid"))
+        )
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def knn_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """kNN majority-vote labeling: each query takes the modal label of
+    its ``k`` nearest labeled neighbors — the semi-supervised label-
+    propagation step for scaling a small human-labeled seed set over an
+    unlabeled corpus (quality tiers, topic buckets, safety flags).
+
+    One broadcast-queries corpus scan finds the k nearest (exact cosine;
+    swap in the IVF/LSH candidate path at scale exactly as in
+    :func:`hard_negative_topk`), then a (qid, label) partial-agg count
+    and a per-qid argmax with deterministic tie-break (votes DESC,
+    label ASC).  Returns (qid, pred_label, votes).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("nlabel"),
+        )
+        .join(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    nn = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = nn.groupBy("qid", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = W.partitionBy("qid").orderBy(F.desc("votes"), F.col("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("nlabel").alias("pred_label"), "votes")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,
@@ -1060,6 +1156,8 @@ __all__ = [
     "norm_expr",
     "cosine_expr",
     "cosine_topk",
+    "hard_negative_topk",
+    "knn_vote",
     "hyperplane_signature",
     "hyperplane_lsh_topk",
     "kmeans_centroids",

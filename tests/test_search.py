@@ -65,3 +65,68 @@ def test_bm25_plan_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_multi_matches_single_query_form(spark):
+    """bm25_multi_topk for one query == bm25_topk with that query's
+    distinct tokens (same scores, same ranks)."""
+    from faust_spark.operators.search import bm25_multi_topk
+
+    rows = [
+        (1, "cat dog cat fish"),
+        (2, "dog dog dog dog"),
+        (3, "cat cat cat cat cat cat cat cat"),
+        (4, "bird fish"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame([(99, "cat fish cat")], ["qid", "text"])
+    multi = {
+        r.doc_id: (r.n_terms, r.score, r.rank)
+        for r in bm25_multi_topk(docs, q, k=10).collect()
+    }
+    single = {
+        r.doc_id: (r.n_terms, r.score, r.rank)
+        for r in bm25_topk(docs, ["cat", "fish"], k=10).collect()
+    }
+    assert set(multi) == set(single)
+    for d in single:
+        assert multi[d][0] == single[d][0]
+        assert abs(multi[d][1] - single[d][1]) < 1e-12
+        assert multi[d][2] == single[d][2]
+
+
+def test_bm25_multi_exclude_self(spark):
+    from faust_spark.operators.search import bm25_multi_topk
+
+    rows = [(1, "cat dog"), (2, "cat bird"), (3, "dog bird")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = docs.select(F.col("doc_id").alias("qid"), "text")
+    out = bm25_multi_topk(docs, q, k=10, exclude_self=True).collect()
+    assert all(r.qid != r.doc_id for r in out)
+    assert {r.qid for r in out} == {1, 2, 3}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand-built rankings: fused order follows
+    1/(60+r1)+1/(60+r2), absent-from-one-list contributes one term."""
+    from faust_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["qid", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], ["qid", "doc_id", "rank"]
+    )
+    out = {
+        r.doc_id: r.fused_rank
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    score = {
+        10: 1 / 61 + 1 / 63,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    want = sorted(score, key=lambda d: (-score[d], d))
+    got = [d for d, _ in sorted(out.items(), key=lambda kv: kv[1])]
+    assert got == want

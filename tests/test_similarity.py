@@ -122,3 +122,62 @@ def test_ivfpq_recall_and_cell_pruning(spark, sf_dir):
     cells = assign_cells(emb, cents).groupBy("cell").count().collect()
     n = emb.count()
     assert max(r["count"] for r in cells) < n
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    """Every mined hard negative has a different label than its query,
+    and it really is the nearest such vector (spot-checked vs a
+    brute-force python ranking for one query)."""
+    from faust_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    out = hard_negative_topk(emb, q, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert len(out) == 30 and len({r.qid for r in out}) == 10
+    for r in out:
+        assert labels[r.nid] != labels[r.qid]
+
+    import math
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    qv, qlab = vecs[0], labels[0]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    best = sorted(
+        (i for i in vecs if i != 0 and labels[i] != qlab),
+        key=lambda i: (-cos(qv, vecs[i]), i),
+    )[:3]
+    got = [r.nid for r in sorted(out, key=lambda r: r.rank) if r.qid == 0]
+    assert got == best
+
+
+def test_knn_vote_majority_property(spark, sf_dir):
+    """Predicted label is the modal label among the k nearest (recomputed
+    via cosine_topk + labels), ties broken by smallest label."""
+    from collections import Counter
+
+    from faust_spark.operators.similarity import knn_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = {r.qid: (r.pred_label, r.votes) for r in knn_vote(emb, q, k=5).collect()}
+    assert len(out) == 20
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    nn = cosine_topk(emb, q, k=5).collect()
+    per_q = {}
+    for r in nn:
+        per_q.setdefault(r.qid, []).append(labels[r.nid])
+    for qid, labs in per_q.items():
+        c = Counter(labs)
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert out[qid] == top, qid
