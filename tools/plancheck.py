@@ -65,6 +65,16 @@ ALLOW_NESTED_LOOP = {
     # (same tiny-query-set broadcast as ann_cosine_topk) plus a one-ROW
     # aggregate crossJoin for the recall bound
     "ivf_topk",
+    "ivf2_topk",  # r4: same recall-contract embedding as ivf_topk
+    "ivfpq_topk",  # r4: same, plus one-row recall-bound crossJoin
+    # r4: broadcast tiny query set (with labels) against the corpus scan
+    # under a non-equi label filter — ann_cosine_topk's exact shape; the
+    # IVF/LSH candidate cascade is the scale path (see PLANS.md)
+    "hard_negatives",
+    "knn_label",
+    # r4: dense side embeds the ann_cosine_topk shape; sparse side
+    # carries bm25's one-ROW (N, avgdl) stats broadcast
+    "hybrid_search",
     # one-ROW corpus-total broadcast into the per-term NLL expression
     "unigram_logprob",
     # broadcast centroid TABLE × corpus scan (assign_cells_join): the

@@ -49,6 +49,7 @@ PROBES_DOCS = [
     "shard_shuffle",  # per-shard parallel sorts
     "distinctive_terms",  # single shared term exchange
     "bm25_search",  # one scan + TakeOrdered: should be ~linear
+    "hybrid_search",  # r4: one postings pass + per-query-bounded fusion
     "boilerplate_chunks",  # digest-only shuffles, shared exchange
     "stratified_sample",  # one stratum-keyed shuffle
     "tokenize_ids",  # broadcast vocab; one doc-keyed reassembly exchange
@@ -76,6 +77,8 @@ PROBES_EMB = [
     "ivfpq_topk",  # cell-pruned ADC over codes (r4)
     "embedding_dup_pairs",
     "semantic_dedup",
+    "hard_negatives",  # r4: broadcast queries, linear scan by design
+    "knn_label",  # r4: same shape + per-qid vote agg
 ]
 
 
