@@ -1973,7 +1973,13 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("len").alias("len_a"),
             F.explode(F.expr(seg_struct)).alias("s"),
         )
-        .select("id_a", "len_a", "s.la", "s.i", "s.seg")
+        # join on the 8-byte hash of the segment, not the ~len/11-char
+        # substring: collisions only ADD candidates (every candidate is
+        # Levenshtein-verified), and the join payload shrinks ~4x
+        .select(
+            "id_a", "len_a", "s.la", "s.i",
+            F.xxhash64("s.seg").alias("segh"),
+        )
     )
 
     # ---- probe side: for each doc (as the longer side) and each
@@ -2000,10 +2006,18 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         F.col("len").alias("len_b"),
         F.explode(F.expr(probe_struct)).alias("s"),
-    ).select("id_b", "len_b", "s.la", "s.i", "s.seg")
+    ).select(
+        "id_b", "len_b", "s.la", "s.i",
+        F.xxhash64("s.seg").alias("segh"),
+    )
 
     cand = (
-        index.join(probe, ["la", "i", "seg"])
+        # the index side is 11 rows/doc (linear, tiny next to the probe
+        # explosion): broadcast it so the ~1.3k-rows/doc probe stream
+        # never shuffles — map-side hash join straight off the scan. At
+        # corpus scales past broadcast, drop the hint: both sides
+        # shuffle on (la, i, segh), still linear (docstring).
+        F.broadcast(index).join(probe, ["la", "i", "segh"])
         .filter(
             # shorter side indexed; equal lengths pair both ways — keep one
             (F.col("len_a") < F.col("len_b"))
