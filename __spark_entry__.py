@@ -1940,126 +1940,18 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup so the exploded probe rows stay narrow. No theta join, no
     simhash recall loss, no row-at-a-time Python.
 
-    100 TB: both sides shuffle on the segment key (linear), or the
-    11-rows-per-doc index side broadcasts when the corpus-side dictates;
-    probe amplification is bounded by 11 lengths x 11 slots x (k+1)
-    positions of ~len/11-char substrings.
+    100 TB: segment keys are 8-byte xxhash64 (collisions only add
+    verified candidates); the 11-rows-per-doc index side broadcasts so
+    the probe explosion never shuffles — past broadcast scale both
+    sides shuffle on the same key, still linear. Probe amplification
+    is bounded by 11 lengths x 11 slots x (k+1) positions of
+    ~len/11-char substrings. Losslessness is property-tested against a
+    brute-force oracle (tests/test_operator_properties.py).
     """
-    k = 10
-    nseg = k + 1
-    # fixture parquet is one file -> one input split; the 1000x row
-    # expansion below must not run in a single task (at warehouse scale
-    # the source has many splits and this repartition is a no-op shape)
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text", F.length("text").alias("len"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    from faust_spark.operators.dedup import edit_distance_pairs_exact
 
-    # ---- index side: the 11 segments of every doc (as the shorter side)
-    # length-L scheme: base = L div 11; the LAST (L mod 11) segments are
-    # one char longer. start(i) = i*base + max(0, i - (11 - L mod 11)).
-    seg_struct = (
-        "transform(sequence(0, {m}), i -> named_struct("
-        "  'la', len, 'i', i,"
-        "  'seg', substring(text,"
-        "     i * (len div {n}) + greatest(0, i - ({n} - len % {n})) + 1,"
-        "     (len div {n}) + if(i >= {n} - len % {n}, 1, 0))))"
-    ).format(m=nseg - 1, n=nseg)
-    index = (
-        docs.filter(F.col("len") >= nseg)
-        .select(
-            F.col("doc_id").alias("id_a"),
-            F.col("len").alias("len_a"),
-            F.explode(F.expr(seg_struct)).alias("s"),
-        )
-        # join on the 8-byte hash of the segment, not the ~len/11-char
-        # substring: collisions only ADD candidates (every candidate is
-        # Levenshtein-verified), and the join payload shrinks ~4x
-        .select(
-            "id_a", "len_a", "s.la", "s.i",
-            F.xxhash64("s.seg").alias("segh"),
-        )
-    )
-
-    # ---- probe side: for each doc (as the longer side) and each
-    # candidate shorter-length la in [len-k, len], the substrings that
-    # could equal segment i of an la-long partner. Window on the shift
-    # d = q - p_i:  |d| + |delta - d| <= k  (delta = len - la >= 0)
-    #   =>  d in [-(k - delta) div 2, delta + (k - delta) div 2].
-    probe_struct = (
-        "flatten(transform(sequence(greatest(len - {k}, {n}), len), la ->"
-        " flatten(transform(sequence(0, {m}), i ->"
-        "  transform("
-        "   sequence("
-        "    greatest(0,"
-        "     i * (la div {n}) + greatest(0, i - ({n} - la % {n}))"
-        "      - ((({k}) - (len - la)) div 2)),"
-        "    least(len - ((la div {n}) + if(i >= {n} - la % {n}, 1, 0)),"
-        "     i * (la div {n}) + greatest(0, i - ({n} - la % {n}))"
-        "      + (len - la) + ((({k}) - (len - la)) div 2))),"
-        "   q -> named_struct('la', la, 'i', i,"
-        "    'seg', substring(text, q + 1,"
-        "     (la div {n}) + if(i >= {n} - la % {n}, 1, 0))))))))"
-    ).format(k=k, m=nseg - 1, n=nseg)
-    probe = docs.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("len").alias("len_b"),
-        F.explode(F.expr(probe_struct)).alias("s"),
-    ).select(
-        "id_b", "len_b", "s.la", "s.i",
-        F.xxhash64("s.seg").alias("segh"),
-    )
-
-    cand = (
-        # the index side is 11 rows/doc (linear, tiny next to the probe
-        # explosion): broadcast it so the ~1.3k-rows/doc probe stream
-        # never shuffles — map-side hash join straight off the scan. At
-        # corpus scales past broadcast, drop the hint: both sides
-        # shuffle on (la, i, segh), still linear (docstring).
-        F.broadcast(index).join(probe, ["la", "i", "segh"])
-        .filter(
-            # shorter side indexed; equal lengths pair both ways — keep one
-            (F.col("len_a") < F.col("len_b"))
-            | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") != F.col("id_b")))
-        )
-        .select(
-            F.least("id_a", "id_b").alias("doc1"),
-            F.greatest("id_a", "id_b").alias("doc2"),
-        )
-        .dropDuplicates(["doc1", "doc2"])
-    )
-
-    # ---- bounded pool for shorter-side < k+1 chars (empty on fixtures)
-    tiny = docs.filter(F.col("len") < nseg).select(
-        F.col("doc_id").alias("id_a"), F.col("len").alias("len_a")
-    )
-    tiny_partner = docs.filter(F.col("len") < nseg + k).select(
-        F.col("doc_id").alias("id_b"), F.col("len").alias("len_b")
-    )
-    pool = (
-        tiny.join(
-            tiny_partner,
-            (F.col("id_a") != F.col("id_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= k),
-        )
-        .select(
-            F.least("id_a", "id_b").alias("doc1"),
-            F.greatest("id_a", "id_b").alias("doc2"),
-        )
-        .dropDuplicates(["doc1", "doc2"])
-    )
-
-    ta = docs.select(F.col("doc_id").alias("doc1"), F.col("text").alias("ta"))
-    tb = docs.select(F.col("doc_id").alias("doc2"), F.col("text").alias("tb"))
-    return (
-        cand.unionByName(pool)
-        .dropDuplicates(["doc1", "doc2"])
-        .join(ta, "doc1")
-        .join(tb, "doc2")
-        .withColumn("dist", F.levenshtein("ta", "tb", k))
-        .filter(F.col("dist") >= 0)
-        .select("doc1", "doc2", "dist")
+    return edit_distance_pairs_exact(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=10
     )
 
 

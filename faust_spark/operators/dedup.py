@@ -894,6 +894,158 @@ def semantic_dedup(
     )
 
 
+def edit_distance_pairs_exact(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EVERY pair with ``levenshtein <= k`` — exact semantics,
+    sub-quadratic via PassJoin-style pigeonhole segment blocking
+    (Li, Deng, Jiang, Feng, "PASS-JOIN", VLDB 2012).
+
+    Partition the SHORTER string of each pair into ``k+1`` segments. If
+    ``lev(a, b) <= k``, at most ``k`` edits touch ``a``, so by
+    pigeonhole at least one segment survives edit-free and appears in
+    ``b`` as an EXACT substring — at a position shifted by ``d`` where
+    ``|d| + |delta - d| <= k`` (``delta`` = length gap; edits before
+    the segment shift it by at most their count, edits after absorb the
+    rest). Blocking is therefore a plain EQUI-join, lossless by
+    theorem:
+
+    * index side — ``k+1`` segments per doc, keyed
+      ``(la, i, xxhash64(segment))`` (8-byte hash keys: collisions only
+      ADD candidates, every candidate is Levenshtein-verified);
+    * probe side — for each doc and each candidate shorter-length
+      ``la`` in ``[len-k, len]``, the position-window substrings that
+      could equal segment ``i`` of an ``la``-long partner.
+
+    The index side is ``k+1`` rows/doc (linear, tiny next to the probe
+    explosion) and is broadcast so the probe stream never shuffles; at
+    corpus scales past broadcast both sides shuffle on the same key,
+    still linear. Shorter-side-below-``k+1`` strings (segments would
+    be empty) take a bounded all-pairs pool — both sides are then
+    ``< 2k+2`` chars, a corpus tail. Verification runs
+    threshold-bounded ``levenshtein(ta, tb, k)`` on deduplicated
+    candidates only; texts join back AFTER candidate dedup so the
+    exploded probe rows stay narrow.
+
+    Returns (doc1, doc2, dist) with doc1 < doc2 and dist <= k.
+    Losslessness is property-tested against a brute-force quadratic
+    oracle on random strings (tests/test_operator_properties.py).
+    """
+    nseg = k + 1
+    spark = docs.sparkSession
+    # a single-split source must not run the ~(k+1)^3-rows/doc expansion
+    # in one task (at warehouse scale the source has many splits and
+    # this repartition is a no-op shape)
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("len"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    # index: length-L scheme: base = L div (k+1); the LAST (L mod (k+1))
+    # segments are one char longer.
+    # start(i) = i*base + max(0, i - (k+1 - L mod (k+1))).
+    seg_struct = (
+        "transform(sequence(0, {m}), i -> named_struct("
+        "  'la', len, 'i', i,"
+        "  'seg', substring(text,"
+        "     i * (len div {n}) + greatest(0, i - ({n} - len % {n})) + 1,"
+        "     (len div {n}) + if(i >= {n} - len % {n}, 1, 0))))"
+    ).format(m=nseg - 1, n=nseg)
+    index = (
+        docs.filter(F.col("len") >= nseg)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("len").alias("len_a"),
+            F.explode(F.expr(seg_struct)).alias("s"),
+        )
+        .select(
+            "id_a", "len_a", "s.la", "s.i",
+            F.xxhash64("s.seg").alias("segh"),
+        )
+    )
+
+    # probe window on the shift d = q - p_i:
+    #   |d| + |delta - d| <= k  (delta = len - la >= 0)
+    #   =>  d in [-(k - delta) div 2, delta + (k - delta) div 2]
+    probe_struct = (
+        "flatten(transform(sequence(greatest(len - {k}, {n}), len), la ->"
+        " flatten(transform(sequence(0, {m}), i ->"
+        "  transform("
+        "   sequence("
+        "    greatest(0,"
+        "     i * (la div {n}) + greatest(0, i - ({n} - la % {n}))"
+        "      - ((({k}) - (len - la)) div 2)),"
+        "    least(len - ((la div {n}) + if(i >= {n} - la % {n}, 1, 0)),"
+        "     i * (la div {n}) + greatest(0, i - ({n} - la % {n}))"
+        "      + (len - la) + ((({k}) - (len - la)) div 2))),"
+        "   q -> named_struct('la', la, 'i', i,"
+        "    'seg', substring(text, q + 1,"
+        "     (la div {n}) + if(i >= {n} - la % {n}, 1, 0))))))))"
+    ).format(k=k, m=nseg - 1, n=nseg)
+    probe = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("len").alias("len_b"),
+        F.explode(F.expr(probe_struct)).alias("s"),
+    ).select(
+        "id_b", "len_b", "s.la", "s.i",
+        F.xxhash64("s.seg").alias("segh"),
+    )
+
+    cand = (
+        F.broadcast(index)
+        .join(probe, ["la", "i", "segh"])
+        .filter(
+            # shorter side indexed; equal lengths pair both ways — keep one
+            (F.col("len_a") < F.col("len_b"))
+            | (
+                (F.col("len_a") == F.col("len_b"))
+                & (F.col("id_a") != F.col("id_b"))
+            )
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc1"),
+            F.greatest("id_a", "id_b").alias("doc2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+
+    # bounded pool for shorter-side < k+1 chars
+    tiny = docs.filter(F.col("len") < nseg).select(
+        F.col("doc_id").alias("id_a"), F.col("len").alias("len_a")
+    )
+    tiny_partner = docs.filter(F.col("len") < nseg + k).select(
+        F.col("doc_id").alias("id_b"), F.col("len").alias("len_b")
+    )
+    pool = (
+        tiny.join(
+            tiny_partner,
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= k),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc1"),
+            F.greatest("id_a", "id_b").alias("doc2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+
+    ta = docs.select(F.col("doc_id").alias("doc1"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc2"), F.col("text").alias("tb"))
+    return (
+        cand.unionByName(pool)
+        .dropDuplicates(["doc1", "doc2"])
+        .join(ta, "doc1")
+        .join(tb, "doc2")
+        .withColumn("dist", F.levenshtein("ta", "tb", k))
+        .filter(F.col("dist") >= 0)
+        .select("doc1", "doc2", "dist")
+    )
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -904,4 +1056,5 @@ __all__ = [
     "simhash",
     "embedding_dup_pairs",
     "semantic_dedup",
+    "edit_distance_pairs_exact",
 ]

@@ -78,3 +78,50 @@ def test_normalize_text_idempotent(spark, s):
     once = df.select(normalize_text("t").alias("n"))
     twice = once.select(normalize_text("n").alias("n"))
     assert once.first().n == twice.first().n
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("abc"), min_size=0, max_size=40),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    ),
+    k=st.integers(1, 6),
+)
+@settings(max_examples=12, deadline=None)
+def test_passjoin_exact_vs_bruteforce(spark, docs, k):
+    """PassJoin segment blocking is LOSSLESS for ANY strings and any
+    threshold: edit_distance_pairs_exact == the quadratic brute-force
+    pair set, with identical distances. Exercises short-string pool,
+    uneven segment lengths, empty strings, and length gaps > k."""
+    from faust_spark.operators.dedup import edit_distance_pairs_exact
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc1, r.doc2): r.dist
+        for r in edit_distance_pairs_exact(df, k=k).collect()
+    }
+    want = {}
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            d = _lev(a, docs[j])
+            if d <= k:
+                want[(i, j)] = d
+    assert got == want
