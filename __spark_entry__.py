@@ -1835,6 +1835,44 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n) AS tt, SUM(pow(n, CAST(0.5 AS DOUBLE))) AS w
+          FROM c),
+    p AS (SELECT lang,
+                 LEAST(CAST(1.0 AS DOUBLE),
+                       ROUND(CAST(0.3 AS DOUBLE) * tt
+                             * pow(n, CAST(0.5 AS DOUBLE)) / (n * w),
+                             6)) AS pk
+          FROM c CROSS JOIN t)
+    SELECT d.doc_id, d.lang FROM documents d JOIN p USING (lang)
+    WHERE {_duck_hash01("CAST(d.doc_id AS VARCHAR)")} < pk
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (operators/sampling.py
+    temperature_sample, alpha=0.5, target 30%): per-language keep
+    probability derived FROM the corpus — p_l ∝ n_l^0.5 / n_l — the
+    mT5/XLM-R multilingual upsampling rule, so rare languages are
+    upweighted without dominating. One group-count partial agg + one
+    one-row total broadcast back; the keep rule is the deterministic
+    md5 threshold (no RNG), p quantized to 6 decimals so the
+    cross-engine comparison is exact."""
+    from faust_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(
+        d,
+        group_col="lang",
+        key="doc_id",
+        alpha=0.5,
+        target_frac=0.3,
+        hex_chars=8,
+    )
+
+
+@_q(
     "dedup_keep_best",
     """
     WITH g AS (
@@ -4907,6 +4945,7 @@ _PRIORITY: list[str] = [
     "hybrid_search",  # r4: BM25+dense RRF fusion
     "hard_negatives",  # r4: cross-label nearest-neighbor mining
     "knn_label",  # r4: kNN majority-vote label propagation
+    "temperature_mix",  # r4: corpus-derived temperature mixture
     # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)

@@ -82,6 +82,57 @@ def mixture_sample(
     return df.filter(_hash01(F.col(key), salt, hex_chars) < frac)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.3,
+    salt: str = "",
+    hex_chars: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the multilingual /
+    multi-domain upsampling rule (mT5, XLM-R style): group ``g`` keeps
+    each row with probability
+
+        p_g = min(1, round(target_frac · N · n_g^alpha /
+                           (n_g · Σ_m n_m^alpha), round_digits))
+
+    so the expected kept volume is ~``target_frac · N`` while the GROUP
+    mixture is flattened toward ``n_g^alpha``: ``alpha=1`` preserves
+    natural proportions, ``alpha=0`` is uniform-per-group, 0.5 the
+    usual compromise that upsamples rare languages without letting them
+    dominate.  Unlike :func:`mixture_sample` the fractions are derived
+    FROM the corpus (one group-count partial agg + a one-row total,
+    both broadcast back — model-sized), so the mixture tracks the data
+    as it grows.  The keep rule is the same deterministic key-hash
+    threshold (no RNG); ``p_g`` is quantized to ``round_digits`` so the
+    cross-engine threshold is identical (pow/divide last-ulp drift
+    cannot flip a row).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("__t"),
+        F.sum(F.pow("__n", F.lit(alpha))).alias("__w"),
+    )
+    p = F.round(
+        F.lit(target_frac)
+        * F.col("__t")
+        * F.pow("__n", F.lit(alpha))
+        / (F.col("__n") * F.col("__w")),
+        round_digits,
+    )
+    pg = counts.crossJoin(F.broadcast(tot)).select(
+        group_col, F.least(F.lit(1.0), p).alias("__p")
+    )
+    return (
+        df.join(F.broadcast(pg), group_col)
+        .filter(_hash01(F.col(key), salt, hex_chars) < F.col("__p"))
+        .drop("__p")
+    )
+
+
 def assign_splits(
     df: DataFrame,
     key: str,
@@ -175,6 +226,7 @@ __all__ = [
     "hash_sample",
     "top_k_per_key",
     "mixture_sample",
+    "temperature_sample",
     "stratified_sample",
     "assign_splits",
     "shuffle_shards",

@@ -140,3 +140,40 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     assert got == {g: math.ceil(0.25 * n) for g, n in totals.items()}
     again = stratified_sample(docs.repartition(7), "lang", "doc_id", 0.25)
     assert out.subtract(again).count() == 0
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha=0.5 upsamples the rare group relative to its natural share
+    (keep probability rare > common), expected total tracks target_frac,
+    and the keep decision is the deterministic hash rule — recomputing
+    p by hand and applying the same threshold reproduces the exact
+    output set."""
+    import math
+
+    from faust_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "common" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(
+        df, group_col="lang", key="doc_id", alpha=0.5, target_frac=0.3,
+        hex_chars=8,
+    ).collect()
+
+    n = {"common": 900, "rare": 100}
+    w = sum(v**0.5 for v in n.values())
+    p = {
+        g: min(1.0, round(0.3 * 1000 * (v**0.5) / (v * w), 6))
+        for g, v in n.items()
+    }
+    assert p["rare"] > p["common"]  # flattening upsamples the rare group
+    # expected kept ~= target_frac * N (exact in expectation by design)
+    assert abs(sum(p[g] * n[g] for g in n) - 300) < 1e-6
+
+    import hashlib
+
+    def keep(doc_id, g):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return int(h, 16) / float(16**8) < p[g]
+
+    want = {(i, g) for i, g in rows if keep(i, g)}
+    assert {(r.doc_id, r.lang) for r in out} == want

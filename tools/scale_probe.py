@@ -52,6 +52,7 @@ PROBES_DOCS = [
     "hybrid_search",  # r4: one postings pass + per-query-bounded fusion
     "boilerplate_chunks",  # digest-only shuffles, shared exchange
     "stratified_sample",  # one stratum-keyed shuffle
+    "temperature_mix",  # r4: group-count agg + broadcast p, linear scan
     "tokenize_ids",  # broadcast vocab; one doc-keyed reassembly exchange
     "remove_boilerplate",  # digest-only boilerplate set + ordered rebuild
     "vocab_build",  # term-keyed partial agg; rank over model-sized vocab
