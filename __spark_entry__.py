@@ -3044,6 +3044,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["ann_lsh_topk"] = _lsh_oracle_sql(n_tables=2)
 
 
+@_q("retrieval_eval", None)  # oracle registered below (programmatic SQL)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality eval (operators/similarity.py ranking_eval):
+    per-query hits@5 and the reciprocal-rank position of the exact
+    top-1 inside the LSH ranking (0 = missed) — the deploy-time recall
+    dashboard for the bucketed index. Integer-only output; the oracle
+    recomputes BOTH rankings (the LSH one bit-for-bit via the embedded
+    hyperplane literals) and the same metrics. Every join is
+    candidate-sized (k rows/query) — the eval cost is independent of
+    the corpus."""
+    from faust_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+        ranking_eval,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    lsh = hyperplane_lsh_topk(emb, queries, k=5, n_planes=6, n_tables=2)
+    exact = cosine_topk(emb, queries, k=5)
+    return ranking_eval(exact, lsh)
+
+
+_ORACLES["retrieval_eval"] = f"""
+    WITH lsh AS ({_lsh_oracle_sql(n_tables=2)}),
+    exact AS (
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                 WHERE vec_id < 10),
+      s AS (SELECT q.qid, e.vec_id AS nid,
+                   list_cosine_similarity(q.qv, e.embedding) AS sim
+            FROM q, embeddings e WHERE e.vec_id != q.qid)
+      SELECT qid, nid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rank
+      FROM s QUALIFY rank <= 5
+    ),
+    h AS (SELECT e.qid, COUNT(l.nid) AS hits
+          FROM exact e
+          LEFT JOIN lsh l ON l.qid = e.qid AND l.nid = e.nid
+          GROUP BY 1),
+    r AS (SELECT e1.qid, COALESCE(MIN(l.rank), 0) AS rr_rank
+          FROM (SELECT qid, nid FROM exact WHERE rank = 1) e1
+          LEFT JOIN lsh l ON l.qid = e1.qid AND l.nid = e1.nid
+          GROUP BY 1)
+    SELECT h.qid, h.hits, r.rr_rank FROM h JOIN r ON h.qid = r.qid
+    """
+
+
 @_q(
     "multimodal_decode",
     """
@@ -4946,6 +4996,7 @@ _PRIORITY: list[str] = [
     "hard_negatives",  # r4: cross-label nearest-neighbor mining
     "knn_label",  # r4: kNN majority-vote label propagation
     "temperature_mix",  # r4: corpus-derived temperature mixture
+    "retrieval_eval",  # r4: ANN recall/MRR eval harness
     # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)

@@ -194,6 +194,56 @@ def hyperplane_lsh_topk(
     )
 
 
+def ranking_eval(
+    exact: DataFrame,
+    approx: DataFrame,
+    qid_col: str = "qid",
+    id_col: str = "nid",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics of an approximate ranking against the
+    exact one — the eval harness every ANN index deployment needs:
+
+    * ``hits`` = |approx ∩ exact| (both inputs are already top-k lists,
+      so this is hits@k; recall@k = hits/k downstream);
+    * ``rr_rank`` = the approx-list position of the exact top-1
+      neighbor, 0 if missed (MRR = avg(1/rr_rank over hits)
+      downstream).
+
+    Integer-only output so a cross-engine oracle compares exactly.
+    Both inputs are per-query-bounded (k rows/query), so every join is
+    candidate-sized — the eval never touches the corpus regardless of
+    its size.  Returns (qid, hits, rr_rank).
+    """
+    a = approx.select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col).alias("nid"),
+        F.col(rank_col).alias("arank"),
+    )
+    e = exact.select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col).alias("nid"),
+        F.col(rank_col).alias("erank"),
+    )
+    hits = (
+        e.join(
+            a.select("qid", "nid", F.lit(1).alias("hit")),
+            ["qid", "nid"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    rr = (
+        e.filter(F.col("erank") == 1)
+        .select("qid", "nid")
+        .join(a, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(F.coalesce(F.min("arank"), F.lit(0)).alias("rr_rank"))
+    )
+    return hits.join(rr, "qid")
+
+
 def hard_negative_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1158,6 +1208,7 @@ __all__ = [
     "cosine_topk",
     "hard_negative_topk",
     "knn_vote",
+    "ranking_eval",
     "hyperplane_signature",
     "hyperplane_lsh_topk",
     "kmeans_centroids",

@@ -181,3 +181,22 @@ def test_knn_vote_majority_property(spark, sf_dir):
         c = Counter(labs)
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert out[qid] == top, qid
+
+
+def test_ranking_eval_hand_computed(spark):
+    """hits@k and rr_rank on hand-built rankings: full hit, partial
+    overlap, and total miss, including the missed-top-1 -> 0 case."""
+    from faust_spark.operators.similarity import ranking_eval
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        ["qid", "nid", "rank"],
+    )
+    approx = spark.createDataFrame(
+        # q1: both found, top-1 at position 2; q2: only nid 21 found
+        # (top-1 missed); q3: nothing found
+        [(1, 11, 1), (1, 10, 2), (2, 21, 1), (2, 99, 2), (3, 98, 1)],
+        ["qid", "nid", "rank"],
+    )
+    out = {r.qid: (r.hits, r.rr_rank) for r in ranking_eval(exact, approx).collect()}
+    assert out == {1: (2, 2), 2: (1, 0), 3: (0, 0)}
