@@ -4937,6 +4937,114 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "day", "cnt")
 
 
+@_q(
+    "substring_dedup",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    w AS (SELECT doc_id, md5(substr(text, i, 40)) AS h
+          FROM d, unnest(generate_series(1, n - 39, 10)) t(i)
+          WHERE n >= 40),
+    dup AS (SELECT h FROM w GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (SELECT doc_id, COUNT(*) AS n_windows,
+                   COUNT(*) FILTER (WHERE h IN (SELECT h FROM dup))
+                     AS n_dup_windows
+            FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(CAST(n_dup_windows AS DOUBLE) / n_windows, 0.0)
+             AS dup_ratio
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (operators/dedup.py
+    substring_dup_spans — Lee et al. ACL 2022 ExactSubstr): 40-char
+    windows at stride 10, a window is duplicated when its hash appears
+    in >= 2 distinct docs. Digest-only shuffles; text never leaves the
+    scan stage."""
+    from faust_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), window=40, stride=10
+    )
+
+
+@_q(
+    "winnow_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos, n - 8 + 1 AS ng,
+                 md5(substr(text, i, 8)) AS h
+          FROM d, unnest(generate_series(1, n - 8 + 1)) t(i)
+          WHERE n >= 13),
+    m AS (SELECT doc_id, pos, ng,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND 5 FOLLOWING) AS mh
+          FROM g),
+    f AS (SELECT DISTINCT doc_id, mh FROM m WHERE pos <= ng - 6),
+    per AS (SELECT doc_id, COUNT(*) AS n_fp,
+                   md5(string_agg(mh, '' ORDER BY mh)) AS fp_sig
+            FROM f GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(n_fp, 0) AS n_fp, fp_sig
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py winnow_fingerprint —
+    Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm): k=8
+    char-gram hashes, sliding min over w=6 windows, distinct selected
+    hashes per doc. Any shared substring >= 13 chars guarantees a
+    common fingerprint. Per-doc window partitioning — state bounded by
+    doc length, never corpus size."""
+    from faust_spark.operators.text import winnow_fingerprint as _wf
+
+    return _wf(_t(spark, sf_dir, "documents"), k=8, w=6)
+
+
+@_q(
+    "perplexity_buckets",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    lm AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(freq) AS total FROM lm),
+    nll AS (SELECT term,
+                   CAST(round(-ln(CAST(freq AS DOUBLE) / total), 9)
+                        AS DECIMAL(28,9)) AS nll
+            FROM lm, tot),
+    scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+               FROM toks JOIN nll USING (term) GROUP BY doc_id),
+    nd AS (SELECT COUNT(*) AS total FROM scored),
+    hist AS (SELECT avg_nll AS s, COUNT(*) AS cnt
+             FROM scored GROUP BY 1),
+    cum AS (SELECT s,
+                   COALESCE(SUM(cnt) OVER (ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_before
+            FROM hist)
+    SELECT doc_id, n_tokens, avg_nll,
+           CAST(LEAST(2, FLOOR(3 * cum_before / total)) AS INT) AS bucket,
+           CASE CAST(LEAST(2, FLOOR(3 * cum_before / total)) AS INT)
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM scored JOIN cum ON scored.avg_nll = cum.s, nd
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiers (operators/text.py
+    perplexity_buckets — Wenzek et al. LREC 2020): unigram-LM NLL per
+    doc, corpus split into equal-population head/middle/tail WITHOUT a
+    global sort — banded cumulative histogram with driver-side
+    model-sized band offsets (the build_vocab pattern)."""
+    from faust_spark.operators.text import perplexity_buckets as _pb
+
+    return _pb(_t(spark, sf_dir, "documents"), n_buckets=3)
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -4997,6 +5105,9 @@ _PRIORITY: list[str] = [
     "knn_label",  # r4: kNN majority-vote label propagation
     "temperature_mix",  # r4: corpus-derived temperature mixture
     "retrieval_eval",  # r4: ANN recall/MRR eval harness
+    "substring_dedup",  # r4: ExactSubstr span dedup (Lee et al. 2022)
+    "winnow_fingerprint",  # r4: MOSS winnowing fingerprints
+    "perplexity_buckets",  # r4: CCNet head/middle/tail tiers
     # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)

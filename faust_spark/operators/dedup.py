@@ -1046,6 +1046,79 @@ def edit_distance_pairs_exact(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-span detection (Lee, Ippolito et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — the ExactSubstr pass): slide a ``window``-char window at
+    ``stride`` over every document, hash each window, and flag windows
+    whose hash occurs in >= 2 DISTINCT documents.  Catches documents
+    that share long verbatim spans (boilerplate, quotations, mirrored
+    articles) that document-level exact/MinHash dedup misses because
+    the surrounding text differs.
+
+    Scale shape: the window hashes are computed inside one codegen
+    ``transform`` over the text column, so only ``(hash, doc_id)``
+    digests ever shuffle — corpus text stays in the scan stage.  Both
+    the duplicate-hash aggregate and the flag join key on the hash, so
+    the whole operator is two linear digest-keyed shuffles (the second
+    reuses the first's partitioning under AQE).  ~1/stride hash rows
+    per corpus char, independent of document count.  Production would
+    use ``xxhash64`` (8-byte keys); ``md5`` here is the cross-engine
+    verifiable choice (DuckDB has no xxhash64).
+
+    Within-document repetition is deliberately out of scope (that is
+    ``repetition_stats``); the >= 2 *distinct docs* contract makes this
+    the cross-document complement.
+
+    Returns (id, n_windows, n_dup_windows, dup_ratio); dup_ratio is the
+    raw double quotient (same integer operands in any engine — exact
+    IEEE division, no rounding needed).  Docs shorter than ``window``
+    have zero windows and ratio 0.0.
+    """
+    hashes = F.expr(
+        f"transform(sequence(1, length({text_col}) - {window} + 1, {stride}),"
+        f" p -> md5(substring({text_col}, p, {window})))"
+    )
+    w = docs.filter(F.length(text_col) >= window).select(
+        F.col(id_col).alias("__id"), F.explode(hashes).alias("h")
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("__id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    per = (
+        w.join(dup, "h", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -1057,4 +1130,5 @@ __all__ = [
     "embedding_dup_pairs",
     "semantic_dedup",
     "edit_distance_pairs_exact",
+    "substring_dup_spans",
 ]

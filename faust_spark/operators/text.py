@@ -855,6 +855,169 @@ def gopher_rules(
     )
 
 
+def winnow_fingerprint(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram,
+    slide a window of ``w`` consecutive k-gram hashes, record each
+    window's minimum; the DISTINCT selected hashes are the document's
+    fingerprint set.  Guarantee: any substring shared between two
+    documents of length >= ``k + w - 1`` contributes at least one
+    common fingerprint — position-robust near-dup evidence that plain
+    stride sampling cannot give.
+
+    Scale shape: k-gram hashing is one codegen ``transform``; the
+    sliding minimum is a ``min() OVER (PARTITION BY doc ORDER BY pos
+    ROWS w-1 FOLLOWING)`` window — partitioned per document, so state
+    is bounded by document length, never corpus size, and documents
+    spread across all executors.  Only (doc, hash) digests leave the
+    stage; the per-doc signature aggregates ~len/w distinct
+    fingerprints (the winnowing density guarantee: expected 2/(w+1)
+    selections per hash).
+
+    Returns (id, n_fp, fp_sig) where fp_sig = md5 over the sorted
+    fingerprint set — equal signatures mean equal fingerprint sets.
+    Docs shorter than ``k + w - 1`` (no full window) emit n_fp = 0 and
+    NULL fp_sig.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k} + 1),"
+        f" p -> md5(substring({text_col}, p, {k})))"
+    )
+    g = df.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col).alias("__id"),
+        (F.length(text_col) - F.lit(k) + 1).alias("__ng"),
+        F.posexplode(grams),
+    )
+    win = W.partitionBy("__id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("mh", F.min("col").over(win))
+        .filter(F.col("pos") <= F.col("__ng") - w)
+        .select("__id", "mh")
+        .distinct()
+    )
+    per = sel.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_set("mh")))).alias(
+            "fp_sig"
+        ),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_fp", F.lit(0)).alias("n_fp"),
+            "fp_sig",
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): score every document with the corpus unigram LM
+    (``unigram_logprob``) and split the corpus into ``n_buckets``
+    equal-population fluency tiers — bucket 0 ("head", lowest NLL =
+    most fluent) through bucket n-1 ("tail").  The standard move before
+    mixing: keep head+middle, drop or down-weight tail.
+
+    Scale shape — the naive ``ntile() OVER (ORDER BY score)`` is a
+    single-partition global sort; instead the quantile assignment is a
+    distributed cumulative histogram (the ``build_vocab`` banded-rank
+    pattern):
+
+    1. aggregate scores to a (score → count) histogram — one
+       digest-only shuffle (production would round scores, e.g. to 4-6
+       decimals, to bound the histogram; the correctness gate keeps the
+       exact doubles, which are bit-identical across engines because
+       avg_nll is one IEEE division of identical operands);
+    2. integer score bands (``floor(score)``) give a model-sized
+       (~tens of rows: NLL lives in single digits) band histogram whose
+       running offsets are computed driver-side and broadcast back —
+       exactly like a k-means model;
+    3. within each band a window computes the running count; the global
+       rank of a score is band_offset + within-band cumulative, so
+       ``bucket = min(n-1, n * cum_before / N)`` — no global sort, no
+       single-partition window anywhere.
+
+    Ties (equal scores) land in the same bucket by
+    construction, which makes the output engine- and
+    partitioning-independent.  Returns (id, n_tokens, avg_nll, bucket,
+    tier).
+    """
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "avg_nll",
+        F.col("avg_nll").alias("__s"),
+    )
+    hist = (
+        scored.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__band", F.floor("__s"))
+    )
+    # model-sized band totals -> running offsets (driver-side, like the
+    # vocab_build frequency histogram / k-means centroids)
+    bands = sorted(
+        (r["__band"], r["n"])
+        for r in hist.groupBy("__band").agg(F.sum("__cnt").alias("n")).collect()
+    )
+    total = sum(n for _, n in bands)
+    offsets, acc = [], 0
+    for b, n in bands:
+        offsets.append((b, acc))
+        acc += n
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__band bigint, __off bigint")
+    )
+    wb = (
+        W.partitionBy("__band")
+        .orderBy("__s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = (
+        hist.withColumn(
+            "__before", F.coalesce(F.sum("__cnt").over(wb), F.lit(0))
+        )
+        .join(off, "__band")
+        .select(
+            "__s",
+            (F.col("__off") + F.col("__before")).alias("__cum_before"),
+        )
+    )
+    labels = F.array(
+        F.lit("head"), F.lit("middle"), F.lit("tail"),
+        *[F.lit(f"tier{i}") for i in range(3, n_buckets)],
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.lit(n_buckets) * F.col("__cum_before") / F.lit(total)),
+    ).cast("int")
+    return (
+        scored.join(cum, "__s")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "avg_nll",
+            bucket.alias("bucket"),
+            F.element_at(labels, bucket + 1).alias("tier"),
+        )
+    )
+
+
 __all__ = [
     "tokenize",
     "token_stats",
@@ -874,6 +1037,8 @@ __all__ = [
     "pii_scan",
     "unigram_logprob",
     "gopher_rules",
+    "winnow_fingerprint",
+    "perplexity_buckets",
     "PII_PATTERNS",
     "LANG_MARKERS",
     "STOPWORDS",

@@ -208,3 +208,54 @@ def test_incremental_dedup_drops_corpus_dups_keeps_fresh(spark):
     )
     kept = {r.doc_id for r in incremental_dedup(new, corpus, 0.5).collect()}
     assert kept == {11, 12}
+
+
+# ---------------------------------------------------------------------
+# substring_dup_spans (ExactSubstr, Lee et al. ACL 2022)
+# ---------------------------------------------------------------------
+
+
+def test_substring_dup_spans_known_values(spark):
+    from faust_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),  # windows @1,3,5: abcd cdef efgh
+            (2, "xxabcdef"),  # windows: xxab abcd cdef
+            (3, "zzzz"),  # one window, unique
+            (4, "ab"),  # shorter than the window -> zero windows
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dup_spans(df, window=4, stride=2).collect()
+    }
+    assert len(out) == 4
+    # abcd + cdef are shared between docs 1 and 2
+    assert (out[1].n_windows, out[1].n_dup_windows) == (3, 2)
+    assert abs(out[1].dup_ratio - 2 / 3) < 1e-12
+    assert (out[2].n_windows, out[2].n_dup_windows) == (3, 2)
+    assert (out[3].n_windows, out[3].n_dup_windows) == (1, 0)
+    assert out[3].dup_ratio == 0.0
+    assert (out[4].n_windows, out[4].n_dup_windows) == (0, 0)
+    assert out[4].dup_ratio == 0.0
+
+
+def test_substring_dup_spans_exact_copies_all_dup(spark):
+    from faust_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, DOC), (2, DOC), (3, OTHER)], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dup_spans(df, window=20, stride=5).collect()
+    }
+    # exact copies: every window duplicated
+    assert out[1].n_windows > 0
+    assert out[1].n_dup_windows == out[1].n_windows
+    assert out[1].dup_ratio == 1.0
+    assert out[2].dup_ratio == 1.0
+    # unrelated doc: nothing duplicated
+    assert out[3].n_dup_windows == 0

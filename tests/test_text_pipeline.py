@@ -245,3 +245,115 @@ def test_assign_cells_two_level_routes_through_blocks(spark):
     flat = {r.vec_id: r.cell for r in assign_cells(df, two).collect()}
     tl = {r.vec_id: r.cell for r in assign_cells_two_level(df, two).collect()}
     assert flat == tl
+
+
+# ---------------------------------------------------------------------
+# winnow_fingerprint (MOSS winnowing, SIGMOD 2003)
+# ---------------------------------------------------------------------
+
+
+def test_winnow_fingerprint_basics(spark):
+    from faust_spark.operators.text import winnow_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world hello world"),
+            (2, "hello world hello world"),  # identical -> same sig
+            (3, "totally different content"),
+            (4, "ab"),  # below k+w-1 -> no fingerprints
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in winnow_fingerprint(df, k=4, w=3).collect()}
+    assert out[1].n_fp > 0
+    assert out[1].fp_sig == out[2].fp_sig  # set equality via signature
+    assert out[1].fp_sig != out[3].fp_sig
+    assert out[4].n_fp == 0 and out[4].fp_sig is None
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k+w-1 must contribute at least
+    one common selected fingerprint (the winnowing theorem)."""
+    from faust_spark.operators.text import winnow_fingerprint
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIXAA " + shared + " SUFFIXBB"),
+            (2, "zz" + shared + "qq unrelated tail words here"),
+        ],
+        "doc_id int, text string",
+    )
+    # recompute the selected sets via the documented internals: run the
+    # operator per-doc and compare signatures of the shared-substring-only
+    # docs -- instead assert via intersection: run on each doc alone and
+    # on the pair; the pair signature differing from both singles is fine,
+    # so check the guarantee directly with a one-doc-per-side join.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    k, w = 8, 4
+    grams = FF.expr(
+        f"transform(sequence(1, length(text) - {k} + 1),"
+        f" p -> md5(substring(text, p, {k})))"
+    )
+    g = df.select("doc_id", FF.posexplode(grams))
+    ng = df.select(
+        "doc_id", (FF.length("text") - FF.lit(k) + 1).alias("ng")
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        g.withColumn("mh", FF.min("col").over(win))
+        .join(ng, "doc_id")
+        .filter(FF.col("pos") <= FF.col("ng") - w)
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in sel.groupBy("doc_id")
+        .agg(FF.collect_set("mh").alias("fps"))
+        .collect()
+    }
+    assert sets[1] & sets[2], "winnowing guarantee violated"
+
+
+# ---------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------
+
+
+def test_perplexity_buckets_known_tiers(spark):
+    from faust_spark.operators.text import perplexity_buckets
+
+    # freqs: a=3 b=2 c=1 over 6 tokens -> NLL(a) < NLL(b) < NLL(c)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in perplexity_buckets(df, n_buckets=3).collect()}
+    assert [out[i].tier for i in (1, 2, 3)] == ["head"] * 3
+    assert out[4].tier == "middle" and out[5].tier == "middle"
+    assert out[6].tier == "tail"
+    assert out[1].bucket == 0 and out[6].bucket == 2
+    # scores ordered as constructed
+    assert out[1].avg_nll < out[4].avg_nll < out[6].avg_nll
+
+
+def test_perplexity_buckets_equal_population(spark, sf_dir):
+    """On the fixture corpus the three tiers are within one doc-count of
+    each other whenever scores are distinct (ties merge buckets)."""
+    from faust_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = perplexity_buckets(docs, n_buckets=3)
+    counts = {
+        r.tier: r.n
+        for r in out.groupBy("tier").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert set(counts) == {"head", "middle", "tail"}
+    assert max(counts.values()) - min(counts.values()) <= 2
