@@ -1961,10 +1961,13 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       appears in ``b`` as an EXACT substring — at a position shifted by
       ``d`` where ``|d| + |delta - d| <= k`` (``delta`` = length gap;
       edits before the segment shift it by at most their count, edits
-      after absorb the rest). Blocking is therefore a plain equi-join:
-      index side = 11 segments per doc keyed ``(la, i, segment)``;
-      probe side = the <= 11x11x11 position-window substrings per doc
-      keyed the same. Lossless by theorem, and the quadratic
+      after absorb the rest), AND |d| <= i AND |d - delta| <= k - i
+      (PASS-JOIN's multi-match-aware selection: wider shifts are always
+      also caught through an earlier/later segment, so the candidate
+      UNION stays lossless while each window shrinks ~2x). Blocking is
+      therefore a plain equi-join: index side = 11 segments per doc
+      keyed ``(la, i, segment)``; probe side = the position-window
+      substrings per doc keyed the same. Lossless by theorem, and the quadratic
       within-length-bucket candidate term of the naive length-blocked
       join never appears — candidates are docs sharing a ~len/11-char
       substring at a compatible position, i.e. essentially the true

@@ -968,9 +968,18 @@ def edit_distance_pairs_exact(
         )
     )
 
-    # probe window on the shift d = q - p_i:
-    #   |d| + |delta - d| <= k  (delta = len - la >= 0)
-    #   =>  d in [-(k - delta) div 2, delta + (k - delta) div 2]
+    # probe window on the shift d = q - p_i, intersecting THREE bounds
+    # (PASS-JOIN's multi-match-aware substring selection, Lemma 3):
+    #   length-aware:   |d| + |delta - d| <= k  (delta = len - la >= 0)
+    #                   =>  d in [-(k-delta) div 2, delta + (k-delta) div 2]
+    #   left-count:     |d| <= i          (an alignment shifting segment i
+    #                   by more than i prefix edits is always also caught
+    #                   through one of the i earlier segments)
+    #   right-count:    |d - delta| <= k - i  (mirror bound from the
+    #                   k - i segments after i)
+    # The union over segments stays lossless (candidates are deduped
+    # before verification); each window shrinks from ~k-delta+1 wide to
+    # ~min(2i, 2(k-i), k-delta)+1 — roughly halving probe rows.
     probe_struct = (
         "flatten(transform(sequence(greatest(len - {k}, {n}), len), la ->"
         " flatten(transform(sequence(0, {m}), i ->"
@@ -978,10 +987,12 @@ def edit_distance_pairs_exact(
         "   sequence("
         "    greatest(0,"
         "     i * (la div {n}) + greatest(0, i - ({n} - la % {n}))"
-        "      - ((({k}) - (len - la)) div 2)),"
+        "      + greatest(-i, (len - la) - ({k} - i),"
+        "                 -((({k}) - (len - la)) div 2))),"
         "    least(len - ((la div {n}) + if(i >= {n} - la % {n}, 1, 0)),"
         "     i * (la div {n}) + greatest(0, i - ({n} - la % {n}))"
-        "      + (len - la) + ((({k}) - (len - la)) div 2))),"
+        "      + least(i, (len - la) + ({k} - i),"
+        "              (len - la) + ((({k}) - (len - la)) div 2)))),"
         "   q -> named_struct('la', la, 'i', i,"
         "    'seg', substring(text, q + 1,"
         "     (la div {n}) + if(i >= {n} - la % {n}, 1, 0))))))))"
