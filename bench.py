@@ -76,6 +76,9 @@ HEADLINE = [
     "quality_classifier",  # model apply: literal weights, one scan
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
+    "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)
+    "winnow_fingerprint",  # MOSS winnowing fingerprints
+    "perplexity_buckets",  # CCNet head/middle/tail tiers
     "gopher_rules",  # heuristic rule battery, one scan
     "multimodal_features",  # Arrow-batched media feature extraction
     "multimodal_resize",  # payload->payload media transform

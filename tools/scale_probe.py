@@ -61,6 +61,11 @@ PROBES_DOCS = [
     "gopher_rules",  # rule battery: pure scan, no shuffle
     "multimodal_features",  # Arrow-batched narrow map over payloads
     "multimodal_resize",  # payload->payload narrow map
+    "winnow_fingerprint",  # r4: per-doc sliding-min windows, linear
+    "perplexity_buckets",  # r4: LM agg + banded cumulative histogram
+    "substring_dedup",  # r4: window-hash agg + flag join, both hash-keyed
+    # (output is one row per doc; duplicate-bucket membership grows with
+    # replicas but total window rows stay linear in corpus chars)
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
