@@ -15,6 +15,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -98,6 +99,22 @@ def main() -> None:
     from faust_spark.session import get_spark
 
     import __spark_entry__ as entry
+
+    # host-speed calibration: rounds run on fresh VMs whose clock speed
+    # and disk vary; these fixed workloads let cross-round comparisons
+    # normalize out the host (seconds here scale every wall time below).
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i
+    calib_spin = round(time.time() - t0, 3)
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as _d:
+        _buf = b"\x5a" * (1 << 20)
+        for i in range(100):
+            with open(os.path.join(_d, f"f{i}"), "wb") as f:
+                f.write(_buf)
+    calib_io = round(time.time() - t0, 3)
 
     spark = get_spark("bench")
     qs = entry.queries()
@@ -205,6 +222,10 @@ def main() -> None:
                 "stream_forward_eps": forward_eps,
                 "stream_windowed_eps": windowed_eps,
                 "stream_windowed_state_partitions": state_parts,
+                "host_calib": {
+                    "python_spin_sec": calib_spin,
+                    "write_100mb_sec": calib_io,
+                },
             }
         )
     )
