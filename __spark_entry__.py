@@ -5048,6 +5048,92 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pb(_t(spark, sf_dir, "documents"), n_buckets=3)
 
 
+@_q(
+    "remove_dup_spans",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    w AS (SELECT doc_id, i AS p, md5(substr(text, i, 40)) AS h
+          FROM d, unnest(generate_series(1, n - 39, 10)) t(i)
+          WHERE n >= 40),
+    dup AS (SELECT h FROM w GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    s AS (SELECT doc_id, list(p ORDER BY p) AS starts
+          FROM w WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+    k AS (SELECT d.doc_id, t.c
+          FROM d LEFT JOIN s USING (doc_id),
+               unnest(generate_series(1, d.n)) t(c)
+          WHERE COALESCE(len(list_filter(s.starts,
+                st -> c >= st AND c < st + 40)), 0) = 0),
+    agg AS (SELECT k.doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(substr(d2.text, k.c, 1), ''
+                       ORDER BY k.c)) AS clean_md5
+            FROM k JOIN d d2 USING (doc_id) GROUP BY k.doc_id)
+    SELECT d.doc_id, d.n AS n_chars,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.clean_md5, md5('')) AS clean_md5
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (operators/dedup.py remove_dup_spans —
+    Lee et al. ACL 2022): cut every character covered by a cross-doc
+    duplicated 40-char window; cleaned text verified by md5. Flagged
+    starts travel as one bounded array per doc; the cut is a codegen
+    projection."""
+    from faust_spark.operators.dedup import remove_dup_spans as _rds
+
+    return _rds(_t(spark, sf_dir, "documents"), window=40, stride=10)
+
+
+@_q(
+    "zorder_layout",
+    """
+    WITH s AS (SELECT MIN(user_id) AS mnx, MAX(user_id) AS mxx,
+                      MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS mny,
+                      MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS mxy
+               FROM events),
+    q AS (SELECT event_id,
+                 CASE WHEN mxx = mnx THEN 0 ELSE
+                   ((user_id - mnx) * 65535) // (mxx - mnx) END AS qx,
+                 CASE WHEN mxy = mny THEN 0 ELSE
+                   ((CAST(floor(epoch(ts)) AS BIGINT) - mny) * 65535)
+                     // (mxy - mny) END AS qy
+          FROM events, s)
+    SELECT event_id,
+           {interleave} AS zkey,
+           ({interleave}) >> 24 AS zbucket
+    FROM q
+    """.format(
+        interleave=" + ".join(
+            f"(((qx >> {b}) & 1) << {2 * b})"
+            f" + (((qy >> {b}) & 1) << {2 * b + 1})"
+            for b in range(16)
+        )
+    ),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (storage.py zorder_key — the Delta/
+    Iceberg OPTIMIZE ZORDER layout): 16-bit exact-integer quantization
+    of (user_id, event-time) against corpus min/max, bits interleaved
+    in codegen. ``write_zordered`` range-partitions on this key so
+    parquet row-group stats stay tight on BOTH dimensions — two-sided
+    data skipping a single-column sort can't give. The four min/max
+    scalars are the only non-scan work."""
+    from faust_spark.storage import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("__t")
+    )
+    return (
+        zorder_key(ev, "user_id", "__t", bits=16)
+        .select(
+            "event_id",
+            "zkey",
+            F.shiftright("zkey", 24).alias("zbucket"),
+        )
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -5109,8 +5195,10 @@ _PRIORITY: list[str] = [
     "temperature_mix",  # r4: corpus-derived temperature mixture
     "retrieval_eval",  # r4: ANN recall/MRR eval harness
     "substring_dedup",  # r4: ExactSubstr span dedup (Lee et al. 2022)
+    "remove_dup_spans",  # r4: ExactSubstr span REMOVAL, md5-verified
     "winnow_fingerprint",  # r4: MOSS winnowing fingerprints
     "perplexity_buckets",  # r4: CCNet head/middle/tail tiers
+    "zorder_layout",  # r4: Morton-key two-dimensional clustering
     # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)

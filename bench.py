@@ -78,8 +78,10 @@ HEADLINE = [
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)
+    "remove_dup_spans",  # ExactSubstr span removal, md5-verified
     "winnow_fingerprint",  # MOSS winnowing fingerprints
     "perplexity_buckets",  # CCNet head/middle/tail tiers
+    "zorder_layout",  # Morton-key two-dimensional clustering
     "gopher_rules",  # heuristic rule battery, one scan
     "multimodal_features",  # Arrow-batched media feature extraction
     "multimodal_resize",  # payload->payload media transform

@@ -1130,6 +1130,74 @@ def substring_dup_spans(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. ACL 2022):
+    delete every character covered by a window whose hash appears in
+    >= 2 distinct documents, keeping the rest of the document intact —
+    the surgical alternative to dropping whole near-dup docs.
+
+    Scale shape: duplicate-window detection is `substring_dup_spans`'s
+    digest-only shuffle pair; the per-doc start positions of flagged
+    windows come back as ONE array per doc (<= len/stride elements,
+    bounded by doc length), and the character-level cut runs as a pure
+    codegen projection — ``filter(sequence(1, len), c -> !exists(
+    starts, s -> s <= c < s + window))`` then a substring rebuild.  No
+    per-char rows ever exist outside an expression; text shuffles only
+    in the final doc-keyed join, once.
+
+    Returns (id, n_chars, n_kept, clean_md5) — md5 of the cleaned text
+    so the full reassembly is value-verifiable without shipping it.
+    """
+    hashes = F.expr(
+        f"transform(sequence(1, length({text_col}) - {window} + 1, {stride}),"
+        f" p -> named_struct('p', p,"
+        f"   'h', md5(substring({text_col}, p, {window}))))"
+    )
+    w = docs.filter(F.length(text_col) >= window).select(
+        F.col(id_col).alias("__id"), F.explode(hashes).alias("s")
+    ).select("__id", "s.p", "s.h")
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("__id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        w.join(dup, "h")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("p")).alias("starts"))
+    )
+    kept = (
+        f"filter(sequence(1, length({text_col})),"
+        f" c -> !exists(__starts, s -> c >= s AND c < s + {window}))"
+    )
+    return (
+        docs.join(starts, F.col(id_col) == F.col("__id"), "left")
+        .withColumn(
+            "__starts",
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        )
+        .withColumn("__kept", F.expr(kept))
+        .select(
+            F.col(id_col),
+            F.length(text_col).alias("n_chars"),
+            F.size("__kept").alias("n_kept"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(__kept,"
+                    f" c -> substring({text_col}, c, 1)), '')"
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -1142,4 +1210,5 @@ __all__ = [
     "semantic_dedup",
     "edit_distance_pairs_exact",
     "substring_dup_spans",
+    "remove_dup_spans",
 ]

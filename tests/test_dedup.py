@@ -259,3 +259,28 @@ def test_substring_dup_spans_exact_copies_all_dup(spark):
     assert out[2].dup_ratio == 1.0
     # unrelated doc: nothing duplicated
     assert out[3].n_dup_windows == 0
+
+
+def test_remove_dup_spans_known_values(spark):
+    import hashlib
+
+    from faust_spark.operators.dedup import remove_dup_spans
+
+    # window=4, stride=2: doc1/doc2 share "abcd" (doc1 @1, doc2 @3);
+    # doc3 unrelated -> untouched
+    df = spark.createDataFrame(
+        [(1, "abcdXY"), (2, "ZZabcd"), (3, "qrstuv")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_dup_spans(df, window=4, stride=2).collect()
+    }
+    # doc1 windows @1 "abcd", @3 "cdXY"; doc2 @1 "ZZab", @3 "abcd"
+    # only "abcd" is cross-doc: doc1 loses chars 1-4, doc2 chars 3-6
+    assert out[1].n_chars == 6 and out[1].n_kept == 2
+    assert out[1].clean_md5 == hashlib.md5(b"XY").hexdigest()
+    assert out[2].n_kept == 2
+    assert out[2].clean_md5 == hashlib.md5(b"ZZ").hexdigest()
+    assert out[3].n_kept == 6
+    assert out[3].clean_md5 == hashlib.md5(b"qrstuv").hexdigest()

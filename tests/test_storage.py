@@ -52,3 +52,40 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     )[1].splitlines()[0]
     expected = events.filter("event_type = 'error'").count()
     assert df.count() == expected
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from faust_spark.storage import zorder_key
+
+    # x,y already spanning [0,3]: with bits=2 quantization is identity
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2)], "x int, y int"
+    )
+    out = {(r.x, r.y): r.zkey for r in zorder_key(df, "x", "y", bits=2).collect()}
+    # morton: x bits at even positions, y bits at odd
+    assert out[(0, 0)] == 0
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(3, 3)] == 0b1111
+    assert out[(1, 2)] == 0b1001  # x=01 -> bit0; y=10 -> bit3
+
+
+def test_zorder_key_constant_column(spark):
+    from faust_spark.storage import zorder_key
+
+    df = spark.createDataFrame([(7, 1), (7, 2)], "x int, y int")
+    ks = [r.zkey for r in zorder_key(df, "x", "y", bits=4).collect()]
+    assert all(k >= 0 for k in ks)  # degenerate dim quantizes to 0
+
+
+def test_write_zordered_round_trip(spark, tmp_path):
+    from faust_spark.storage import write_zordered
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 37 as x", "cast(id * 7 % 101 as int) as y"
+    )
+    dest = str(tmp_path / "z")
+    write_zordered(df, dest, "x", "y", bits=8, num_files=4)
+    back = spark.read.parquet(dest)
+    assert back.count() == 1000
+    assert set(back.columns) == {"id", "x", "y"}

@@ -29,6 +29,7 @@ PROBES_EVENTS = [
     "stream_tumbling_hourly",
     "user_anomaly",  # one user-keyed exchange; replicas grow users AND days
     "funnel_conversion",  # stage joins share the user partitioning
+    "zorder_layout",  # r4: 4-scalar agg + pure codegen Morton key
 ]
 # pairwise doc ops: candidate sets grow super-linearly under replication
 # (every replica pair is a planted near-dup), so the probe stays bounded
@@ -64,6 +65,7 @@ PROBES_DOCS = [
     "winnow_fingerprint",  # r4: per-doc sliding-min windows, linear
     "perplexity_buckets",  # r4: LM agg + banded cumulative histogram
     "substring_dedup",  # r4: window-hash agg + flag join, both hash-keyed
+    "remove_dup_spans",  # r4: same shuffles + per-doc codegen cut
     # (output is one row per doc; duplicate-bucket membership grows with
     # replicas but total window rows stay linear in corpus chars)
 ]
