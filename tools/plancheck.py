@@ -77,6 +77,16 @@ ALLOW_NESTED_LOOP = {
     "hybrid_search",
     # one-ROW corpus-total broadcast into the per-term NLL expression
     "unigram_logprob",
+    # r4: one-ROW total-count crossJoins, same shape as unigram_logprob:
+    # temperature_mix broadcasts the corpus-total row into per-group p;
+    # perplexity_buckets inherits unigram_logprob's LM-total crossJoin
+    # (twice: histogram path + final scored join) plus the one-ROW doc
+    # total for the bucket quotient; retrieval_eval embeds the exact
+    # brute-force ranking (ann_cosine_topk's tiny-query broadcast) and
+    # per-query one-ROW aggregates for hits@k/MRR
+    "temperature_mix",
+    "perplexity_buckets",
+    "retrieval_eval",
     # broadcast centroid TABLE × corpus scan (assign_cells_join): the
     # FAISS coarse-quantizer shape — k-row broadcast, partial-agg argmin
     "semantic_dedup",
