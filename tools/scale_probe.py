@@ -130,12 +130,23 @@ def main() -> int:
     doc_mult = min(args.mult, 4)  # pairwise ops: keep the probe bounded
 
     def _write_docs(mult: int, dest: str) -> None:
+        # Replica marker = 24 identical letters unique to the replica.
+        # Same-replica doc pairs keep their base edit distance (equal
+        # suffixes), but CROSS-replica pairs gain ~24 substitutions —
+        # past edit_distance_pairs' k=10 — so the true lev<=k pair set
+        # grows ~linearly (mult x base pairs) and the probe ratio
+        # measures COMPUTE scaling, not planted-pair output volume.
+        # (The old " repN" suffix made every cross-replica pair a
+        # near-dup: output 134x at 4x swamped the timing signal.)
+        # Token-level ops see exactly one appended token either way.
         (
             docs.crossJoin(spark.range(mult).select(F.col("id").alias("rep")))
             .select(
                 (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
                 F.concat_ws(
-                    " ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))
+                    " ",
+                    F.col("text"),
+                    F.expr("repeat(char(97 + rep), 24)"),
                 ).alias("text"),
                 "lang",
                 "source",
@@ -179,9 +190,17 @@ def main() -> int:
     qs = entry.queries()
 
     def timed(key: str, sf_dir: str) -> tuple[float, int]:
-        t0 = time.time()
-        n = len(qs[key](spark, sf_dir).collect())
-        return round(time.time() - t0, 2), n
+        # best-of-2: the probe VM's clock jitters 2-3x minute-to-minute
+        # (see bench.py host_calib), and a single base mis-measure
+        # inflates the ratio arbitrarily; min-of-two also sheds the
+        # one-time plan-compile cost both scales pay equally
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = len(qs[key](spark, sf_dir).collect())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2), n
 
     out = {}
     emb_mult = min(args.mult, 4)  # pairwise embedding ops: bounded probe
