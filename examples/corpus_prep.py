@@ -3,10 +3,11 @@
 The composition a data-curation team actually runs, built from the
 operator layer (each stage is individually oracle-checked by the gate):
 
-    quality filter -> boilerplate filter -> exact dedup -> incremental
-    near-dup vs existing corpus -> exact-mixture stratified sample ->
-    leakage-proof split -> training-order shuffle -> context-window
-    chunking
+    quality filter -> boilerplate filter -> exact dedup -> duplicated-
+    span gate (ExactSubstr) -> incremental near-dup vs existing corpus
+    -> perplexity tiers (CCNet: drop the tail) -> exact-mixture
+    stratified sample -> leakage-proof split -> training-order shuffle
+    -> context-window chunking -> tokenizer (vocab build + apply)
 
 Run::
 
@@ -80,12 +81,39 @@ def main() -> None:
     uniq = kept.join(keepers, "doc_id", "left_semi")
     print(f"exact dedup:  -> {uniq.count()}")
 
+    # 2b. duplicated-span gate (ExactSubstr, Lee et al. 2022): drop docs
+    #     where more than half the sampled windows are verbatim-shared
+    #     with another doc — catches mirrored spans exact dedup misses.
+    #     Only (hash, id) digests shuffle.
+    from faust_spark.operators.dedup import substring_dup_spans
+
+    spans = substring_dup_spans(uniq, window=40, stride=10)
+    uniq = uniq.join(
+        spans.filter(F.col("dup_ratio") <= 0.5).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    print(f"span gate:    -> {uniq.count()}")
+
     # 3. incremental near-dup: drop docs already in the "existing corpus"
     #    (here: the odd-id half plays the corpus)
     new = uniq.filter(F.col("doc_id") % 2 == 0)
     corpus = uniq.filter(F.col("doc_id") % 2 != 0)
     admitted = incremental_dedup(new, corpus, threshold=0.5)
     print(f"incremental:  {new.count()} new -> {admitted.count()} admitted")
+
+    # 3a. CCNet fluency tiers: score every doc against the corpus
+    #     unigram LM, drop the worst third — no global sort (banded
+    #     cumulative histogram)
+    from faust_spark.operators.text import perplexity_buckets
+
+    tiers = perplexity_buckets(admitted.select("doc_id", "text"))
+    admitted = admitted.join(
+        tiers.filter(F.col("tier") != "tail").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    print(f"ppl tiers:    -> {admitted.count()} (head+middle kept)")
 
     # 3b. exact-mixture control: exactly ceil(0.9 * n_lang) docs per
     #     language (hash-ranked, one shuffle) — binomial-free mixture
@@ -110,6 +138,21 @@ def main() -> None:
         "from",
         train.count(),
         "docs across 8 shards",
+    )
+
+    # 7. tokenizer: corpus-derived vocab (freq-banded deterministic
+    #    ids), then broadcast-apply -> per-doc token-id arrays
+    from faust_spark.operators.text import build_vocab, tokenize_with_vocab
+
+    vocab = build_vocab(train, min_freq=2)
+    ids = tokenize_with_vocab(train, vocab)
+    stats = ids.agg(
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_oov").alias("oov"),
+    ).collect()[0]
+    print(
+        f"tokenized:    {stats['tokens']} tokens "
+        f"({stats['oov']} OOV) over a {vocab.count()}-term vocab"
     )
     spark.stop()
 
