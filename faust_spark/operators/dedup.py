@@ -1173,9 +1173,12 @@ def remove_dup_spans(
         .groupBy("__id")
         .agg(F.sort_array(F.collect_list("p")).alias("starts"))
     )
+    # sequence(1, 0) is DESCENDING in Spark (step defaults to -1 when
+    # stop < start), so empty docs need the explicit guard
     kept = (
-        f"filter(sequence(1, length({text_col})),"
-        f" c -> !exists(__starts, s -> c >= s AND c < s + {window}))"
+        f"if(length({text_col}) < 1, array(),"
+        f" filter(sequence(1, length({text_col})),"
+        f" c -> !exists(__starts, s -> c >= s AND c < s + {window})))"
     )
     return (
         docs.join(starts, F.col(id_col) == F.col("__id"), "left")

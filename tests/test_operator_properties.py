@@ -125,3 +125,59 @@ def test_passjoin_exact_vs_bruteforce(spark, docs, k):
             if d <= k:
                 want[(i, j)] = d
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=30),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_substring_spans_match_bruteforce(spark, texts):
+    """substring_dup_spans / remove_dup_spans agree with a quadratic
+    Python oracle on random short strings (window=5, stride=2)."""
+    import hashlib
+
+    from faust_spark.operators.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+
+    W, S = 5, 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # brute force: window hashes per doc
+    wins = {
+        i: [(p, t[p : p + W]) for p in range(0, len(t) - W + 1, S)]
+        for i, t in rows
+    }
+    owners = {}
+    for i, ws in wins.items():
+        for _, s in ws:
+            owners.setdefault(s, set()).add(i)
+    dup = {s for s, o in owners.items() if len(o) >= 2}
+    exp_stats = {}
+    exp_clean = {}
+    for i, t in rows:
+        ws = wins[i]
+        ndup = sum(1 for _, s in ws if s in dup)
+        exp_stats[i] = (len(ws), ndup)
+        covered = set()
+        for p, s in ws:
+            if s in dup:
+                covered.update(range(p, p + W))
+        kept = "".join(c for j, c in enumerate(t) if j not in covered)
+        exp_clean[i] = (len(t), len(kept), hashlib.md5(kept.encode()).hexdigest())
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in substring_dup_spans(df, window=W, stride=S).collect()
+    }
+    assert got == exp_stats
+    gotc = {
+        r.doc_id: (r.n_chars, r.n_kept, r.clean_md5)
+        for r in remove_dup_spans(df, window=W, stride=S).collect()
+    }
+    assert gotc == exp_clean
