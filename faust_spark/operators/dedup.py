@@ -997,7 +997,13 @@ def edit_distance_pairs_exact(
         "    'seg', substring(text, q + 1,"
         "     (la div {n}) + if(i >= {n} - la % {n}, 1, 0))))))))"
     ).format(k=k, m=nseg - 1, n=nseg)
-    probe = docs.select(
+    # probe side carries the same len >= k+1 guard as the index: a
+    # shorter probe doc can only pair with an indexed doc of length
+    # >= k+1, which the tiny pool below covers instead — and without
+    # the filter the outer sequence(greatest(len-k, k+1), len) runs
+    # DESCENDING for len <= k (Spark's stop < start default), emitting
+    # garbage rows that only die at the join filter.
+    probe = docs.filter(F.col("len") >= nseg).select(
         F.col("doc_id").alias("id_b"),
         F.col("len").alias("len_b"),
         F.explode(F.expr(probe_struct)).alias("s"),
