@@ -5134,6 +5134,46 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    big AS (SELECT doc_id, ws[i - 1] AS v, ws[i] AS w
+            FROM d, unnest(generate_series(2, len(ws))) t(i)),
+    bg AS (SELECT v, w, COUNT(*) AS cvw FROM big GROUP BY 1, 2),
+    ctx AS (SELECT v, SUM(cvw) AS cv FROM bg GROUP BY 1),
+    uni AS (SELECT w, COUNT(*) AS cw
+            FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS t FROM uni),
+    nll AS (SELECT v, w,
+                   CAST(round(-ln(
+                       0.7 * (CAST(cvw AS DOUBLE) / cv)
+                       + 0.3 * (CAST(cw AS DOUBLE) / t)), 9)
+                        AS DECIMAL(28,9)) AS nll
+            FROM bg JOIN ctx USING (v) JOIN uni USING (w), tot),
+    per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+            FROM big JOIN nll USING (v, w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           avg_nll
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (operators/text.py
+    bigram_logprob — Jelinek-Mercer): p(w|v) = 0.7·c(v,w)/c(v) +
+    0.3·c(w)/T, per-doc mean NLL over transitions. Catches
+    right-words-wrong-order salad that unigram filtering passes. LM =
+    one (v,w)-keyed partial agg; context totals re-agg from it; scoring
+    is a posting-shaped join; NLL rounded at source and decimal-summed
+    — engine bit-exact."""
+    from faust_spark.operators.text import bigram_logprob as _bg
+
+    return _bg(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -5199,6 +5239,7 @@ _PRIORITY: list[str] = [
     "winnow_fingerprint",  # r4: MOSS winnowing fingerprints
     "perplexity_buckets",  # r4: CCNet head/middle/tail tiers
     "zorder_layout",  # r4: Morton-key two-dimensional clustering
+    "bigram_logprob",  # r4: interpolated bigram LM (Jelinek-Mercer)
     # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)

@@ -82,6 +82,7 @@ HEADLINE = [
     "winnow_fingerprint",  # MOSS winnowing fingerprints
     "perplexity_buckets",  # CCNet head/middle/tail tiers
     "zorder_layout",  # Morton-key two-dimensional clustering
+    "bigram_logprob",  # interpolated bigram LM (Jelinek-Mercer)
     "gopher_rules",  # heuristic rule battery, one scan
     "multimodal_features",  # Arrow-batched media feature extraction
     "multimodal_resize",  # payload->payload media transform

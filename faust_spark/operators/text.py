@@ -800,6 +800,94 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM scoring — the next rung after
+    :func:`unigram_logprob` (Jelinek-Mercer smoothing, the standard
+    n-gram construction):
+
+        p(w | v) = lam * c(v,w)/c(v,·)  +  (1 - lam) * c(w)/T
+
+    Each document scores the mean NLL of its bigram transitions; word
+    salad that passes unigram filtering (right words, wrong order)
+    scores high here.
+
+    Scale shape: the bigram LM is (v, w, count) — one (v,w)-keyed
+    partial-agg shuffle; context totals derive from it by a v-keyed
+    re-agg (no second corpus pass); scoring joins the exploded bigram
+    stream back on (v, w) — posting-list-shaped, text never shuffles.
+    Determinism: per distinct (v, w) the NLL double is one fixed
+    operand-order expression of integer counts, rounded to 9 decimals
+    at source and summed exactly as decimals (the unigram_logprob
+    pattern), so engines agree bit-for-bit.
+
+    Returns (id, n_bigrams, avg_nll); single-token docs have 0 bigrams
+    and NULL avg_nll.
+    """
+    ws = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            f"transform(sequence(2, size(split({text_col}, ' '))), i ->"
+            f" named_struct("
+            f"  'v', element_at(split({text_col}, ' '), i - 1),"
+            f"  'w', element_at(split({text_col}, ' '), i)))"
+        ),
+    )
+    big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.v", "p.w"
+    )
+    bg = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    ctx = bg.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    toks = df.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("t"))
+    nll = (
+        bg.join(ctx, "v")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "w",
+            F.round(
+                -F.log(
+                    F.lit(lam)
+                    * (F.col("cvw").cast("double") / F.col("cv"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("cw").cast("double") / F.col("t"))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("nll"),
+        )
+    )
+    per = (
+        big.join(nll, ["v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll").alias("__s"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("__s").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -1050,6 +1138,7 @@ __all__ = [
     "classifier_score",
     "pii_scan",
     "unigram_logprob",
+    "bigram_logprob",
     "gopher_rules",
     "winnow_fingerprint",
     "perplexity_buckets",

@@ -357,3 +357,25 @@ def test_perplexity_buckets_equal_population(spark, sf_dir):
     assert total == docs.count()
     assert set(counts) == {"head", "middle", "tail"}
     assert max(counts.values()) - min(counts.values()) <= 2
+
+
+def test_bigram_logprob_known_values(spark):
+    import math
+
+    from faust_spark.operators.text import bigram_logprob
+
+    # corpus: "a b" x2, "b a", "b c", "d" (no bigrams)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b a"), (4, "b c"), (5, "d")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # bigrams: (a,b)x2 (b,a)x1 (b,c)x1; ctx a=2 b=2; uni a=3 b=4 c=1 d=1 T=9
+    p_ab = 0.7 * (2 / 2) + 0.3 * (4 / 9)
+    p_ba = 0.7 * (1 / 2) + 0.3 * (3 / 9)
+    assert out[1].n_bigrams == 1
+    assert abs(out[1].avg_nll - round(-math.log(p_ab), 9)) < 1e-9
+    assert abs(out[3].avg_nll - round(-math.log(p_ba), 9)) < 1e-9
+    assert out[5].n_bigrams == 0 and out[5].avg_nll is None
+    # the common transition scores better than the rare one
+    assert out[3].avg_nll > out[1].avg_nll

@@ -59,6 +59,7 @@ PROBES_DOCS = [
     "vocab_build",  # term-keyed partial agg; rank over model-sized vocab
     "pii_redact",  # codegen regex: pure scan, no shuffle
     "unigram_logprob",  # term-keyed LM agg + posting-shaped score join
+    "bigram_logprob",  # r4: (v,w)-keyed LM agg + posting-shaped join
     "gopher_rules",  # rule battery: pure scan, no shuffle
     "multimodal_features",  # Arrow-batched narrow map over payloads
     "multimodal_resize",  # payload->payload narrow map
