@@ -5174,6 +5174,53 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bg(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+@_q(
+    "dsir_score",
+    """
+    WITH d AS (SELECT doc_id, lang = 'en' AS is_t,
+                      string_split(text, ' ') AS ws
+               FROM documents),
+    uni AS (SELECT doc_id, is_t, unnest(ws) AS f FROM d),
+    bi AS (SELECT doc_id, is_t, ws[i - 1] || ' ' || ws[i] AS f
+           FROM d, unnest(generate_series(2, len(ws))) t(i)),
+    feats AS (SELECT doc_id, is_t, md5(f) AS h
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    fb AS (SELECT doc_id, is_t,
+                  (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS b
+           FROM feats),
+    src AS (SELECT b, COUNT(*) AS cs FROM fb GROUP BY 1),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM fb WHERE is_t GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS ts,
+                   COUNT(*) FILTER (WHERE is_t) AS tt
+            FROM fb),
+    w AS (SELECT b,
+                 CAST(round(ln(
+                     ((COALESCE(ct, 0) + 1)
+                      / CAST(tt + 256 AS DOUBLE))
+                     / ((cs + 1) / CAST(ts + 256 AS DOUBLE))), 9)
+                      AS DECIMAL(28,9)) AS w
+          FROM src LEFT JOIN tgt USING (b), tot)
+    SELECT doc_id, COUNT(*) AS n_feats,
+           CAST(SUM(w) AS DOUBLE) / COUNT(*) AS dsir_logratio
+    FROM fb JOIN w USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (operators/text.py dsir_logratio — Xie
+    et al. NeurIPS 2023): hashed unigram+bigram bucket distributions,
+    Laplace-smoothed target('en')/source log-ratio per doc. All
+    aggregates bucket-keyed (256 = model-sized); weights broadcast
+    back; text never shuffles."""
+    from faust_spark.operators.text import dsir_logratio
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return dsir_logratio(d)
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -5240,6 +5287,7 @@ _PRIORITY: list[str] = [
     "perplexity_buckets",  # r4: CCNet head/middle/tail tiers
     "zorder_layout",  # r4: Morton-key two-dimensional clustering
     "bigram_logprob",  # r4: interpolated bigram LM (Jelinek-Mercer)
+    "dsir_score",  # r4: DSIR hashed-ngram importance log-ratio
     # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)

@@ -83,6 +83,7 @@ HEADLINE = [
     "perplexity_buckets",  # CCNet head/middle/tail tiers
     "zorder_layout",  # Morton-key two-dimensional clustering
     "bigram_logprob",  # interpolated bigram LM (Jelinek-Mercer)
+    "dsir_score",  # DSIR hashed-ngram importance log-ratio
     "gopher_rules",  # heuristic rule battery, one scan
     "multimodal_features",  # Arrow-batched media feature extraction
     "multimodal_resize",  # payload->payload media transform

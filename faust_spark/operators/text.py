@@ -888,6 +888,102 @@ def bigram_logprob(
     )
 
 
+def dsir_logratio(
+    df: DataFrame,
+    target_col: str = "is_target",
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection scoring (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023):
+    represent documents by hashed n-gram features (unigrams + bigrams
+    bucketed by md5 into ``n_buckets``), fit Laplace-smoothed bucket
+    distributions for the TARGET domain (rows where ``target_col``)
+    and the raw SOURCE corpus, and score every document by its mean
+    importance log-ratio
+
+        mean_f  ln( p_target(bucket(f)) / p_source(bucket(f)) )
+
+    High scores = looks like the target domain; feed the score into
+    ``temperature_sample``/``hash_sample`` for the resampling step.
+
+    Scale shape: features explode to (doc, bucket) pairs but every
+    aggregate is keyed by the BUCKET (fixed ``n_buckets`` cardinality,
+    model-sized), so the two distribution fits are one shared partial-
+    agg pass and the weight table broadcasts back — corpus text never
+    shuffles.  Determinism: bucket = integer value of the md5 prefix
+    (engine-portable), per-bucket log-ratio rounded to 9 decimals at
+    source then decimal-summed (the unigram_logprob pattern).
+
+    Returns (id, n_feats, dsir_logratio).
+    """
+    ws = f"split({text_col}, ' ')"
+    allf = (
+        f"concat({ws}, if(size({ws}) < 2, array(),"
+        f" transform(sequence(2, size({ws})), i ->"
+        f" concat_ws(' ', element_at({ws}, i - 1),"
+        f" element_at({ws}, i)))))"
+    )
+    fb = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("__t"),
+        F.explode(F.expr(allf)).alias("f"),
+    ).select(
+        id_col,
+        "__t",
+        F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    src = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = fb.filter(F.col("__t")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = fb.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.count(F.when(F.col("__t"), 1)).alias("tt"),
+    )
+    w = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("tt") + n_buckets).cast("double")
+                    )
+                    / (
+                        (F.col("cs") + 1)
+                        / (F.col("ts") + n_buckets).cast("double")
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("w"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            (
+                F.col("__s").cast("double")
+                / F.col("n_feats").cast("double")
+            ).alias("dsir_logratio"),
+        )
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -1139,6 +1235,7 @@ __all__ = [
     "pii_scan",
     "unigram_logprob",
     "bigram_logprob",
+    "dsir_logratio",
     "gopher_rules",
     "winnow_fingerprint",
     "perplexity_buckets",

@@ -379,3 +379,26 @@ def test_bigram_logprob_known_values(spark):
     assert out[5].n_bigrams == 0 and out[5].avg_nll is None
     # the common transition scores better than the rare one
     assert out[3].avg_nll > out[1].avg_nll
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    from faust_spark.operators.text import dsir_logratio
+
+    # target distribution: "alpha beta" language; off-target: "x y z"
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta alpha beta gamma", True))
+    for i in range(10, 20):
+        rows.append((i, "xx yy zz xx yy", False))
+    # two unlabeled probes: one target-like, one off-target-like
+    rows.append((100, "alpha beta gamma", False))
+    rows.append((101, "xx yy zz", False))
+    df = spark.createDataFrame(rows, "doc_id int, text string, is_target boolean")
+    out = {r.doc_id: r for r in dsir_logratio(df).collect()}
+    assert len(out) == 22
+    assert out[100].dsir_logratio > out[101].dsir_logratio
+    # scores are deterministic across recomputation
+    out2 = {r.doc_id: r.dsir_logratio for r in dsir_logratio(df).collect()}
+    assert {k: v.dsir_logratio for k, v in out.items()} == out2
+    # feature count = unigrams + bigrams
+    assert out[100].n_feats == 3 + 2

@@ -60,6 +60,7 @@ PROBES_DOCS = [
     "pii_redact",  # codegen regex: pure scan, no shuffle
     "unigram_logprob",  # term-keyed LM agg + posting-shaped score join
     "bigram_logprob",  # r4: (v,w)-keyed LM agg + posting-shaped join
+    "dsir_score",  # r4: bucket-keyed aggs (256 buckets), weights broadcast
     "gopher_rules",  # rule battery: pure scan, no shuffle
     "multimodal_features",  # Arrow-batched narrow map over payloads
     "multimodal_resize",  # payload->payload narrow map
