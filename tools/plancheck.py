@@ -87,6 +87,8 @@ ALLOW_NESTED_LOOP = {
     "temperature_mix",
     "perplexity_buckets",
     "retrieval_eval",
+    "bigram_logprob",  # one-ROW corpus-total crossJoin into per-(v,w) NLL
+    "dsir_score",  # one-ROW (ts, tt) totals crossJoin into bucket weights
     # broadcast centroid TABLE × corpus scan (assign_cells_join): the
     # FAISS coarse-quantizer shape — k-row broadcast, partial-agg argmin
     "semantic_dedup",
