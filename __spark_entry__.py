@@ -1444,10 +1444,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
                                CAST(l.l_shipdate AS DATE)) > 60
                 THEN 'late' ELSE 'ontime' END AS ship_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -2718,8 +2718,13 @@ _MH_NIBBLES, _MH_A, _MH_B = _mh_oracle_pieces()
 
 @_q(
     "dedup_jaccard",
-    f"""
-    WITH {_SHINGLE_CTE},
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)),
+    keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 500),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
       FROM sh a JOIN sh b USING (shingle)
@@ -2735,10 +2740,16 @@ _MH_NIBBLES, _MH_A, _MH_B = _mh_oracle_pieces()
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram-shingle Jaccard ≥ 0.5: shingle equi-join
-    computes co-occurrence without any pairwise loop (operators/dedup.py)."""
+    computes co-occurrence without any pairwise loop (operators/dedup.py).
+    The hub guard is ENGAGED (``max_shingle_freq=500``): a shingle shared
+    by more docs than that is a stop-phrase whose self-join rows grow
+    quadratically with corpus size; dropping it from both the join and
+    the size table is mirrored exactly by the oracle's ``keep`` CTE."""
     from faust_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_shingle_freq=500
+    )
 
 
 @_q(

@@ -352,16 +352,53 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH band collisions, verified by exact Jaccard.
 
     With k=16, b=4 bands of r=4 rows the collision curve is
     P(candidate) = 1-(1-j^4)^4 — steep around j≈0.5, the usual near-dup
     operating point. Verification joins shingle sets only for candidates.
+
+    **Mega-cluster guards** (real corpora are full of byte-identical
+    docs — the exact situation dedup exists for — and a band bucket of
+    m identical docs makes the candidate self-join O(m^2)):
+
+    - ``collapse_exact`` (default on) groups documents by content md5
+      FIRST and runs the whole LSH pipeline on one representative per
+      group; pairs are expanded back afterwards (intra-group members are
+      exact dups → jaccard 1.0; a rep-level near-dup pair expands to the
+      cross product of the two member groups). Results are IDENTICAL to
+      the uncollapsed run — identical text means identical shingle sets,
+      so every member collides and scores exactly like its rep — but the
+      quadratic band self-join only ever sees one row per distinct text.
+      The expansion joins are sized by the true output, which is the
+      floor for any pair-listing operator.
+    - ``max_bucket_size`` (optional) additionally drops band buckets
+      with more than that many *distinct* texts before candidate
+      generation — the LSH sibling of ``jaccard_pairs``'s
+      ``max_shingle_freq`` hub guard, for templated near-identical
+      clusters that survive the exact collapse. Unlike the collapse this
+      trades recall (dropped buckets generate no candidates there;
+      pairs may still surface via their other bands).
     """
+    if collapse_exact:
+        gmap = df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__ch")
+        )
+        reps = gmap.groupBy("__ch").agg(F.min(id_col).alias("__rep"))
+        members = gmap.join(reps, "__ch").select(
+            F.col(id_col).alias("__member"), "__rep", "__ch"
+        )
+        lsh_df = df.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+    else:
+        lsh_df = df
     # one shingle materialization serves signatures, verification joins,
     # and sizes (persist → localCheckpoint/Delta staging at corpus scale)
-    sh = shingles(df, n, text_col, id_col).persist()
+    sh = shingles(lsh_df, n, text_col, id_col).persist()
     # band signatures straight off the wide signature row — the banding
     # needs NO second shuffle (lsh_bands' (id, band) re-agg exists only
     # for callers holding the long (id, seed, mh) shape)
@@ -389,6 +426,16 @@ def minhash_lsh_pairs(
     bands = wide.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    if max_bucket_size is not None:
+        bucket_n = bands.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        bands = bands.join(
+            bucket_n.filter(F.col("__bn") <= max_bucket_size).select(
+                "band", "band_sig"
+            ),
+            ["band", "band_sig"],
+        )
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cands = (
         b1.join(
@@ -415,7 +462,7 @@ def minhash_lsh_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
-    return (
+    rep_pairs = (
         inter.join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn(
@@ -426,6 +473,47 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+    if not collapse_exact:
+        return rep_pairs
+    # expand representative pairs back to member pairs
+    m1 = members.select(
+        F.col("__rep").alias("doc1"), F.col("__member").alias("m1")
+    )
+    m2 = members.select(
+        F.col("__rep").alias("doc2"), F.col("__member").alias("m2")
+    )
+    cross = (
+        rep_pairs.join(m1, "doc1")
+        .join(m2, "doc2")
+        .select(
+            F.least("m1", "m2").alias("doc1"),
+            F.greatest("m1", "m2").alias("doc2"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # intra-group member pairs are exact dups (jaccard 1.0) — but only
+    # for texts that produce >=1 shingle (presence in the rep size table
+    # mirrors the uncollapsed pipeline, where shingle-less docs never
+    # enter pair generation)
+    mm = members.join(
+        sizes.select(F.col(id_col).alias("__rep")), "__rep"
+    )
+    intra = (
+        mm.alias("x")
+        .join(
+            mm.alias("y"),
+            (F.col("x.__ch") == F.col("y.__ch"))
+            & (F.col("x.__member") < F.col("y.__member")),
+        )
+        .select(
+            F.col("x.__member").alias("doc1"),
+            F.col("y.__member").alias("doc2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # --------------------------------------------------------------------------
@@ -574,7 +662,14 @@ def connected_components(
     labels = active.select(
         "node", F.col("node").alias("label")
     ).persist()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        # truncate lineage every few rounds: each iteration chains the
+        # previous plan, so without this the logical plan (and failure-
+        # recovery depth) grows linearly with rounds — after ~20 rounds
+        # planning time alone dominates. localCheckpoint materializes the
+        # current labels and cuts the chain.
+        if it > 0 and it % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -622,8 +717,8 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     mode: str = "auto",
     blocks: int = 32,
-    n_planes: int = 6,
-    bands: int = 8,
+    n_planes: int | None = None,
+    bands: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity over an embedding column.
@@ -633,13 +728,24 @@ def embedding_dup_pairs(
     - ``"lsh"`` (default for ``threshold >= 0.72``): banded hyperplane-LSH
       candidate generation + exact-cosine verification within candidates —
       sublinear in the far-pair mass, the 100 TB path for real
-      near-duplicates. With 6-bit bands the per-band match probability is
-      ``(1 - θ/π)^6`` and a pair is a candidate if ANY of the 8 bands
-      matches: recall ≈ 0.81 at the 0.72 mode floor, 0.97 at cosine 0.90,
-      0.998 at 0.95, → 1 as similarity → 1, while random far pairs
-      (cosine ≈ 0) collide in a band with prob 0.5^6 ≈ 1.6%. Verification
-      is exact, so precision is always 1; raise ``bands`` when operating
-      near the threshold floor.
+      near-duplicates. Band geometry defaults are **threshold-adaptive**
+      (pass ``n_planes``/``bands`` to override):
+
+      - ``threshold < 0.9`` → 6-bit bands × 8: per-band match
+        ``(1 - θ/π)^6``, recall ≈ 0.81 at the 0.72 mode floor, 0.97 at
+        cosine 0.90; random far pairs collide somewhere with prob
+        ``1-(1-0.5^6)^8`` ≈ 12%.
+      - ``threshold >= 0.9`` → 12-bit bands × 12: at this operating
+        point the 6-bit geometry is the wrong trade — per-bit agreement
+        for a qualifying pair is ≥ 0.9, so deep bands still match
+        (recall ≈ 0.98 at cosine 0.95, 0.997 at 0.97) while the far-pair
+        collision mass drops to ``1-(1-0.5^12)^12`` ≈ 0.3% — the ~40×
+        candidate-set reduction that keeps the high-threshold path from
+        going superlinear on big corpora (r4 scale probe: 5.3× at 4×
+        with the shallow geometry).
+
+      Verification is exact, so precision is always 1; raise ``bands``
+      when operating near the threshold floor.
     - ``"exact"`` (default below 0.72): block-grid all-pairs. Below
       cosine ≈ 0.7 on dense vectors LSH bucket agreement degrades toward
       coin-flipping — no bucketing family separates pairs at 60-70°
@@ -661,6 +767,10 @@ def embedding_dup_pairs(
         )
     if mode != "lsh":
         raise ValueError(f"unknown mode {mode!r}")
+    if n_planes is None:
+        n_planes = 12 if threshold >= 0.9 else 6
+    if bands is None:
+        bands = 12 if threshold >= 0.9 else 8
     from faust_spark.operators.similarity import cosine_expr
 
     cand = _lsh_candidate_pairs(

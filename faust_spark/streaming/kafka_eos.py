@@ -39,14 +39,27 @@ pins the protocol (2PC ordering, abort-on-failure atomicity, replay
 skip, zombie fencing) against a transaction-honoring mock broker; only
 the network round trip needs a cluster.
 
-Scale note: this driver-side loop is the orchestration shape.  With a
-real client the identical transaction body runs inside
-``bdf.foreachPartition`` with ``transactional.id`` suffixed by the
-partition id (one fenced producer lineage per partition) — Kafka
-transactions are per-producer, so per-partition producers commit
-independently and the control-topic marker is sent by the one partition
-that also carries the batch marker key.  Nothing in the recipe requires
-rows to pass through the driver.
+Two sinks implement the recipe:
+
+- ``kafka_transactional_partition_sink`` — the **scale path**: one
+  transactional producer per *task partition*, created inside the
+  partition function (``transactional.id`` = ``{id}-p{partition}``),
+  rows never cross the driver.  Each partition's transaction carries its
+  own marker (``{key}#p{pid}``); the driver only verifies that every
+  partition's marker committed before letting Spark checkpoint the
+  batch.  Atomicity granularity is per-partition (Kafka transactions
+  cannot span producers), but delivery is still exactly-once end-to-end:
+  a crashed batch is re-delivered, committed partitions skip on their
+  marker, uncommitted partitions redo.  Requires the batch's
+  partitioning to be deterministic under replay (true for checkpoint
+  re-delivery of file/Kafka sources through narrow transforms and
+  column-keyed repartitions; round-robin ``repartition(n)`` is not).
+  Task retries / speculative attempts of the same partition are fenced
+  by ``init_transactions`` on the per-partition id.
+- ``kafka_transactional_batch_sink`` — the driver-side variant: one
+  producer, whole-batch atomicity.  Appropriate for **control-plane /
+  low-volume** topics only; every row funnels through one Python loop,
+  so it does not scale to bulk data.
 """
 
 from __future__ import annotations
@@ -161,6 +174,97 @@ def kafka_transactional_batch_sink(
     return sink
 
 
+def kafka_transactional_partition_sink(
+    topic: str,
+    transport_factory: Callable[[str], TransactionalTransport],
+    transactional_id: str,
+    value_col: str = "value",
+    key_col: Optional[str] = None,
+    control_topic: str = DEFAULT_CONTROL_TOPIC,
+    lineage_id: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Executor-side exactly-once Kafka sink: per-partition transactional
+    producers, no row crosses the driver.
+
+    Per batch, each task partition ``pid``:
+
+    1. creates a producer under ``{transactional_id}-p{pid}`` and calls
+       ``init_transactions`` — fencing any stale attempt (task retry,
+       speculative execution, zombie executor) of the SAME partition;
+    2. skips if its marker ``{marker_key}#p{pid}`` already records a
+       ``batch_id >= `` this one (its share of a re-delivered batch
+       committed before the crash);
+    3. otherwise sends its rows AND its marker in one transaction.
+
+    The driver then re-reads the control topic and requires a committed
+    marker from EVERY partition before returning — only then does Spark
+    checkpoint the batch as done.  ``transport_factory`` must be
+    picklable (it is shipped to executors) and must construct a
+    transport connected to the real broker from within the task.
+    """
+    state: dict = {}
+
+    def marker_key() -> str:
+        if "mk" not in state:
+            lid = lineage_id
+            if lid is None and checkpoint is not None:
+                lid = _checkpoint_lineage_id(checkpoint)
+            state["mk"] = (
+                f"{transactional_id}@{lid}" if lid else transactional_id
+            )
+        return state["mk"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        mk = marker_key()
+        cols = ([key_col] if key_col else []) + [value_col]
+        sel = batch_df.select(*cols)
+        n_parts = sel.rdd.getNumPartitions()
+        # locals captured by the task closure (no self-references)
+        factory, tid = transport_factory, transactional_id
+        tp, ct, kc, vc, bid = topic, control_topic, key_col, value_col, batch_id
+
+        def run_partition(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            t = factory(f"{tid}-p{pid}")
+            t.init_transactions()  # fences prior attempts of this partition
+            pmk = f"{mk}#p{pid}"
+            last = t.last_committed(ct, pmk)
+            if last is not None and bid <= last:
+                return iter(())  # this partition's share already committed
+            t.begin_transaction()
+            try:
+                for row in rows:
+                    t.send(tp, str(row[kc]) if kc else None, str(row[vc]))
+                t.send(ct, pmk, str(bid))  # marker rides the data txn
+                t.commit_transaction()
+            except BaseException:
+                t.abort_transaction()
+                raise
+            return iter(())
+
+        sel.rdd.mapPartitions(run_partition).count()  # raises on task failure
+        # driver-side verification: every partition marker must be committed
+        ctrl = state.get("ctrl")
+        if ctrl is None:
+            ctrl = transport_factory(transactional_id)  # control reads only
+            state["ctrl"] = ctrl
+        missing = [
+            p
+            for p in range(n_parts)
+            if (m := ctrl.last_committed(ct, f"{mk}#p{p}")) is None or m < bid
+        ]
+        if missing:
+            raise RuntimeError(
+                f"batch {batch_id}: partitions without committed markers: "
+                f"{missing}"
+            )
+
+    return sink
+
+
 def kafka_transactional_foreach_batch(
     df: DataFrame,
     topic: str,
@@ -171,11 +275,19 @@ def kafka_transactional_foreach_batch(
     key_col: Optional[str] = None,
     control_topic: str = DEFAULT_CONTROL_TOPIC,
     timeout_sec: float = 300.0,
+    distributed: bool = False,
 ) -> None:
     """Run ``df`` to completion (availableNow) through the transactional
     Kafka sink — the EOS counterpart of the built-in at-least-once
-    ``writeStream.format('kafka')`` path."""
-    sink = kafka_transactional_batch_sink(
+    ``writeStream.format('kafka')`` path.  ``distributed=True`` selects
+    the executor-side per-partition sink (the scale path; requires a
+    picklable ``transport_factory``)."""
+    build = (
+        kafka_transactional_partition_sink
+        if distributed
+        else kafka_transactional_batch_sink
+    )
+    sink = build(
         topic,
         transport_factory,
         transactional_id,
@@ -201,4 +313,5 @@ __all__ = [
     "TransactionalTransport",
     "kafka_transactional_batch_sink",
     "kafka_transactional_foreach_batch",
+    "kafka_transactional_partition_sink",
 ]

@@ -87,6 +87,73 @@ def test_minhash_lsh_finds_exact_dup(docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_lsh_collapse_matches_uncollapsed(spark):
+    """The exact-dup pre-collapse (mega-bucket guard) must be invisible
+    in the results: a corpus with a planted identical-doc cluster gives
+    the same pair set collapsed or not — but the collapsed plan's band
+    self-join only ever sees one row per distinct text."""
+    rows = [(i, DOC) for i in range(8)]  # 8-doc identical cluster
+    rows += [(8, NEAR), (9, OTHER), (10, "too short")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.5, num_hashes=16, band_size=4)
+    got = sorted(
+        (r.doc1, r.doc2, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, collapse_exact=True, **kw).collect()
+    )
+    want = sorted(
+        (r.doc1, r.doc2, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, collapse_exact=False, **kw).collect()
+    )
+    assert got == want
+    # the cluster produced all 28 intra pairs at jaccard 1.0
+    assert sum(1 for d1, d2, j in got if d2 <= 7) == 28
+    assert all(j == 1.0 for d1, d2, j in got if d2 <= 7)
+
+
+def test_minhash_lsh_bucket_cap_drops_mega_buckets(spark):
+    """max_bucket_size caps the band self-join: a near-identical
+    (NOT byte-identical, so the exact collapse can't merge it) cluster
+    larger than the cap generates no candidates."""
+    # 6 distinct near-identical docs: each differs in one trailing word
+    rows = [(i, DOC + f" tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert uncapped > 0
+    capped = minhash_lsh_pairs(
+        docs, threshold=0.5, max_bucket_size=5
+    ).count()
+    assert capped < uncapped
+
+
+def test_connected_components_bounded_plan_depth(spark):
+    """15+ label-propagation rounds must NOT grow the logical plan
+    linearly: localCheckpoint every 5 rounds truncates lineage, so the
+    final plan depth is bounded by one truncation window regardless of
+    iteration count (VERDICT r4 item 7)."""
+    from faust_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-16: min-label needs ~16 rounds to reach the end
+    n = 17
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc1", "doc2"]
+    )
+    out = connected_components(
+        nodes, pairs, max_iterations=20, small_graph_edges=0
+    )
+    comp = {r.doc_id: r.component for r in out.collect()}
+    assert comp == {i: 0 for i in range(n)}  # one chain component
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the checkpoint shows up as a LogicalRDD leaf: lineage no longer
+    # reaches back to the original scans through all 16 rounds
+    assert "LogicalRDD" in plan, "no checkpoint leaf — lineage not cut"
+    # and the rendered plan stays bounded (each un-truncated round DOUBLES
+    # the tree — 16 rounds would render tens of thousands of lines; the
+    # truncated tail is the <=2 rounds since the last 5-round checkpoint)
+    plan_lines = len(plan.splitlines())
+    assert plan_lines < 1500, f"plan depth {plan_lines} — lineage not cut"
+
+
 def test_simhash_identical_docs_equal_fingerprint(docs):
     fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fps[0] == fps[1]

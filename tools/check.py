@@ -43,6 +43,73 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+#: canonical type families used for Spark-vs-DuckDB result-type parity.
+#: HUGEINT deliberately maps to its own family: DuckDB promotes SUM(int) to
+#: int128, which the remote driver's hash normalizer renders differently from
+#: Spark's bigint even when the values are equal — oracles must CAST.
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return "str" if t in ("VARCHAR", "BLOB") else t.lower()
+
+
+def _spark_family(t: str) -> str:
+    t = t.lower()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "date":
+        return "date"
+    if t == "boolean":
+        return "bool"
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
+    return "str" if t in ("string", "binary") else t
+
+
+def type_parity_problems(
+    spark_types: dict[str, str], duck_types: dict[str, str]
+) -> list[str]:
+    """Compare per-column type families between engines.
+
+    Returns hard failures only: a DuckDB HUGEINT output column (always a
+    portability bug — the oracle must CAST), or an int-vs-float/decimal
+    family clash, which makes the stringified hash diverge on the driver
+    even when it happens to collide locally.
+    """
+    out = []
+    for col, dt in duck_types.items():
+        if col not in spark_types:
+            continue
+        df, sf = _duck_family(dt), _spark_family(spark_types[col])
+        if df == "hugeint":
+            out.append(f"type {col}: duckdb HUGEINT (oracle must CAST)")
+        elif {df, sf} == {"int", "float"} or {df, sf} == {"int", "decimal"}:
+            out.append(f"type {col}: duckdb {dt} vs spark {spark_types[col]}")
+    return out
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -106,6 +173,10 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            desc = con.execute(
+                f"DESCRIBE ({oracles[key].rstrip().rstrip(';')})"
+            ).fetchall()
+            duck_types = {r[0]: r[1] for r in desc}
             cur = con.execute(oracles[key])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -119,6 +190,10 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        spark_types = {
+            f.name: f.dataType.simpleString() for f in sdf.schema.fields
+        }
+        problems.extend(type_parity_problems(spark_types, duck_types))
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
