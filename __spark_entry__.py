@@ -582,6 +582,53 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "asof_join_forward",
+    """
+    WITH fl AS (
+      SELECT o.o_orderkey, l.l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY l.l_shipdate ASC,
+                                         l.l_linenumber DESC) AS rn
+      FROM orders o JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o.o_orderkey, fl.l_extendedprice AS first_ship_price
+    FROM orders o
+    LEFT JOIN fl ON fl.o_orderkey = o.o_orderkey AND fl.rn = 1
+    """,
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each order enriched with its EARLIEST lineitem
+    shipped at/after the order date (ties on ship date resolved to the
+    max linenumber — the documented 'max tiebreak wins' contract, both
+    directions). The synthetic fixture does NOT guarantee lineitems ship
+    after their order (unlike real TPC-H), so the oracle applies the
+    ``l_shipdate >= o_orderdate`` constraint explicitly — which also
+    makes it a sharper check of the operator's range semantics."""
+    from faust_spark.joins import asof_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    out = asof_join(
+        o,
+        li,
+        on="o_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        direction="forward",
+        right_tiebreak="l_linenumber",
+    )
+    return out.select(
+        "o_orderkey", F.col("l_extendedprice").alias("first_ship_price")
+    )
+
+
 # =====================================================================
 # relational proof queries (TPC-H-ish; the batch surface faust lacks)
 # =====================================================================

@@ -33,6 +33,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the benchmark harness")
 
+    models_p = sub.add_parser(
+        "models", help="print a Record model's Spark schema"
+    )
+    models_p.add_argument(
+        "model",
+        nargs="?",
+        help="dotted path (pkg.mod.Class) or bare class name searched in "
+        "faust_spark.models and examples; omit to list known models",
+    )
+
     args = ap.parse_args(argv)
 
     sys.path.insert(0, "/root/repo")
@@ -63,6 +73,42 @@ def main(argv: list[str] | None = None) -> int:
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "models":
+        from faust_spark.models import Record
+
+        # populate the registry from the example apps (best-effort)
+        import importlib
+
+        for mod in ("examples.bank", "examples.word_count"):
+            try:
+                importlib.import_module(mod)
+            except Exception:
+                pass
+        if args.model is None:
+            for name, cls in sorted(Record._registry.items()):
+                print(f"{name:24s} {cls.__module__}")
+            return 0
+        cls = None
+        if "." in args.model:
+            mod_name, _, cls_name = args.model.rpartition(".")
+            try:
+                cls = getattr(importlib.import_module(mod_name), cls_name)
+            except (ImportError, AttributeError) as e:
+                print(f"cannot import {args.model!r}: {e}", file=sys.stderr)
+                return 2
+        else:
+            cls = Record._registry.get(args.model)
+            if cls is None:
+                print(
+                    f"unknown model {args.model!r}; `models` lists known ones",
+                    file=sys.stderr,
+                )
+                return 2
+        schema = cls.spark_schema()
+        print(schema.treeString()
+              if hasattr(schema, "treeString") else schema.simpleString())
         return 0
 
     return 2

@@ -233,6 +233,8 @@ class App:
         self.tables: dict[str, Table] = {}
         self.agents: dict[str, Agent] = {}
         self.pages: list = []
+        self._app_tasks: list = []
+        self._started = False
 
     @property
     def spark(self) -> SparkSession:
@@ -350,6 +352,59 @@ class App:
             sleep((nxt - cur).total_seconds())
             results.append(fn())
             cur = nxt
+        return results
+
+    def task(self, fun: Optional[Callable] = None, *, on_leader: bool = False):
+        """Run-once-at-startup hook (reference ``@app.task``,
+        ``faust/app/base.py:897-947``): the function fires exactly once
+        when the app starts, before any query runs.
+
+        Like the reference, the function may take zero arguments or one
+        (the app is passed)::
+
+            @app.task
+            def on_startup(app): ...
+
+            @app.task(on_leader=True)
+            def leader_only(): ...
+
+        ``on_leader`` divergence, documented: faust elects a leader among
+        workers; on Spark there is exactly ONE driver per application and
+        app tasks are driver-side code, so the driver IS the leader and
+        ``on_leader`` tasks always run (on a 1000-executor cluster this
+        still holds — executors never run app tasks).
+        """
+
+        def deco(f: Callable) -> Callable:
+            self._app_tasks.append((f, on_leader))
+            return f
+
+        return deco(fun) if fun is not None else deco
+
+    def is_leader(self) -> bool:
+        """Always True: the Spark driver is the single coordinator (see
+        :meth:`task` for the divergence note vs faust's worker election)."""
+        return True
+
+    def start(self) -> list:
+        """Start the app: run every ``@app.task`` hook exactly once (in
+        registration order — the reference starts them with the worker).
+        Idempotent: a second ``start()`` is a no-op, matching run-once
+        semantics across driver-side restarts of the same App object.
+        Returns the task results (first start only)."""
+        import inspect
+
+        if self._started:
+            return []
+        self._started = True
+        results = []
+        for f, on_leader in self._app_tasks:
+            if on_leader and not self.is_leader():
+                continue
+            if inspect.signature(f).parameters:
+                results.append(f(self))
+            else:
+                results.append(f())
         return results
 
     def agent(self, name: Optional[str] = None, *, sinks: Optional[list] = None):

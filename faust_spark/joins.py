@@ -116,12 +116,20 @@ def asof_join(
     right_tiebreak: Optional[str] = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (backward) per key — absent from both faust and
-    the DataFrame API (Spark exposes it only in pandas-on-Spark).
+    ``right.ts <= left.ts`` (``direction="backward"``) or the earliest
+    right row with ``right.ts >= left.ts`` (``"forward"``) per key —
+    absent from both faust and the DataFrame API (Spark exposes it only
+    in pandas-on-Spark).
 
     Implementation: union both sides tagged, sort within key by time, and
-    carry the last right value forward with a window ``last(..., ignorenulls)``
-    — one shuffle on the key, no range join, scales linearly.
+    carry the matching right value across with a window
+    ``last(..., ignorenulls)`` over the preceding frame (backward) or
+    ``first(..., ignorenulls)`` over the following frame (forward) —
+    one shuffle on the key, no range join, scales linearly.
+
+    Ties: a right row AT the left timestamp matches in both directions;
+    among several right rows at the matched timestamp the MAXIMUM
+    ``right_tiebreak`` wins in both directions ("latest version wins").
     """
     keys = [on] if isinstance(on, str) else list(on)
     # The timestamp columns travel separately (__ts / the carried right ts),
@@ -150,26 +158,42 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in carried],
     )
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at equal ts → ties match (<=);
-    # among right rows at equal ts, the max tiebreak value wins.
-    order = [F.col("__ts"), F.col("__is_left")]
-    if right_tiebreak:
-        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        "*",
-        *[
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → ties match (<=);
+        # among right rows at equal ts, the max tiebreak value wins
+        # (last() takes the final row of the ascending tiebreak order).
+        order = [F.col("__ts"), F.col("__is_left")]
+        if right_tiebreak:
+            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        picks = [
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
             for c in carried
-        ],
-    )
+        ]
+    else:
+        # mirror: left rows sort before right rows at equal ts, so the
+        # following frame still sees an equal-ts right (>= matches);
+        # tiebreak descends so first() picks the max at the matched ts.
+        order = [F.col("__ts"), F.col("__is_left").desc()]
+        if right_tiebreak:
+            order.append(F.col(f"__r_{right_tiebreak}").desc_nulls_last())
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        picks = [
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in carried
+        ]
+    filled = unioned.select("*", *picks)
     out = filled.filter(F.col("__is_left") == 1).select(
         *keys,
         F.col("__ts").alias(left_ts),

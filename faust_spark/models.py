@@ -153,10 +153,16 @@ class Record:
     """
 
     _schema_cache: typing.ClassVar[Optional[StructType]] = None
+    #: name → class for every Record subclass ever defined — the model
+    #: registry behind the ``models`` CLI subcommand (reference:
+    #: ``faust models`` lists/prints registered models). Latest
+    #: definition wins on name collision.
+    _registry: typing.ClassVar[dict] = {}
 
     def __init_subclass__(cls, **kw: Any) -> None:
         super().__init_subclass__(**kw)
         cls._schema_cache = None
+        Record._registry[cls.__name__] = cls
         # attach descriptors for field references at class level;
         # include_extras keeps Annotated metadata (field tags) visible
         hints = {}

@@ -355,8 +355,6 @@ def build_vocab(
     broadcast join of the model-sized (freq, offset) table instead of
     one global single-partition window.
     """
-    from pyspark import StorageLevel
-
     # The candidate set feeds TWO consumers — the histogram job below
     # and the returned plan (whose broadcast build re-executes lineage
     # in callers like tokenize_with_vocab) — so persist it: the corpus
@@ -368,7 +366,15 @@ def build_vocab(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_freq)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # localCheckpoint (not persist): same one-computation guarantee, but
+    # the materialized blocks are released by the context cleaner when
+    # the DataFrame is garbage-collected — an explicit persist would pin
+    # them in the cache manager forever unless some caller remembered to
+    # unpersist, which leaks across repeated vocab builds in a
+    # long-lived session.  (Checkpoint blocks use a disk-backed level,
+    # so a 100 TB corpus tail spills instead of evicting.)
+    counts = counts.localCheckpoint(eager=True)
     # model-sized frequency histogram → cutoff frequency + tie quota
     hist = sorted(
         (
@@ -925,6 +931,13 @@ def dsir_logratio(
         f" concat_ws(' ', element_at({ws}, i - 1),"
         f" element_at({ws}, i)))))"
     )
+    # bucket = md5-prefix value mod n_buckets, so the parameter actually
+    # drives the feature space (and stays consistent with the Laplace
+    # denominators below). For n_buckets <= 256 the 2-hex-char (one
+    # byte) decode suffices and — at the default 256 — reduces to the
+    # identity, keeping the oracle's 2-char replica bit-identical;
+    # larger spaces decode 8 chars (32 bits) before the mod.
+    n_chars = 2 if n_buckets <= 256 else 8
     fb = df.select(
         F.col(id_col),
         F.col(target_col).alias("__t"),
@@ -932,7 +945,12 @@ def dsir_logratio(
     ).select(
         id_col,
         "__t",
-        F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+        F.pmod(
+            F.conv(F.substring(F.md5("f"), 1, n_chars), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(n_buckets),
+        )
         .cast("int")
         .alias("b"),
     )
@@ -1161,6 +1179,11 @@ def perplexity_buckets(
         "avg_nll",
         F.col("avg_nll").alias("__s"),
     )
+    # three consumers read the (expensive) LM-scoring lineage: the band
+    # collect below, the cumulative-histogram plan, and the final join —
+    # materialize it once (localCheckpoint: blocks auto-release on GC,
+    # unlike a pinned persist; same reasoning as build_vocab)
+    scored = scored.localCheckpoint(eager=True)
     hist = (
         scored.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1196,10 +1219,21 @@ def perplexity_buckets(
             (F.col("__off") + F.col("__before")).alias("__cum_before"),
         )
     )
-    labels = F.array(
-        F.lit("head"), F.lit("middle"), F.lit("tail"),
-        *[F.lit(f"tier{i}") for i in range(3, n_buckets)],
-    )
+    # label contract: bucket 0 = "head", bucket n-1 = "tail" (the
+    # docstring's CCNet tiers) for ANY n_buckets — n=2 must yield
+    # head/tail, not head/middle; intermediate buckets are "middle"
+    # then "tier<i>"
+    if n_buckets == 1:
+        names = ["head"]
+    elif n_buckets == 2:
+        names = ["head", "tail"]
+    else:
+        names = (
+            ["head", "middle"]
+            + [f"tier{i}" for i in range(2, n_buckets - 1)]
+            + ["tail"]
+        )
+    labels = F.array(*[F.lit(s) for s in names])
     bucket = F.least(
         F.lit(n_buckets - 1),
         F.floor(F.lit(n_buckets) * F.col("__cum_before") / F.lit(total)),

@@ -40,6 +40,85 @@ def test_asof_tiebreak_picks_max(spark):
     assert out[0].rv == "ninth"
 
 
+def test_asof_forward_basic(spark):
+    left = spark.createDataFrame(
+        [("k", ts(10), "L10"), ("k", ts(20), "L20"), ("k", ts(25), "L25")],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("k", ts(8), "R8"), ("k", ts(15), "R15"), ("k", ts(20), "R20")],
+        ["k", "t", "rv"],
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, "k", "t", "t", direction="forward"
+        ).collect()
+    }
+    # ts=10 → R15 (earliest >=); ts=20 → R20 (ties match); ts=25 → none
+    assert out == {"L10": "R15", "L20": "R20", "L25": None}
+
+
+def test_asof_forward_tiebreak_picks_max(spark):
+    left = spark.createDataFrame([("k", ts(5), "L")], ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [("k", ts(10), 1, "first"), ("k", ts(10), 9, "ninth")],
+        ["k", "t", "seq", "rv"],
+    )
+    out = asof_join(
+        left, right, "k", "t", "t", direction="forward",
+        right_tiebreak="seq",
+    ).collect()
+    assert out[0].rv == "ninth"
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof forward mode."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 120, 80
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l).astype("int64"),
+            "t": rng.integers(0, 10_000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r).astype("int64"),
+            "t": rng.integers(0, 10_000, n_r).astype("int64"),
+            "rv": rng.integers(0, 1_000_000, n_r).astype("int64"),
+        }
+    ).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    expected = pd.merge_asof(
+        lpd.sort_values(["t", "lid"]).reset_index(drop=True),
+        rpd.sort_values("t").reset_index(drop=True),
+        on="t",
+        by="k",
+        direction="forward",
+    ).set_index("lid")["rv"]
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_ts="t",
+            right_ts="t",
+            direction="forward",
+        ).collect()
+    }
+    for lid, rv in expected.items():
+        g = got[lid]
+        if pd.isna(rv):
+            assert g is None
+        else:
+            assert g == int(rv)
+
+
 def test_interval_join_keyed(spark):
     left = spark.createDataFrame([("k", ts(100))], ["k", "t"])
     right = spark.createDataFrame(

@@ -136,6 +136,65 @@ def test_enumerate_distributed_no_global_sort(spark):
     assert "SinglePartition" not in main
 
 
+def test_app_task_runs_once_at_start(spark):
+    """@app.task (reference faust/app/base.py:897-947): run-once startup
+    hooks, zero- or one-arg, on_leader always runs (driver IS the
+    leader on Spark — single coordinator, no worker election)."""
+    from faust_spark.app import App
+
+    app = App("task-test", spark=spark)
+    calls = []
+
+    @app.task
+    def with_app(a):
+        calls.append(("with_app", a.id))
+        return "r1"
+
+    @app.task(on_leader=True)
+    def leader_only():
+        calls.append(("leader_only", None))
+
+    assert calls == []  # registration does not run
+    results = app.start()
+    assert calls == [("with_app", "task-test"), ("leader_only", None)]
+    assert results[0] == "r1"
+    assert app.start() == []  # idempotent: run-once
+    assert calls == [("with_app", "task-test"), ("leader_only", None)]
+    assert app.is_leader()
+
+
+def test_bank_example_and_models_cli(spark):
+    """examples/bank.py wires model + task + agent; the `models` CLI
+    subcommand prints a registered Record's schema."""
+    import io
+    from contextlib import redirect_stdout
+
+    from examples.bank import Withdrawal, build_app
+    from faust_spark.__main__ import main as cli_main
+
+    app = build_app(spark)
+    app.start()
+    assert app._bank_started == ["bank"]
+    df = spark.createDataFrame(
+        [("u1", "DE", 5.0), ("u1", "DE", 7.0), ("u2", "SE", 1.0)],
+        ["user", "country", "amount"],
+    )
+    got = {r.user: r.total for r in app.agents["track_user_withdrawals"](df).collect()}
+    assert got == {"u1": 12.0, "u2": 1.0}
+    assert [f.name for f in Withdrawal.spark_schema().fields] == [
+        "user", "country", "amount", "date",
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["models", "Withdrawal"])
+    assert rc == 0 and "amount: double" in buf.getvalue()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["models"])
+    assert rc == 0 and "Withdrawal" in buf.getvalue()
+    assert cli_main(["models", "NoSuchModel"]) == 2
+
+
 def test_agent_ask_map_join_kvmap(spark):
     """RPC surface (reference faust/agents/agent.py:740-961): values round-
     trip through the agent pipeline, replies come back in send order."""

@@ -359,6 +359,41 @@ def test_perplexity_buckets_equal_population(spark, sf_dir):
     assert max(counts.values()) - min(counts.values()) <= 2
 
 
+def test_perplexity_buckets_label_contract_any_n(spark):
+    """bucket n-1 is ALWAYS labeled 'tail' (ADVICE r4): n=2 must yield
+    head/tail, n=4 head/middle/tier2/tail."""
+    from faust_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        "doc_id int, text string",
+    )
+    out2 = {r.doc_id: r.tier for r in perplexity_buckets(df, n_buckets=2).collect()}
+    assert out2[1] == "head" and out2[6] == "tail"
+    assert set(out2.values()) <= {"head", "tail"}
+    # distinct scores: a-docs, b-docs, c-doc → 3 tiers over 4 buckets
+    out4 = {r.doc_id: r.tier for r in perplexity_buckets(df, n_buckets=4).collect()}
+    assert out4[1] == "head" and out4[6] == "tail"
+    assert "middle" not in ("",)  # label vocabulary sanity below
+    assert set(out4.values()) <= {"head", "middle", "tier2", "tail"}
+
+
+def test_dsir_n_buckets_parameter_drives_bucketing(spark):
+    """ADVICE r4: n_buckets must actually change the feature space (it
+    was silently fixed at 256) while keeping smoothing consistent."""
+    from faust_spark.operators.text import dsir_logratio
+
+    rows = [(i, "alpha beta gamma", i < 5) for i in range(10)]
+    rows += [(i, "xx yy zz", False) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, is_target boolean")
+    # runs (no crash) and still separates target-like docs at small and
+    # large bucket counts; scores differ across spaces
+    s16 = {r.doc_id: r.dsir_logratio for r in dsir_logratio(df, n_buckets=16).collect()}
+    s4096 = {r.doc_id: r.dsir_logratio for r in dsir_logratio(df, n_buckets=4096).collect()}
+    assert s16[0] > s16[10] and s4096[0] > s4096[10]
+    assert s16 != s4096
+
+
 def test_bigram_logprob_known_values(spark):
     import math
 
