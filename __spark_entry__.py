@@ -3867,6 +3867,41 @@ def ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 
 
+@_q("ivf_topk_serve")
+def ivf_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF serving path ALONE — no embedded brute-force recall
+    contract (that verification artifact lives in ``ivf_topk`` and
+    dominates its gate cost; VERDICT r4: bench the operator and gate the
+    contract separately). Rows-only by design: the result is pinned
+    against the oracle-verified exact set by ``ivf_topk``'s recall row,
+    and per-query recall is unit-tested in tests/test_similarity.py."""
+    from faust_spark.operators.similarity import ivf_topk as _ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return _ivf(emb, queries, k=5, n_cells=16, nprobe=4).select(
+        "qid", "nid"
+    )
+
+
+@_q("ivfpq_topk_serve")
+def ivfpq_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving path alone (see ivf_topk_serve): coarse-cell
+    pruning + ADC over PQ codes + shortlist re-rank, without the
+    brute-force contract that ``ivfpq_topk`` pays for verification."""
+    from faust_spark.operators.similarity import ivfpq_topk as _ipq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return _ipq(
+        emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16
+    ).select("qid", "nid")
+
+
 @_q("ivfpq_topk", _ANN_RECALL_ORACLE)
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composition (operators/similarity.py ivfpq_topk) — the
@@ -4794,6 +4829,55 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_ratio": 1.2,
         },
         bias=-3.65,
+    )
+
+
+@_q(
+    "validate_orders",
+    """
+    SELECT o_orderkey,
+           concat_ws(',',
+             CASE WHEN o_orderpriority IS NULL
+                       OR NOT regexp_matches(o_orderpriority,
+                                             '^(?:[1-5]-[A-Z ]+)$')
+                  THEN 'o_orderpriority' END,
+             CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('F', 'O')
+                  THEN 'o_orderstatus' END,
+             CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                       OR o_totalprice > 300000
+                  THEN 'o_totalprice' END) AS failed
+    FROM orders
+    WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 300000
+       OR o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O')
+       OR o_orderpriority IS NULL
+       OR NOT regexp_matches(o_orderpriority, '^(?:[1-5]-[A-Z ]+)$')
+    """,
+)
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field validation, distributed path: a Record's declarative
+    constraints (Field(min_value/max_value/choices/pattern) —
+    faust_spark/models.py, reference faust/models/fields.py:249-430)
+    compile to ONE codegen predicate battery and split the table via
+    validate_split; the invalid side carries the violated field names.
+    One scan, no UDF, no shuffle — validation at 100 TB is a filter."""
+    from faust_spark.functions import validate_split
+    from faust_spark.models import Field, Record
+
+    class OrderModel(Record):
+        o_totalprice: float = Field(min_value=0.0, max_value=300000.0)
+        o_orderstatus: str = Field(choices=["F", "O"])
+        o_orderpriority: str = Field(pattern=r"[1-5]-[A-Z ]+")
+
+    o = _t(spark, sf_dir, "orders")
+    _, invalid = validate_split(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus",
+                 "o_orderpriority"),
+        *OrderModel.validation_checks(),
+    )
+    return invalid.select(
+        "o_orderkey",
+        F.concat_ws(",", F.array_sort("failed_checks")).alias("failed"),
     )
 
 

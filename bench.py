@@ -51,8 +51,11 @@ HEADLINE = [
     "ngram_contamination",  # benchmark decontamination
     "dedup_keep_best",  # quality-aware keeper argmax
     "ann_cosine_topk",
-    "ivf_topk",  # IVF ANN (k-means fit + nprobe probe)
-    "ivfpq_topk",  # IVF+PQ: cell-pruned ADC over codes + exact re-rank
+    # r5: serving paths benched WITHOUT the embedded brute-force recall
+    # contract (the contract is a verification artifact — it stays in the
+    # oracle gate via ivf_topk/ivfpq_topk; r4 verdict asked for the split)
+    "ivf_topk_serve",  # IVF ANN (k-means fit + nprobe probe)
+    "ivfpq_topk_serve",  # IVF+PQ: cell-pruned ADC over codes + re-rank
     "embedding_dup_pairs",  # block-grid GEMM exact path
     "edit_distance_pairs",  # length-bucket blocked Levenshtein
     "enumerate_stream",  # distributed zipWithIndex

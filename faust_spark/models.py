@@ -21,8 +21,10 @@ import typing
 from typing import (
     Annotated,
     Any,
+    Callable,
     Mapping,
     Optional,
+    Sequence,
     get_args,
     get_origin,
     get_type_hints,
@@ -108,6 +110,58 @@ def _compile_type(tp: Any) -> tuple[DataType, bool, frozenset]:
     raise TypeError(f"unsupported field type: {tp!r}")
 
 
+class ValidationError(Exception):
+    """A per-field constraint violation (reference
+    ``faust/exceptions.py`` ValidationError carrying its field,
+    ``faust/models/fields.py:282-283`` ``validation_error``)."""
+
+    def __init__(self, reason: str, field: Optional[str] = None):
+        super().__init__(reason)
+        self.reason = reason
+        self.field = field
+
+    def __repr__(self) -> str:
+        return f"<ValidationError field={self.field!r}: {self.reason}>"
+
+
+class Field:
+    """Declarative per-field constraints, assigned as the annotation's
+    default (reference: ``NumberField(min_value=..., max_value=...)``,
+    ``DecimalField(max_digits=..., max_decimal_places=...)`` —
+    ``faust/models/fields.py:330-430``)::
+
+        class Order(Record):
+            amount: float = Field(min_value=0.0)
+            code: str = Field(pattern=r"[A-Z]{3}", choices=None)
+            note: Optional[str] = Field(default=None)
+
+    Constraints validate Python-side through ``instance.validate()`` and
+    compile to Catalyst predicates through ``Model.validation_checks()``
+    (the distributed path — feed to ``functions.validate_split``).
+    """
+
+    def __init__(
+        self,
+        default: Any = _MISSING,
+        *,
+        min_value: Any = None,
+        max_value: Any = None,
+        max_digits: Optional[int] = None,
+        max_decimal_places: Optional[int] = None,
+        pattern: Optional[str] = None,
+        choices: Optional[Sequence] = None,
+        validator: Optional[Callable[[Any], Optional[str]]] = None,
+    ):
+        self.default = default
+        self.min_value = min_value
+        self.max_value = max_value
+        self.max_digits = max_digits
+        self.max_decimal_places = max_decimal_places
+        self.pattern = pattern
+        self.choices = list(choices) if choices is not None else None
+        self.validator = validator
+
+
 class FieldDescriptor:
     """Descriptor for a Record field; usable as a grouping key reference.
 
@@ -123,15 +177,112 @@ class FieldDescriptor:
         nullable: bool,
         default: Any,
         tags: frozenset = frozenset(),
+        spec: Optional[Field] = None,
     ):
         self.name = name
         self.dtype = dtype
         self.nullable = nullable
         self.default = default
         self.tags = tags
+        self.spec = spec
 
     def col(self) -> Column:
         return F.col(self.name)
+
+    # --- per-field validation (reference faust/models/fields.py:249-430) --
+    def validate(self, value: Any) -> "list[ValidationError]":
+        """Python-side constraint check for one value; mirrors the
+        reference's ``FieldDescriptor.validate`` generator surface."""
+        errs: list[ValidationError] = []
+
+        def err(reason: str) -> None:
+            errs.append(ValidationError(reason, field=self.name))
+
+        if value is None:
+            if not self.nullable:
+                err(f"{self.name} is required")
+            return errs
+        s = self.spec
+        if s is None:
+            return errs
+        if s.min_value is not None and value < s.min_value:
+            err(f"{self.name} must be at least {s.min_value}")
+        if s.max_value is not None and value > s.max_value:
+            err(f"{self.name} cannot be more than {s.max_value}")
+        if s.pattern is not None:
+            import re as _re
+
+            if not _re.fullmatch(s.pattern, str(value)):
+                err(f"{self.name} does not match pattern {s.pattern!r}")
+        if s.choices is not None and value not in s.choices:
+            err(f"{self.name} must be one of {s.choices}")
+        if s.max_decimal_places is not None or s.max_digits is not None:
+            import decimal as _dec
+
+            try:
+                t = _dec.Decimal(str(value)).as_tuple()
+            except _dec.InvalidOperation:
+                t = None
+            if t is not None:
+                if (
+                    s.max_decimal_places is not None
+                    and t.exponent < -s.max_decimal_places
+                ):
+                    err(
+                        f"{self.name} must have at most "
+                        f"{s.max_decimal_places} decimal places"
+                    )
+                if (
+                    s.max_digits is not None
+                    and len(t.digits) + min(t.exponent, 0) > s.max_digits
+                ):
+                    err(
+                        f"{self.name} must have at most {s.max_digits} "
+                        "integral digits"
+                    )
+        if s.validator is not None:
+            reason = s.validator(value)
+            if reason:
+                err(reason)
+        return errs
+
+    def validation_check(self) -> "Optional[tuple[str, Column]]":
+        """The same constraints as ONE Catalyst predicate (codegen, no
+        UDF) — ``None`` when the field has nothing to check.  Custom
+        ``validator`` callables are Python-only and intentionally NOT
+        compiled (no row-at-a-time Python in the distributed path)."""
+        c = F.col(self.name)
+        preds: list[Column] = []
+        if not self.nullable:
+            preds.append(c.isNotNull())
+        s = self.spec
+        if s is not None:
+            nn = []  # constraints below only apply to non-null values
+            if s.min_value is not None:
+                nn.append(c >= F.lit(s.min_value))
+            if s.max_value is not None:
+                nn.append(c <= F.lit(s.max_value))
+            if s.pattern is not None:
+                nn.append(c.cast("string").rlike(f"^(?:{s.pattern})$"))
+            if s.choices is not None:
+                nn.append(c.isin(*s.choices))
+            if s.max_decimal_places is not None:
+                nn.append(
+                    F.round(c, s.max_decimal_places).cast("double")
+                    == c.cast("double")
+                )
+            if s.max_digits is not None:
+                nn.append(
+                    F.abs(c.cast("double")) < F.lit(10.0**s.max_digits)
+                )
+            for p in nn:
+                preds.append(c.isNull() | p)
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return (self.name, out)
 
     def __repr__(self) -> str:
         return f"<field {self.name}: {self.dtype.simpleString()}>"
@@ -176,12 +327,19 @@ class Record:
                 continue
             dtype, nullable, tags = _compile_type(tp)
             default = getattr(cls, name, _MISSING)
-            if isinstance(default, FieldDescriptor):  # inherited descriptor
+            spec: Optional[Field] = None
+            if isinstance(default, Field):  # constraint spec as default
+                spec = default
+                default = spec.default
+            elif isinstance(default, FieldDescriptor):  # inherited descriptor
+                spec = default.spec
                 default = default.default
             if default is not _MISSING:
                 nullable = True
             setattr(
-                cls, name, FieldDescriptor(name, dtype, nullable, default, tags)
+                cls,
+                name,
+                FieldDescriptor(name, dtype, nullable, default, tags, spec),
             )
             order.append(name)
         cls._field_order = order
@@ -286,6 +444,50 @@ class Record:
             for f in type(self).spark_schema().fields
         }
 
+    # --- per-field validation (reference faust/models/base.py:440-459) ----
+    def validate(self) -> "list[ValidationError]":
+        """Every field-constraint violation on this instance (cached on
+        first call, like the reference's ``__validation_errors__``)."""
+        cached = getattr(self, "__validation_errors__", None)
+        if cached is None:
+            cached = [
+                e
+                for name, desc in type(self).fields().items()
+                for e in desc.validate(getattr(self, name))
+            ]
+            object.__setattr__(self, "__validation_errors__", cached)
+        return cached
+
+    def is_valid(self) -> bool:
+        return not self.validate()
+
+    def validate_or_raise(self) -> None:
+        errors = self.validate()
+        if errors:
+            raise errors[0]
+
+    @property
+    def validation_errors(self) -> "list[ValidationError]":
+        return self.validate()
+
+    @classmethod
+    def validation_checks(cls) -> "list[tuple[str, Column]]":
+        """Per-field constraints compiled to named Catalyst predicates —
+        the distributed validation path.  Feed straight into
+        :func:`faust_spark.functions.validate_split`::
+
+            valid, invalid = validate_split(df, *Order.validation_checks())
+
+        One codegen scan for the whole battery; ``invalid`` rows carry
+        the violated field names.  (Python ``validator`` callables are
+        deliberately not compiled — no per-row Python at 100 TB.)"""
+        out = []
+        for desc in cls.fields().values():
+            chk = desc.validation_check()
+            if chk is not None:
+                out.append(chk)
+        return out
+
     # --- Catalyst (de)serialization ---------------------------------------
     @classmethod
     def from_json(cls, col: Column | str) -> Column:
@@ -342,4 +544,4 @@ class Record:
         return parsed.select(*keep, "__rec.*")
 
 
-__all__ = ["Record", "FieldDescriptor"]
+__all__ = ["Record", "FieldDescriptor", "Field", "ValidationError"]

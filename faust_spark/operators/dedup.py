@@ -119,9 +119,11 @@ def jaccard_pairs(
     occurring in 1M docs would otherwise contribute 10^12 join rows.
     """
     # the shingle set feeds the freq filter, both join sides, and the size
-    # table — materialize once (on a cluster: prefer a checkpoint/Delta
+    # table — materialize once via localCheckpoint (blocks are released
+    # by the context cleaner on GC, unlike a persist pinned until an
+    # unpersist nobody calls; on a cluster: prefer a checkpoint/Delta
     # staging table for multi-TB corpora)
-    sh = shingles(df, n, text_col, id_col).persist()
+    sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -177,8 +179,12 @@ def incremental_dedup(
     the corpus side before the join (same guard as
     :func:`jaccard_pairs`).
     """
-    sh_new = shingles(new_df, n, text_col, id_col).persist()
-    sh_old = shingles(corpus_df, n, text_col, id_col).persist()
+    sh_new = shingles(new_df, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    sh_old = shingles(corpus_df, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     if max_shingle_freq is not None:
         freq = sh_old.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh_old = sh_old.join(
@@ -397,8 +403,9 @@ def minhash_lsh_pairs(
     else:
         lsh_df = df
     # one shingle materialization serves signatures, verification joins,
-    # and sizes (persist → localCheckpoint/Delta staging at corpus scale)
-    sh = shingles(lsh_df, n, text_col, id_col).persist()
+    # and sizes (localCheckpoint: GC-released blocks, lineage cut; Delta
+    # staging at corpus scale)
+    sh = shingles(lsh_df, n, text_col, id_col).localCheckpoint(eager=False)
     # band signatures straight off the wide signature row — the banding
     # needs NO second shuffle (lsh_bands' (id, band) re-agg exists only
     # for callers holding the long (id, seed, mh) shape)
@@ -598,10 +605,9 @@ def connected_components(
     """
     # materialize the pair list once — the union of both edge directions
     # would otherwise evaluate the (expensive) pair-generation pipeline
-    # twice (persist alone is lazy; the count forces the cache to fill
-    # before both branches read it)
-    pairs = pairs.persist()
-    pairs.count()
+    # twice; eager localCheckpoint both forces the materialization and
+    # lets the blocks free on GC (a persist here was never unpersisted)
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .unionByName(

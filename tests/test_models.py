@@ -113,6 +113,81 @@ def test_field_descriptor_group_by_reference():
     assert Point.x.col() is not None
 
 
+def test_per_field_validators_python_side():
+    from typing import Optional
+
+    from faust_spark.models import Field, Record, ValidationError
+
+    class Order(Record):
+        amount: float = Field(min_value=0.0, max_value=1000.0)
+        currency: str = Field(choices=["USD", "EUR"])
+        code: str = Field(pattern=r"[A-Z]{3}")
+        note: Optional[str] = Field(default=None)
+        price: float = Field(default=0.0, max_decimal_places=2)
+
+    ok = Order(amount=10.0, currency="USD", code="ABC")
+    assert ok.is_valid() and ok.validate() == []
+    ok.validate_or_raise()  # no-op
+
+    bad = Order(amount=-5.0, currency="GBP", code="abc", price=1.234)
+    errs = bad.validate()
+    fields = {e.field for e in errs}
+    assert fields == {"amount", "currency", "code", "price"}
+    assert bad.validation_errors == errs  # cached
+    try:
+        bad.validate_or_raise()
+        raise AssertionError("should have raised")
+    except ValidationError as e:
+        assert e.field in fields
+
+    # required (non-nullable) field set to None
+    class Req(Record):
+        name: str
+
+    r = Req(name="x")
+    object.__setattr__(r, "name", None)
+    assert [e.field for e in r.validate()] == ["name"]
+
+
+def test_per_field_validators_spark_side(spark):
+    """The same constraints compile to Catalyst predicates and split a
+    DataFrame in one scan via validate_split."""
+    from faust_spark.functions import validate_split
+    from faust_spark.models import Field, Record
+
+    class Order2(Record):
+        amount: float = Field(min_value=0.0, max_value=1000.0)
+        currency: str = Field(choices=["USD", "EUR"])
+        code: str = Field(pattern=r"[A-Z]{3}")
+
+    checks = Order2.validation_checks()
+    assert {name for name, _ in checks} == {"amount", "currency", "code"}
+    df = spark.createDataFrame(
+        [
+            (10.0, "USD", "ABC"),   # valid
+            (-1.0, "USD", "ABC"),   # amount
+            (5.0, "GBP", "abc"),    # currency + code
+            (None, "EUR", "XYZ"),   # amount null → required violation
+        ],
+        "amount double, currency string, code string",
+    )
+    valid, invalid = validate_split(df, *checks)
+    assert valid.count() == 1
+    bad = {
+        tuple(sorted(r.failed_checks)) for r in invalid.collect()
+    }
+    assert bad == {("amount",), ("code", "currency")}
+    # custom Python validator stays Python-only
+    class WithPy(Record):
+        v: int = Field(
+            default=0, validator=lambda x: "odd" if x % 2 else None
+        )
+
+    assert not WithPy(v=2).validate()
+    assert [e.reason for e in WithPy(v=3).validate()] == ["odd"]
+    assert WithPy.validation_checks() == []  # nothing compilable
+
+
 class Credentials(Record):
     user: str
     password: Secret[str]

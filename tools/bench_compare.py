@@ -1,0 +1,83 @@
+"""Calibration-normalized bench comparison (VERDICT r4 item 3).
+
+Rounds run on fresh VMs whose CPU speed varies 1.5-2x; raw per-query
+seconds across rounds are not comparable. bench.py records
+``host_calib.python_spin_sec`` (a fixed pure-Python workload) per run;
+this tool compares two bench JSONs after dividing every wall time by the
+run's own spin seconds — i.e. in units of "spin-equivalents", which
+cancels uniform host speed differences.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [--top 15]
+Prints one JSON line: per-query normalized ratios (new/old), sorted by
+regression, plus the headline aggregates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        data = json.load(f)
+    spin = (data.get("host_calib") or {}).get("python_spin_sec")
+    if not spin:
+        raise SystemExit(
+            f"{path}: no host_calib.python_spin_sec — cannot normalize"
+        )
+    return data
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--top", type=int, default=15)
+    args = ap.parse_args()
+    old, new = load(args.old), load(args.new)
+    so, sn = old["host_calib"]["python_spin_sec"], new["host_calib"][
+        "python_spin_sec"
+    ]
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    rows = []
+    for k in common:
+        a, b = old["queries"][k] / so, new["queries"][k] / sn
+        rows.append(
+            {
+                "query": k,
+                "old_norm": round(a, 2),
+                "new_norm": round(b, 2),
+                "ratio": round(b / a, 2) if a else None,
+            }
+        )
+    rows.sort(key=lambda r: -(r["ratio"] or 0))
+    tot_old = sum(old["queries"][k] for k in common) / so
+    tot_new = sum(new["queries"][k] for k in common) / sn
+    out = {
+        "spin_old_s": so,
+        "spin_new_s": sn,
+        "host_speed_ratio": round(sn / so, 2),
+        "common_queries": len(common),
+        "total_norm_ratio": round(tot_new / tot_old, 2),
+        "worst": rows[: args.top],
+        "best": rows[-args.top:][::-1],
+    }
+    for key in (
+        "stream_baseline_eps",
+        "stream_forward_eps",
+        "events_per_sec_stream",
+    ):
+        if key in old and key in new and old[key] and new[key]:
+            # eps scales inversely with host speed: normalize by MULTIPLYING
+            # by spin (slow host → bigger spin → credit back)
+            out[f"{key}_norm_ratio"] = round(
+                (new[key] * sn) / (old[key] * so), 2
+            )
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
