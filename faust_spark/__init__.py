@@ -18,7 +18,11 @@ Public surface (see SURVEY.md for the operator-by-operator mapping):
 """
 
 from faust_spark.session import get_spark  # noqa: F401
-from faust_spark.models import Record  # noqa: F401
+from faust_spark.models import (  # noqa: F401
+    Field,
+    Record,
+    ValidationError,
+)
 from faust_spark.tags import Personal, Secret, Sensitive  # noqa: F401
 from faust_spark.windows import (  # noqa: F401
     TumblingWindow,
@@ -31,7 +35,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "App",
+    "Field",
     "Record",
+    "ValidationError",
     "Secret",
     "Sensitive",
     "Personal",

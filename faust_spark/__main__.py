@@ -33,6 +33,19 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the benchmark harness")
 
+    reset_p = sub.add_parser(
+        "reset",
+        help="delete a streaming checkpoint (state + offsets) so the "
+        "query reprocesses from scratch — the reference's `faust reset` "
+        "(delete local table state; rebuilt from the source on restart)",
+    )
+    reset_p.add_argument("checkpoint")
+    reset_p.add_argument(
+        "--yes",
+        action="store_true",
+        help="actually delete (otherwise prints what would be removed)",
+    )
+
     models_p = sub.add_parser(
         "models", help="print a Record model's Spark schema"
     )
@@ -73,6 +86,34 @@ def main(argv: list[str] | None = None) -> int:
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "reset":
+        import os
+        import shutil
+
+        ck = args.checkpoint
+        # refuse anything that doesn't look like a Spark streaming
+        # checkpoint: deleting an arbitrary directory under a command
+        # named `reset` would be a footgun (reference reset only ever
+        # touches its own table stores)
+        markers = ("metadata", "offsets", "commits", "state")
+        if not os.path.isdir(ck) or not any(
+            os.path.exists(os.path.join(ck, m)) for m in markers
+        ):
+            print(
+                f"{ck!r} is not a Spark streaming checkpoint "
+                f"(none of {markers} present) — refusing",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.yes:
+            print(f"would delete checkpoint {ck} (pass --yes to confirm)")
+            return 0
+        shutil.rmtree(ck)
+        print(f"deleted {ck}; the query will reprocess from scratch "
+              "(Kafka-EOS markers bound to this checkpoint's lineage id "
+              "stop matching, so sinks re-deliver rather than skip)")
         return 0
 
     if args.cmd == "models":

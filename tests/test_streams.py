@@ -195,6 +195,27 @@ def test_bank_example_and_models_cli(spark):
     assert cli_main(["models", "NoSuchModel"]) == 2
 
 
+def test_cli_reset_checkpoint(tmp_path):
+    """`reset` deletes a streaming checkpoint (reference `faust reset` —
+    delete local state, rebuild from source) but refuses directories
+    that don't look like checkpoints, and dry-runs without --yes."""
+    from faust_spark.__main__ import main as cli_main
+
+    ck = tmp_path / "ckpt"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "state").mkdir()
+    (ck / "metadata").write_text('{"id": "q-1"}')
+    assert cli_main(["reset", str(ck)]) == 0  # dry-run
+    assert ck.exists()
+    assert cli_main(["reset", str(ck), "--yes"]) == 0
+    assert not ck.exists()
+    plain = tmp_path / "notackpt"
+    plain.mkdir()
+    (plain / "data.txt").write_text("x")
+    assert cli_main(["reset", str(plain), "--yes"]) == 2  # refused
+    assert plain.exists()
+
+
 def test_agent_ask_map_join_kvmap(spark):
     """RPC surface (reference faust/agents/agent.py:740-961): values round-
     trip through the agent pipeline, replies come back in send order."""
