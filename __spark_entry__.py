@@ -2800,6 +2800,138 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(i AS DOUBLE) / least(s1.n_sh, s2.n_sh) AS containment
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = doc1
+    JOIN sz s2 ON s2.doc_id = doc2
+    WHERE CAST(i AS DOUBLE) / least(s1.n_sh, s2.n_sh) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: |A∩B| / min(|A|,|B|) ≥ 0.6 — the
+    quote/subset structure Jaccard misses (operators/dedup.py
+    containment_pairs; same one-shuffle shingle equi-join, different
+    denominator)."""
+    from faust_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@_q(
+    "bloom_dedup_admit",
+    """
+    WITH newb AS (SELECT doc_id, md5(text) AS k FROM documents
+                  WHERE doc_id % 5 = 0),
+    corp AS (SELECT DISTINCT md5(text) AS k FROM documents
+             WHERE doc_id % 5 <> 0)
+    SELECT n.doc_id FROM newb n LEFT JOIN corp c USING (k)
+    WHERE c.k IS NULL
+    """,
+)
+def bloom_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest admission via Bloom prefilter
+    (operators/sketch.py): the corpus ships as ONE aggregation pass +
+    a 128 KiB broadcast bitmap; only probable-duplicate survivors pay
+    the exact verification join, so results are exactly the anti-join
+    answer (the oracle) while corpus-side work is a scan. The batch is
+    every 5th doc, the corpus the rest — planted exact dups land in
+    both halves, so the screen really fires."""
+    from faust_spark.operators.sketch import bloom_prefilter_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    newb = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return bloom_prefilter_dedup(
+        newb, corpus, key=F.md5("text")
+    ).select("doc_id")
+
+
+_WS_NIBBLE12 = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * "
+    f"{16 ** (11 - i)}"
+    for i in range(12)
+)
+
+
+@_q(
+    "weighted_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             ({_WS_NIBBLE12}) AS v
+      FROM (SELECT doc_id, lang, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents WHERE n_chars > 0)
+    ),
+    p AS (
+      SELECT doc_id, lang,
+             round(ln(greatest(v / 281474976710656.0, 1e-18))
+                   / n_chars, 9) AS prio
+      FROM t
+    ),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY prio DESC, doc_id) AS rn
+          FROM p)
+    SELECT doc_id, lang FROM r WHERE rn <= 10
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 10 docs per language with
+    inclusion probability ∝ n_chars (Efraimidis-Spirakis priorities on
+    the md5-derived uniform — operators/sampling.py weighted_sample_k).
+    No RNG: the draw is replayable and the oracle replicates it exactly
+    (the 48-bit uniform is integer-exact in a double; the ln-priority
+    rounds to 9 dp on both engines before ranking so last-ulp libm
+    differences can't flip ranks, and genuine rounding ties break on
+    doc_id identically)."""
+    from faust_spark.operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return weighted_sample_k(
+        docs, weight_col="n_chars", k=10, key="doc_id", per="lang"
+    ).select("doc_id", "lang")
+
+
+@_q("mmr_rerank")
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification after dense retrieval (operators/search.py
+    mmr_rerank): per query, greedy λ-tradeoff between relevance and
+    max-similarity-to-already-selected, run inside one Arrow batch per
+    query over the retrieval-bounded candidate set. Rows-only (the
+    greedy argmax chain is not SQL-expressible); the selection itself is
+    pinned against a pure-numpy reference in tests/test_search.py."""
+    from faust_spark.operators.search import mmr_rerank
+    from faust_spark.operators.similarity import cosine_expr, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cands = (
+        cosine_topk(emb, queries.select(F.col("qid"), F.col("qv").alias("embedding")), k=20)
+        .join(F.broadcast(queries), "qid")
+        .join(emb.select(F.col("vec_id").alias("nid"), "embedding"), "nid")
+        .select(
+            "qid",
+            "nid",
+            cosine_expr(F.col("qv"), F.col("embedding")).alias("score"),
+            "embedding",
+        )
+    )
+    return mmr_rerank(cands, k=5, lam=0.7).orderBy("qid", "mmr_rank")
+
+
+@_q(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLE_CTE},

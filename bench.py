@@ -68,6 +68,10 @@ HEADLINE = [
     "distinctive_terms",  # TF-IDF-shaped two-pass corpus stats
     "bm25_search",  # BM25 retrieval: one scan + TakeOrdered top-k
     "hybrid_search",  # BM25 + dense cosine fused by reciprocal-rank
+    "mmr_rerank",  # r5: MMR diversification after dense retrieval
+    "dedup_containment",  # r5: quote/subset containment pairs
+    "bloom_dedup_admit",  # r5: Bloom-prefilter incremental admission
+    "weighted_sample",  # r5: E-S weighted sampling without replacement
     "hard_negatives",  # cross-label nearest-neighbor mining
     "knn_label",  # kNN majority-vote label propagation
     "stratified_sample",  # exact per-stratum counts, one shuffle

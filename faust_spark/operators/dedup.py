@@ -156,6 +156,57 @@ def jaccard_pairs(
     return out.select("doc1", "doc2", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT:
+    ``C = |A∩B| / min(|A|, |B|)`` — catches the quote/subset structure
+    Jaccard misses (a tweet embedded verbatim in a long article has
+    Jaccard ≈ 0 but containment 1.0; dedup pipelines drop or link such
+    pairs as near-dups of the shorter side).
+
+    Same one-shuffle shingle equi-join shape as :func:`jaccard_pairs`
+    (co-occurrence counts, never a pairwise loop), same
+    ``max_shingle_freq`` hub guard; only the denominator changes.
+    Returns (doc1, doc2, containment), doc1 < doc2.
+    """
+    sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=False)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+            .select(id_col, "shingle")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("n1", "n2"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc1", "doc2", "containment")
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

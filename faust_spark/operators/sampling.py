@@ -222,6 +222,57 @@ def shuffle_shards(
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    per: str | None = None,
+    salt: str = "",
+    priority_decimals: int | None = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each row draws priority ``u^(1/w)`` for a uniform
+    ``u``; the top-k priorities ARE a weighted sample without
+    replacement. The uniform comes from the engine-portable md5 hash
+    (no RNG — replayable, resumable, oracle-checkable), and the top-k
+    is ranked on the MONOTONE-equivalent key ``ln(u)/w`` (avoids
+    ``pow``, whose last-ulp rounding differs across engines more often
+    than ``ln``'s).
+
+    ``per=None``: one global sample via TakeOrderedAndProject (no global
+    sort). ``per=<col>``: k per group via a rank window — the standard
+    per-language / per-source quota draw. Rows with weight <= 0 never
+    sample. This is the principled replacement for "sort by score and
+    take the head" when building score-weighted training mixtures: every
+    row has inclusion probability proportional to its weight, not just
+    the argmax rows.
+
+    Returns the sampled rows with their ``__priority`` dropped.
+    """
+    u = _hash01(F.col(key), salt)
+    # ln(u)/w: monotone in u^(1/w) for w>0 (ln u < 0, so LARGER is
+    # better in both formulations); u=0 guard via the tiny-double floor.
+    # The priority rounds to ``priority_decimals`` before ranking so a
+    # last-ulp libm difference between engines can't flip ranks; genuine
+    # rounding ties break on ``key`` deterministically. None = raw.
+    prio = F.log(F.greatest(u, F.lit(1e-18))) / F.col(weight_col)
+    if priority_decimals is not None:
+        prio = F.round(prio, priority_decimals)
+    tagged = df.filter(F.col(weight_col) > 0).withColumn("__prio", prio)
+    if per is None:
+        return tagged.orderBy(F.col("__prio").desc(), F.col(key)).limit(
+            k
+        ).drop("__prio")
+    w = W.partitionBy(per).orderBy(F.col("__prio").desc(), F.col(key))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__prio")
+    )
+
+
 __all__ = [
     "hash_sample",
     "top_k_per_key",
@@ -230,4 +281,5 @@ __all__ = [
     "stratified_sample",
     "assign_splits",
     "shuffle_shards",
+    "weighted_sample_k",
 ]

@@ -222,4 +222,93 @@ def rrf_fuse(
     )
 
 
-__all__ = ["postings", "bm25_topk", "bm25_multi_topk", "rrf_fuse"]
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    qid_col: str = "qid",
+    id_col: str = "nid",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily select ``k`` results maximizing
+
+        lam * relevance(d)  -  (1 - lam) * max_{s in selected} cos(d, s)
+
+    — the standard diversification pass after dense retrieval, so the
+    final k aren't five paraphrases of the same document.
+
+    Scale shape: the greedy loop is inherently sequential *per query*
+    but the candidate set is retrieval-bounded (tens of rows), so each
+    query's loop runs inside one Arrow batch (``applyInPandas`` grouped
+    by query id) over numpy — no candidate ever re-shuffles, and queries
+    parallelize across tasks exactly like the retrieval that produced
+    them. The quadratic term is k·|candidates| per query, constant-sized
+    by construction.
+
+    ``candidates``: (qid, nid, score, embedding) — e.g. the output of a
+    dense top-n (n > k) joined back to its vectors. Returns
+    (qid, nid, mmr_rank 1..k, mmr_score).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qt = candidates.schema[qid_col].dataType
+    nt = candidates.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(qid_col, qt, True),
+            StructField(id_col, nt, True),
+            StructField("mmr_rank", IntegerType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(score_col, ascending=False).reset_index(
+            drop=True
+        )
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.full(n, -np.inf)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * np.where(
+                np.isfinite(max_sim), max_sim, 0.0
+            )
+            mmr[chosen] = -np.inf
+            i = int(np.argmax(mmr))
+            chosen.append(i)
+            scores.append(float(mmr[i]))
+            max_sim = np.maximum(max_sim, V @ V[i])
+        return pd.DataFrame(
+            {
+                qid_col: pdf[qid_col].iloc[chosen].to_numpy(),
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores),
+            }
+        )
+
+    return candidates.groupBy(qid_col).applyInPandas(pick, out_schema)
+
+
+__all__ = [
+    "postings",
+    "bm25_topk",
+    "bm25_multi_topk",
+    "rrf_fuse",
+    "mmr_rerank",
+]

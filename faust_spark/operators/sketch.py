@@ -1,0 +1,150 @@
+"""Sketch-based operators: Bloom-filter membership prefilters.
+
+The 100 TB shape this module exists for: testing a 100 GB daily batch
+against a multi-TB corpus should not join the corpus — it should ship a
+few MB of sketch to the batch. A Bloom filter built in ONE distributed
+aggregation pass over corpus keys (never collecting the keys) gives a
+no-false-negative membership screen; the occasional false positive is
+removed by an exact verification join that only the screened survivors
+pay for, so end results are EXACTLY the precise-join answer while the
+corpus-side work drops to one scan + a model-sized bitmap.
+
+(Spark uses the same idea internally for runtime row-group filtering;
+``bloom_filter_agg`` is not exposed to the public SQL surface in 4.x, so
+the bitmap is built from public primitives: ``xxhash64`` position hashes
+bit-or-aggregated into 64-bit words.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> list[int]:
+    """Build a Bloom bitmap over ``df[key_col]`` as ``m_bits/64`` longs.
+
+    One narrow projection (k position hashes per key, ``xxhash64`` with
+    the hash index as seed column) + one ``bit_or`` aggregation keyed by
+    word index — the shuffle carries at most ``m_bits/64`` partially
+    aggregated words per partition, NEVER the keys. The returned list is
+    the driver-side model (128 KiB at the 1M-bit default): broadcast it
+    back via :func:`bloom_might_contain`.
+
+    Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k — the 1M-bit/4-hash
+    default holds ~1% at n=100k keys; at corpus scale pass
+    ``m_bits ≈ 10 × n`` (10 bits/key ≈ 0.8% with k=4). m_bits must be a
+    multiple of 64.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            # python-API shiftleft needs a literal bit count; the SQL
+            # form takes an expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            .alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[int(r.w)] = int(r.bits)
+    return arr
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: list[int],
+    k_hashes: int = 4,
+    out_col: str = "__might_contain",
+) -> DataFrame:
+    """Add a boolean column: every one of the key's ``k_hashes`` Bloom
+    bits is set. False → definitely absent; True → probably present.
+
+    The bitmap rides as a one-row broadcast DataFrame (not a literal —
+    a 16k-element literal array would bloat every plan that embeds it),
+    and the membership test is pure codegen: ``element_at`` word lookup
+    + bitwise AND per hash.
+    """
+    m_bits = len(bloom) * 64
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(bloom,)], "__bloom array<long>")
+    pred = None
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(
+            F.col("__bloom"), (p / 64).cast("int") + 1
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({key_col}, {i}), {m_bits}) % 64 AS INT))"
+        )
+        hit = word.bitwiseAND(bit) != 0
+        pred = hit if pred is None else (pred & hit)
+    return (
+        df.crossJoin(F.broadcast(bdf))
+        .withColumn(out_col, pred)
+        .drop("__bloom")
+    )
+
+
+def bloom_prefilter_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key: Column | str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Rows of ``new_df`` whose ``key`` does NOT already occur in
+    ``corpus_df`` — the incremental-ingest exact-dedup admission check,
+    with the corpus side reduced to one scan + a broadcast bitmap.
+
+    Three stages, results IDENTICAL to a plain anti-join:
+
+    1. corpus → Bloom bitmap (one pass, no key leaves the executors
+       except as partially-aggregated words);
+    2. the batch screens against the broadcast bitmap — no false
+       negatives, so every true duplicate survives to stage 3 and
+       every screened-out row is genuinely new;
+    3. only the (few) probable-duplicate survivors pay an exact
+       verification semi-join against the corpus keys, which removes
+       Bloom false positives.
+
+    ``key`` may be a column name or an expression (e.g.
+    ``F.md5("text")`` for content identity).
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    tagged_new = new_df.withColumn("__k", kc)
+    tagged_corpus = corpus_df.select(kc.alias("__k"))
+    bloom = bloom_build(tagged_corpus, "__k", m_bits, k_hashes)
+    screened = bloom_might_contain(tagged_new, "__k", bloom, k_hashes)
+    fresh = screened.filter(~F.col("__might_contain"))
+    suspects = screened.filter(F.col("__might_contain"))
+    verified_new = suspects.join(tagged_corpus, "__k", "left_anti")
+    return fresh.unionByName(verified_new).drop("__might_contain", "__k")
+
+
+__all__ = ["bloom_build", "bloom_might_contain", "bloom_prefilter_dedup"]

@@ -78,6 +78,35 @@ def test_jaccard_finds_exact_and_near(docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long doc: Jaccard is tiny
+    (union dominated by the long doc) but containment is 1.0."""
+    from faust_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "intro paragraph about something entirely different here "
+        + quote
+        + " followed by many more unrelated words about spark catalyst "
+        "tungsten codegen shuffles partitions and watermarks at scale"
+    )
+    docs = spark.createDataFrame(
+        [(0, quote), (1, long_doc), (2, OTHER)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc1, r.doc2): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(0, 1): 1.0}
+    # jaccard at the same bar finds nothing
+    assert (
+        jaccard_pairs(docs, threshold=0.8)
+        .filter("doc1 = 0 and doc2 = 1")
+        .count()
+        == 0
+    )
+
+
 def test_minhash_lsh_finds_exact_dup(docs):
     pairs = {
         (r.doc1, r.doc2)

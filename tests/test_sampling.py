@@ -177,3 +177,39 @@ def test_temperature_sample_flattens_mixture(spark):
 
     want = {(i, g) for i, g in rows if keep(i, g)}
     assert {(r.doc_id, r.lang) for r in out} == want
+
+
+def test_weighted_sample_k_deterministic_and_weight_biased(spark):
+    """Efraimidis-Spirakis hash-priority sampling: deterministic across
+    runs, and inclusion frequency tracks weight across many salts."""
+    from pyspark.sql import functions as F
+
+    from faust_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "g", 100.0 if i < 10 else 1.0) for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    a = {r.doc_id for r in weighted_sample_k(df, "w", 10, per="lang").collect()}
+    b = {r.doc_id for r in weighted_sample_k(df, "w", 10, per="lang").collect()}
+    assert a == b and len(a) == 10  # no RNG: same draw every time
+    # across 30 independent salts, heavy rows (w=100, 10 of them) must
+    # dominate the sample vs the 100 light rows (w=1)
+    heavy = light = 0
+    for s in range(30):
+        got = weighted_sample_k(df, "w", 10, per="lang", salt=f"s{s}")
+        for r in got.collect():
+            if r.doc_id < 10:
+                heavy += 1
+            else:
+                light += 1
+    assert heavy > light * 2, (heavy, light)
+    # zero/negative weights never sample
+    df2 = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -1.0), (3, "g", 5.0)],
+        "doc_id long, lang string, w double",
+    )
+    assert [
+        r.doc_id for r in weighted_sample_k(df2, "w", 3, per="lang").collect()
+    ] == [3]
+    # global (per=None) top-k path
+    g = weighted_sample_k(df, "w", 7, per=None)
+    assert g.count() == 7

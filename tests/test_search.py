@@ -130,3 +130,49 @@ def test_rrf_fuse_hand_computed(spark):
     want = sorted(score, key=lambda d: (-score[d], d))
     got = [d for d, _ in sorted(out.items(), key=lambda kv: kv[1])]
     assert got == want
+
+
+def test_mmr_rerank_matches_numpy_reference_and_diversifies(spark):
+    """MMR greedy selection pinned against a pure-numpy reference; a
+    duplicated top hit must not be selected twice in the top ranks."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from faust_spark.operators.search import mmr_rerank
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(12, 16))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V[1] = V[0]  # candidate 1 duplicates candidate 0
+    rel = np.linspace(1.0, 0.4, 12)
+    rel[1] = 0.99  # near-top relevance for the duplicate
+    rows = [
+        (7, int(i), float(rel[i]), [float(x) for x in V[i]])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, nid long, score double, embedding array<double>"
+    )
+    got = [
+        (r.nid, r.mmr_rank)
+        for r in mmr_rerank(df, k=5, lam=0.6)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+
+    # pure-python greedy reference
+    lam = 0.6
+    chosen, max_sim = [], np.full(12, -np.inf)
+    for _ in range(5):
+        mmr = lam * rel - (1 - lam) * np.where(
+            np.isfinite(max_sim), max_sim, 0.0
+        )
+        mmr[chosen] = -np.inf
+        i = int(np.argmax(mmr))
+        chosen.append(i)
+        max_sim = np.maximum(max_sim, V @ V[i])
+    assert [n for n, _ in got] == chosen
+    # the duplicate (nid 1, cos=1 to rank-1 pick) is pushed out of top-5
+    assert 1 not in [n for n, _ in got]
+    assert [r for _, r in got] == [1, 2, 3, 4, 5]
