@@ -92,6 +92,18 @@ ALLOW_NESTED_LOOP = {
     # broadcast centroid TABLE × corpus scan (assign_cells_join): the
     # FAISS coarse-quantizer shape — k-row broadcast, partial-agg argmin
     "semantic_dedup",
+    # r5: serving paths inherit the IVF probe shapes above minus the
+    # recall contract (tiny query-set broadcast against the cell scan)
+    "ivf_topk_serve",
+    "ivfpq_topk_serve",
+    # r5: the Bloom bitmap rides as a ONE-ROW broadcast DataFrame
+    # (crossJoin) so the 16k-long array isn't a plan literal; the
+    # membership test itself is codegen element_at + bitwise AND
+    "bloom_dedup_admit",
+    # r5: candidate generation embeds the exact brute-force retrieval
+    # (ann_cosine_topk's tiny-query broadcast); the MMR greedy itself is
+    # grouped Arrow over retrieval-bounded candidates
+    "mmr_rerank",
 }
 
 

@@ -39,6 +39,7 @@ PROBES_DOCS_PAIRWISE = [
     "dedup_minhash_lsh",
     "edit_distance_pairs",  # PassJoin segment blocking (exact, r4)
     "dedup_incremental",  # batch x corpus join (replicas inflate overlap)
+    "dedup_containment",  # r5: same equi-join shape, min-denominator
 ]
 # linear doc ops probe at the FULL multiplier (r3 verdict item 5: these
 # previously probed at 4x or not at all)
@@ -68,6 +69,8 @@ PROBES_DOCS = [
     "perplexity_buckets",  # r4: LM agg + banded cumulative histogram
     "substring_dedup",  # r4: window-hash agg + flag join, both hash-keyed
     "remove_dup_spans",  # r4: same shuffles + per-doc codegen cut
+    "bloom_dedup_admit",  # r5: one corpus agg pass + broadcast bitmap
+    "weighted_sample",  # r5: hash priorities, per-group rank window
     # (output is one row per doc; duplicate-bucket membership grows with
     # replicas but total window rows stay linear in corpus chars)
 ]
@@ -89,6 +92,7 @@ PROBES_EMB = [
     "semantic_dedup",
     "hard_negatives",  # r4: broadcast queries, linear scan by design
     "knn_label",  # r4: same shape + per-qid vote agg
+    "mmr_rerank",  # r5: retrieval-bounded per-query Arrow greedy
 ]
 
 
