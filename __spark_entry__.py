@@ -2363,6 +2363,59 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_everseen_dedup",
+    """
+    SELECT DISTINCT user_id FROM events
+    """,
+)
+def stream_everseen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ever-seen streaming dedup (streaming/bloom_dedup.py): unlike the
+    watermarked ``stream_dedup`` (which forgets past the horizon), the
+    versioned-Bloom screen suppresses keys seen in ANY earlier batch
+    with O(m_bits) state. The events table replays as multiple
+    micro-batches (4 files, 2 per trigger); each user_id must surface
+    EXACTLY once across all batches — so the emitted set equals
+    DISTINCT user_id regardless of batch boundaries (the oracle). The
+    2^22-bit map keeps the false-positive probability for the fixture
+    cardinalities below ~1e-6, i.e. deterministic in practice; the
+    bounded-FP contract itself is pinned in
+    tests/test_bloom_dedup_stream.py."""
+    import tempfile
+
+    from faust_spark.catalog import load_table, normalize_event_time
+    from faust_spark.streaming.bloom_dedup import bloom_dedup_batch_sink
+    from faust_spark.streaming.runner import stream_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="everseen_")
+    src = os.path.join(work, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    emitted: list = []
+
+    def sink(df: DataFrame, bid: int) -> None:
+        emitted.extend(r.user_id for r in df.select("user_id").collect())
+
+    wrapped = bloom_dedup_batch_sink(
+        sink, "user_id", os.path.join(work, "state"), m_bits=1 << 22
+    )
+    stream = normalize_event_time(
+        stream_parquet(spark, src, max_files_per_trigger=2)
+    )
+    q = (
+        stream.writeStream.foreachBatch(wrapped)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        [(int(u),) for u in emitted], "user_id bigint"
+    )
+
+
+@_q(
     "stream_hopping",
     """
     WITH e AS (SELECT epoch(ts) AS te FROM events),

@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 # streaming queries execute eagerly inside queries(); plan introspection
 # here targets the batch surface
 SKIP = {
+    "stream_everseen_dedup",
     "stream_tumbling_hourly",
     "stream_window_close",
     "stream_stateful_counter",
