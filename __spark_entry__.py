@@ -2908,6 +2908,64 @@ def bloom_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _cms_bucket_sql(key_expr: str, d: str, width: int = 1024) -> str:
+    """DuckDB replica of sketch._md5_bucket: 8-hex-nibble decode of
+    md5('cms<d>:' || key) mod width. ``d`` is a SQL expression."""
+    h = f"md5('cms' || CAST({d} AS VARCHAR) || ':' || {key_expr})"
+    nib = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * "
+        f"{16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({nib}) % {width})"
+
+
+@_q(
+    "heavy_hitters_cms",
+    f"""
+    WITH k AS (SELECT event_type, COUNT(*) AS tc FROM events GROUP BY 1),
+    dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+    co AS (
+      SELECT dd.d, {_cms_bucket_sql('e.event_type', 'dd.d')} AS bucket
+      FROM events e CROSS JOIN dd
+    ),
+    cnts AS (SELECT d, bucket, COUNT(*) AS cnt FROM co GROUP BY 1, 2),
+    est AS (
+      SELECT k.event_type,
+             MIN(COALESCE(c.cnt, 0)) AS est
+      FROM k CROSS JOIN dd
+      LEFT JOIN cnts c
+        ON c.d = dd.d
+       AND c.bucket = {_cms_bucket_sql('k.event_type', 'dd.d')}
+      GROUP BY 1
+    )
+    SELECT k.event_type, CAST(k.tc AS BIGINT) AS true_cnt,
+           CAST(e.est AS BIGINT) AS cms_est
+    FROM k JOIN est e USING (event_type)
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.py):
+    ONE pass builds a depth×width linear sketch (mergeable across
+    corpus shards by summing — the streaming/sharded frequency model);
+    point estimates never undercount and overcount only by collision
+    mass. Hashing is md5-derived, so the oracle rebuilds the ENTIRE
+    sketch in SQL and the estimates must match bit-for-bit — the
+    sketch itself is verified, not just its error bound."""
+    from faust_spark.operators.sketch import cms_counts, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    counts = cms_counts(ev, "event_type", depth=4, width=1024)
+    keys = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return cms_estimate(
+        keys, counts, "event_type", depth=4, width=1024
+    ).select(
+        "event_type", "true_cnt", F.col("cms_est").cast("long").alias("cms_est")
+    )
+
+
 _WS_NIBBLE12 = " + ".join(
     f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * "
     f"{16 ** (11 - i)}"

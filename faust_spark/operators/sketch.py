@@ -147,4 +147,105 @@ def bloom_prefilter_dedup(
     return fresh.unionByName(verified_new).drop("__might_contain", "__k")
 
 
-__all__ = ["bloom_build", "bloom_might_contain", "bloom_prefilter_dedup"]
+def _md5_bucket(col: Column, salt: str, width: int) -> Column:
+    """Engine-portable hash bucket: first 8 hex chars of
+    ``md5(salt || key)`` as an integer, mod ``width`` — the same
+    deterministic pattern the minhash/DSIR oracles replicate in SQL."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(width)
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of ``df[key_col]`` as a (d, bucket, cnt) table.
+
+    ONE pass over the data: each row explodes to ``depth`` (row, d,
+    bucket) coordinates, then a partial-agg count keyed by (d, bucket) —
+    the shuffle carries at most ``depth × width`` partially-aggregated
+    rows per partition regardless of input size. The result is
+    model-sized (4k rows at the default) — broadcast it into
+    :func:`cms_estimate`, persist it as the running frequency model, or
+    merge sketches from different corpus shards by summing counts
+    (CMS is a linear sketch: cnt(a ∪ b) = cnt(a) + cnt(b)).
+
+    Hashing is md5-derived (engine-portable), so the full sketch — and
+    every estimate off it — is bit-reproducible anywhere, including a
+    SQL oracle.
+    """
+    coords = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _md5_bucket(F.col(key_col), f"cms{d}:", width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        coords.select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counts: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` against a
+    :func:`cms_counts` sketch: ``min_d counts[d][h_d(key)]``.
+
+    The classic CMS guarantee holds: the estimate NEVER undercounts
+    (every true occurrence incremented every row's buckets) and
+    overcounts only by collision mass (≤ e/width × N with prob
+    1 − e^-depth per query). Implemented as a broadcast join of the
+    model-sized counts table against the key set — no driver arrays,
+    no UDF; an absent (d, bucket) coordinate means count 0.
+    """
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _md5_bucket(F.col(key_col), f"cms{d}:", width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("*", "c.d", "c.bucket").drop("c")
+    joined = probes.join(F.broadcast(counts), ["d", "bucket"], "left")
+    others = [c for c in keys.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+__all__ = [
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_prefilter_dedup",
+    "cms_counts",
+    "cms_estimate",
+]

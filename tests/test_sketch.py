@@ -62,3 +62,39 @@ def test_bloom_membership_is_codegen_no_corpus_join(spark):
     plan = screened._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from faust_spark.operators.sketch import cms_counts, cms_estimate
+
+    # skewed frequencies: key i appears i+1 times, 100 keys
+    rows = [(f"k{i}",) for i in range(100) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, ["k"])
+    counts = cms_counts(df, "k", depth=4, width=256)
+    keys = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = {
+        r.k: (r.true_cnt, r.cms_est)
+        for r in cms_estimate(keys, counts, "k", depth=4, width=256).collect()
+    }
+    n = sum(i + 1 for i in range(100))
+    for k, (t, e) in est.items():
+        assert e >= t, f"{k}: CMS undercounted {e} < {t}"
+        assert e <= t + n, k  # trivially bounded by total mass
+    # most keys are exact at this width (collision mass is tiny)
+    exact = sum(1 for t, e in est.values() if t == e)
+    assert exact > 80
+    # linearity: sketch(a) + sketch(b) == sketch(a union b)
+    a = df.filter(F.crc32(F.col("k")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("k")) % 2 == 1)
+    merged = (
+        cms_counts(a, "k", depth=2, width=64)
+        .unionByName(cms_counts(b, "k", depth=2, width=64))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_counts(df, "k", depth=2, width=64)
+    m = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    w = {(r.d, r.bucket): r.cnt for r in whole.collect()}
+    assert m == w
