@@ -2908,6 +2908,47 @@ def bloom_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+@_q(
+    "distinct_rollup_hll",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS ok_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/sketch.py): per
+    (event_type, day) HyperLogLog sketches union up to per-event_type
+    totals WITHOUT rescanning events — the pre-aggregated distinct
+    pattern that makes 100 TB dashboards answerable from a model-sized
+    sketch table. Contract row: the Spark side recomputes the exact
+    distinct (value-verified against the oracle) and asserts its own
+    merged HLL estimate lands within 5% (DataSketches HLL is exact at
+    fixture cardinalities, ~2% worst-case at lgk=12)."""
+    from faust_spark.operators.sketch import (
+        hll_rollup_estimate,
+        hll_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily = hll_sketches(ev, "user_id", "event_type", "day")
+    merged = hll_rollup_estimate(daily, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct")
+        ).alias("ok_within_5pct"),
+    )
+
+
 def _cms_bucket_sql(key_expr: str, d: str, width: int = 1024) -> str:
     """DuckDB replica of sketch._md5_bucket: 8-hex-nibble decode of
     md5('cms<d>:' || key) mod width. ``d`` is a SQL expression."""

@@ -98,3 +98,36 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     m = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     w = {(r.d, r.bucket): r.cnt for r in whole.collect()}
     assert m == w
+
+
+def test_hll_rollup_merges_without_rescan(spark):
+    from pyspark.sql import functions as F
+
+    from faust_spark.operators.sketch import (
+        hll_rollup_estimate,
+        hll_sketches,
+    )
+
+    # 3 groups x 4 shards; distinct keys overlap across shards so the
+    # union must dedup across sketches, not sum
+    rows = [
+        (g, s, f"u{g}-{k}")
+        for g in range(3)
+        for s in range(4)
+        for k in range(s * 50, s * 50 + 100)  # 50-key overlap per shard
+    ]
+    df = spark.createDataFrame(rows, ["g", "shard", "user"])
+    sk = hll_sketches(df, "user", "g", "shard")
+    assert sk.count() == 12
+    est = {
+        r.g: r.distinct_est
+        for r in hll_rollup_estimate(sk, "g").collect()
+    }
+    exact = {
+        r.g: r.cnt
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("user").alias("cnt"))
+        .collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) <= 0.05 * exact[g], (g, est[g], exact[g])
