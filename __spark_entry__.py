@@ -1984,6 +1984,61 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scd2_lookup",
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to,
+             value AS state_value
+      FROM events WHERE event_type = 'signup'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, d.state_value AS state_at_event
+    FROM e LEFT JOIN dim d
+      ON d.user_id = e.user_id
+     AND d.valid_from <= e.ts
+     AND (d.valid_to IS NULL OR d.valid_to > e.ts)
+    """,
+)
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase enriched with the
+    SCD2 state (scd2_history's intervals) valid AT the event time. The
+    oracle expresses it as the textbook range join; the Spark plan is
+    the backward as-of join instead — one shuffle on the key, a window
+    carry-forward, NO range predicate — because probing 'the interval
+    containing ts' against intervals built from change events IS the
+    as-of lookup (max event_id breaks equal-timestamp signup ties,
+    matching the interval construction's ordering)."""
+    from faust_spark.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_id").alias("dim_event_id"),
+        F.col("value").alias("state_value"),
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_tiebreak="dim_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("state_value").alias("state_at_event"),
+    )
+
+
+@_q(
     "edit_distance_pairs",
     """
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,

@@ -72,6 +72,9 @@ HEADLINE = [
     "dedup_containment",  # r5: quote/subset containment pairs
     "bloom_dedup_admit",  # r5: Bloom-prefilter incremental admission
     "weighted_sample",  # r5: E-S weighted sampling without replacement
+    "heavy_hitters_cms",  # r5: one-pass count-min sketch + estimates
+    "distinct_rollup_hll",  # r5: mergeable HLL distinct rollup
+    "scd2_lookup",  # r5: point-in-time SCD2 lookup as backward as-of
     "hard_negatives",  # cross-label nearest-neighbor mining
     "knn_label",  # kNN majority-vote label propagation
     "stratified_sample",  # exact per-stratum counts, one shuffle
