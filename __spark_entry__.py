@@ -3004,6 +3004,111 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "audience_overlap_theta",
+    """
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS a, b.event_type AS b,
+           CAST(COUNT(*) AS BIGINT) AS exact_both,
+           TRUE AS ok_within_5pct
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience overlap via Theta-sketch set algebra
+    (operators/sketch.py): "users who did BOTH a and b" for every
+    event-type pair, answered from the model-sized sketch table by
+    sketch INTERSECTION — no distinct self-join over raw events. The
+    gate recomputes the exact overlap (value-verified by the oracle) and
+    asserts each sketch estimate within 5% (+1 absolute for tiny sets);
+    at fixture cardinalities Theta is in exact mode."""
+    from faust_spark.operators.sketch import (
+        theta_overlap_estimate,
+        theta_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = theta_sketches(ev, "user_id", "event_type")
+    est = theta_overlap_estimate(sk, "event_type")
+    ut = ev.distinct()
+    exact = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("a"),
+            F.col("y.event_type").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_both"))
+    )
+    return exact.join(est, ["a", "b"]).select(
+        "a",
+        "b",
+        "exact_both",
+        (
+            F.abs(F.col("est_both") - F.col("exact_both"))
+            <= F.lit(0.05) * F.col("exact_both") + F.lit(1.0)
+        ).alias("ok_within_5pct"),
+    )
+
+
+@_q(
+    "value_quantiles_kll",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM events GROUP BY 1
+    """,
+)
+def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles (operators/sketch.py): per-(event_type, day)
+    KLL sketches of ``value`` merge up to per-event_type p50/p90/p99
+    without rescanning events — the pre-aggregation percentile_approx
+    can't do (its GK summary isn't a reusable value). Contract: the
+    EXACT rank of each estimated quantile must sit within ±3% (+1 tie
+    allowance) of its target — KLL's normalized rank error is ~1.7% at
+    the default k — verified by counting over the raw values against
+    the broadcast quantile row."""
+    from faust_spark.operators.sketch import (
+        kll_rollup_quantiles,
+        kll_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = kll_sketches(ev, "value", "event_type", "day")
+    qs = kll_rollup_quantiles(daily, [0.5, 0.9, 0.99], "event_type")
+    ranked = ev.join(F.broadcast(qs), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("value") <= F.col(c)).cast("long")).alias(f"__r{c}")
+            for c in ("q50", "q90", "q99")
+        ],
+    )
+
+    def ok(c: str, q: float, name: str):
+        return (
+            F.abs(F.col(f"__r{c}") - F.lit(q) * F.col("n"))
+            <= F.lit(0.03) * F.col("n") + F.lit(1.0)
+        ).alias(name)
+
+    return ranked.select(
+        "event_type",
+        "n",
+        ok("q50", 0.5, "ok_p50"),
+        ok("q90", 0.9, "ok_p90"),
+        ok("q99", 0.99, "ok_p99"),
+    )
+
+
 def _cms_bucket_sql(key_expr: str, d: str, width: int = 1024) -> str:
     """DuckDB replica of sketch._md5_bucket: 8-hex-nibble decode of
     md5('cms<d>:' || key) mod width. ``d`` is a SQL expression."""

@@ -75,6 +75,8 @@ HEADLINE = [
     "heavy_hitters_cms",  # r5: one-pass count-min sketch + estimates
     "distinct_rollup_hll",  # r5: mergeable HLL distinct rollup
     "scd2_lookup",  # r5: point-in-time SCD2 lookup as backward as-of
+    "audience_overlap_theta",  # r5: theta-sketch distinct set algebra
+    "value_quantiles_kll",  # r5: mergeable KLL quantile rollup
     "hard_negatives",  # cross-label nearest-neighbor mining
     "knn_label",  # kNN majority-vote label propagation
     "stratified_sample",  # exact per-stratum counts, one shuffle

@@ -277,6 +277,89 @@ def hll_rollup_estimate(
     )
 
 
+def theta_sketches(
+    df: DataFrame,
+    key_col: str,
+    *group_cols: str,
+) -> DataFrame:
+    """Per-group Theta sketches of distinct ``key_col`` values (binary
+    column ``theta``). Unlike HLL, Theta sketches support SET ALGEBRA:
+    :func:`theta_overlap_estimate` answers "distinct keys in BOTH group
+    A and group B" / "in A but not B" from the sketch table alone — the
+    audience-overlap query that is otherwise a distinct self-join over
+    raw data."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(key_col)).alias("theta")
+    )
+
+
+def theta_overlap_estimate(
+    sketches: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """All group pairs' distinct-overlap estimates from a
+    :func:`theta_sketches` table: (a, b, est_a, est_b, est_both,
+    est_a_minus_b) for a < b. The pair join runs over the model-sized
+    sketch table (G rows → G²/2 pairs of ~KB sketches), never the data.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("a"), F.col("theta").alias("ta")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("b"), F.col("theta").alias("tb")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.theta_sketch_estimate(F.col("ta")).alias("est_a"),
+            F.theta_sketch_estimate(F.col("tb")).alias("est_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("ta"), F.col("tb"))
+            ).alias("est_both"),
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("ta"), F.col("tb"))
+            ).alias("est_a_minus_b"),
+        )
+    )
+
+
+def kll_sketches(
+    df: DataFrame,
+    value_col: str,
+    *group_cols: str,
+) -> DataFrame:
+    """Per-group KLL quantile sketches of a double column (binary
+    ``kll``). The mergeable complement of ``percentile_approx`` (whose
+    GK summary is not exposed as a reusable value): sketch once at the
+    finest grain, then answer ANY quantile at ANY rollup level from the
+    sketch table via :func:`kll_rollup_quantiles` — no re-scan, rank
+    error ~1.7% at the default k."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("kll")
+    )
+
+
+def kll_rollup_quantiles(
+    sketches: DataFrame,
+    quantiles: list[float],
+    *group_cols: str,
+) -> DataFrame:
+    """Merge per-fine-grain KLL sketches up to ``group_cols`` and read
+    the requested quantiles: one ``q<percent>`` column each."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double("kll").alias("kll")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q)).alias(
+            f"q{int(round(q * 100)):02d}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *cols)
+
+
 __all__ = [
     "bloom_build",
     "bloom_might_contain",
@@ -285,4 +368,8 @@ __all__ = [
     "cms_estimate",
     "hll_sketches",
     "hll_rollup_estimate",
+    "theta_sketches",
+    "theta_overlap_estimate",
+    "kll_sketches",
+    "kll_rollup_quantiles",
 ]

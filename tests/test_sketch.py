@@ -131,3 +131,51 @@ def test_hll_rollup_merges_without_rescan(spark):
     }
     for g in exact:
         assert abs(est[g] - exact[g]) <= 0.05 * exact[g], (g, est[g], exact[g])
+
+
+def test_theta_overlap_set_algebra(spark):
+    from pyspark.sql import functions as F
+
+    from faust_spark.operators.sketch import (
+        theta_overlap_estimate,
+        theta_sketches,
+    )
+
+    # groups A:0..99, B:50..149, C:200..209 → |A∩B|=50, |A∩C|=0
+    rows = (
+        [("A", i) for i in range(100)]
+        + [("B", i) for i in range(50, 150)]
+        + [("C", i) for i in range(200, 210)]
+    )
+    df = spark.createDataFrame(rows, ["g", "user"])
+    est = {
+        (r.a, r.b): r
+        for r in theta_overlap_estimate(
+            theta_sketches(df, "user", "g"), "g"
+        ).collect()
+    }
+    ab = est[("A", "B")]
+    assert abs(ab.est_both - 50) <= 3 and abs(ab.est_a_minus_b - 50) <= 3
+    ac = est[("A", "C")]
+    assert ac.est_both == 0 and abs(ac.est_a - 100) <= 5
+
+
+def test_kll_rollup_quantiles_within_rank_error(spark):
+    import numpy as np
+
+    from faust_spark.operators.sketch import (
+        kll_rollup_quantiles,
+        kll_sketches,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(size=20_000)
+    # 10 shards; quantiles must come from the MERGED sketch
+    rows = [(int(i % 10), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["shard", "v"])
+    sk = kll_sketches(df, "v", "shard")
+    assert sk.count() == 10
+    out = kll_rollup_quantiles(sk, [0.5, 0.9]).collect()[0]
+    for est, q in ((out.q50, 0.5), (out.q90, 0.9)):
+        true_rank = float((vals <= est).mean())
+        assert abs(true_rank - q) < 0.03, (q, est, true_rank)
