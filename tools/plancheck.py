@@ -105,6 +105,11 @@ ALLOW_NESTED_LOOP = {
     # (ann_cosine_topk's tiny-query broadcast); the MMR greedy itself is
     # grouped Arrow over retrieval-bounded candidates
     "mmr_rerank",
+    # r5: the group-pair join runs over the MODEL-SIZED theta-sketch
+    # table (G rows -> G^2/2 pairs of ~KB sketches) under a pure
+    # inequality — intentionally a broadcast nested loop of a tiny side;
+    # the raw data is touched once, by the sketch aggregation
+    "audience_overlap_theta",
 }
 
 
