@@ -154,6 +154,44 @@ def test_minhash_lsh_bucket_cap_drops_mega_buckets(spark):
     assert capped < uncapped
 
 
+def test_containment_matches_bruteforce_property(spark):
+    """Hypothesis-style randomized cross-check: containment_pairs equals
+    the brute-force set computation on random small corpora."""
+    import random
+
+    from faust_spark.operators.dedup import containment_pairs
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = random.Random(17)
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc1, r.doc2): round(r.containment, 9)
+            for r in containment_pairs(df, threshold=0.5, n=3).collect()
+        }
+
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        want = {}
+        for i, ti in docs:
+            for j, tj in docs:
+                if i >= j:
+                    continue
+                a, b = sh(ti), sh(tj)
+                if not a or not b:
+                    continue
+                c = len(a & b) / min(len(a), len(b))
+                if c >= 0.5:
+                    want[(i, j)] = round(c, 9)
+        assert got == want, f"trial {trial}"
+
+
 def test_connected_components_bounded_plan_depth(spark):
     """15+ label-propagation rounds must NOT grow the logical plan
     linearly: localCheckpoint every 5 rounds truncates lineage, so the

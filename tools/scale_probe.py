@@ -30,6 +30,11 @@ PROBES_EVENTS = [
     "user_anomaly",  # one user-keyed exchange; replicas grow users AND days
     "funnel_conversion",  # stage joins share the user partitioning
     "zorder_layout",  # r4: 4-scalar agg + pure codegen Morton key
+    "heavy_hitters_cms",  # r5: sketch-bounded shuffle, one pass
+    "distinct_rollup_hll",  # r5: daily sketches + sketch-table union
+    "scd2_lookup",  # r5: backward as-of, one user-keyed shuffle
+    "audience_overlap_theta",  # r5: sketch agg + G^2 sketch pairs
+    "value_quantiles_kll",  # r5: daily KLL + merged quantile contract
 ]
 # pairwise doc ops: candidate sets grow super-linearly under replication
 # (every replica pair is a planted near-dup), so the probe stays bounded
