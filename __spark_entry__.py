@@ -5823,45 +5823,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-4 window policy (VERDICT r3 item 1): positions 1-22 are the 22
-# queries that had NEVER had a driver-green row (only repo-gate
-# evidence) — multimodal_features/resize, the batch session/percentile/
-# histogram/null-safe/fingerprint/rollup/enriched block, and the
-# 13-query TPC-H tail.  Positions 23-25 are the three operators NEW
-# this round (hybrid_search, hard_negatives, knn_label).  Positions
-# 26-32 are every query whose contract changed THIS round:
-# edit_distance_pairs (exact PassJoin semantics, exact oracle),
-# ivf_topk/pq_ann_topk (oracle now pins the exact pair set by md5),
-# ivf2_topk/ivfpq_topk (new), vocab_build/tokenize_ids (banded rank
-# plan, oracle unchanged).  Positions 33-50 keep the LLM-pipeline core
-# in the hard gate.  Displaced queries (all driver-green in r1-r3 and
-# byte-identical now) drop below 50 and stay covered by
-# ``tools/check.py`` → ``artifacts/check_all_r{N}.json``.
+# Round-5 window policy: positions 1-14 are the 14 queries NEW this
+# round (sketch family, containment, weighted sampling, MMR, forward
+# as-of, per-field validation, SCD2 lookup, ever-seen streaming dedup,
+# the two rows-only ANN serve benches) — none has a driver row yet.
+# Positions 15-22 are every query whose contract/oracle/plan changed
+# this round: q12_late_shipping (the r4 red row — oracle CAST fix),
+# dedup_jaccard (hub guard engaged, mirrored oracle),
+# dedup_minhash_lsh (exact-dup pre-collapse, identical results),
+# dedup_components (lineage truncation), perplexity_buckets
+# (localCheckpoint + label contract), dsir_score (bucket-parameter fix,
+# identity at default), vocab_build/tokenize_ids (localCheckpoint).
+# Positions 23-37 reconfirm the r4-new operators (one driver-green row
+# so far); 38-50 keep the LLM-pipeline core in the hard gate.
+# Displaced queries (driver-green in earlier rounds, byte-identical
+# now — the r4 first-evidence TPC-H/multimodal/session block) drop
+# below 50 and stay covered by ``tools/check.py`` →
+# ``artifacts/check_all_r5.json`` (149/149).
 _PRIORITY: list[str] = [
-    # ---- positions 1-22: first-time driver evidence --------------------
-    "multimodal_features",
-    "multimodal_resize",
-    "session_windows",
-    "value_percentiles",
-    "hourly_histogram",
-    "null_safe_join",
-    "doc_fingerprint",
-    "multires_rollup",
-    "stream_enriched_counts",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
+    # ---- positions 1-14: NEW this round, first driver evidence ---------
+    "asof_join_forward",
+    "validate_orders",
+    "dedup_containment",
+    "bloom_dedup_admit",
+    "weighted_sample",
+    "mmr_rerank",
+    "heavy_hitters_cms",
+    "distinct_rollup_hll",
+    "scd2_lookup",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
+    "stream_everseen_dedup",
+    "ivf_topk_serve",
+    "ivfpq_topk_serve",
+    # ---- positions 15-22: contract/oracle/plan changed this round ------
     "q12_late_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q19_bracket_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # ---- NEW this round: first driver evidence needed ------------------
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "perplexity_buckets",
+    "dsir_score",
+    "vocab_build",
+    "tokenize_ids",
+    # ---- positions 23-37: r4-new operators, reconfirm ------------------
     "hybrid_search",  # r4: BM25+dense RRF fusion
     "hard_negatives",  # r4: cross-label nearest-neighbor mining
     "knn_label",  # r4: kNN majority-vote label propagation
@@ -5870,24 +5874,16 @@ _PRIORITY: list[str] = [
     "substring_dedup",  # r4: ExactSubstr span dedup (Lee et al. 2022)
     "remove_dup_spans",  # r4: ExactSubstr span REMOVAL, md5-verified
     "winnow_fingerprint",  # r4: MOSS winnowing fingerprints
-    "perplexity_buckets",  # r4: CCNet head/middle/tail tiers
     "zorder_layout",  # r4: Morton-key two-dimensional clustering
     "bigram_logprob",  # r4: interpolated bigram LM (Jelinek-Mercer)
-    "dsir_score",  # r4: DSIR hashed-ngram importance log-ratio
-    # ---- contract changed this round -----------------------------------
     "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
     "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)
     "pq_ann_topk",  # r4: same oracle change
-    "ivf2_topk",  # r4: NEW two-level IVF under the recall contract
-    "ivfpq_topk",  # r4: NEW IVF+PQ composition, same recall contract
-    "vocab_build",  # r4: freq-banded rank (plan change, same oracle)
-    "tokenize_ids",  # r4: consumes vocab_build
-    # ---- positions 29-50: LLM-pipeline core stays in the hard gate -----
+    "ivf2_topk",  # r4: two-level IVF under the recall contract
+    "ivfpq_topk",  # r4: IVF+PQ composition, same recall contract
+    # ---- positions 38-50: LLM-pipeline core stays in the hard gate -----
     "dedup_exact",
-    "dedup_jaccard",
-    "dedup_minhash_lsh",
     "dedup_keep_best",
-    "dedup_components",
     "simhash_fp",
     "embedding_dup_pairs",
     "semantic_dedup",
