@@ -135,8 +135,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
 
-    # one tiny warm-up to pay JVM/codegen startup outside the measurements
+    # warm-ups pay one-time infrastructure costs outside the measurements:
+    # JVM/codegen startup (relational query) and the Python worker pool +
+    # Arrow serialization machinery (one tiny mapInPandas round trip) —
+    # otherwise the first Arrow-path query in HEADLINE absorbs both
     qs["q6_forecast"](spark, sf_dir).collect()
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
