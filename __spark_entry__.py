@@ -3109,6 +3109,59 @@ def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min state (streaming/cms_agg.py): the events
+    table replays as multiple micro-batches, each folding its
+    (d, bucket, cnt) aggregation into the versioned sketch state. CMS
+    is a linear sketch, so the accumulated state is provably
+    batch-boundary-independent — the oracle rebuilds the sketch from
+    the full data in one shot and the streaming estimates must match
+    BIT-FOR-BIT. The strongest form of streaming-state verification in
+    the repo: not rows-only, not a tolerance contract — exact."""
+    import tempfile
+
+    from faust_spark.catalog import load_table, normalize_event_time
+    from faust_spark.operators.sketch import cms_estimate
+    from faust_spark.streaming.cms_agg import (
+        cms_batch_sink,
+        cms_state_df,
+        load_cms,
+    )
+    from faust_spark.streaming.runner import stream_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    work = tempfile.mkdtemp(prefix="streamcms_")
+    src = os.path.join(work, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    state = os.path.join(work, "state")
+    stream = normalize_event_time(
+        stream_parquet(spark, src, max_files_per_trigger=2)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cms_batch_sink("event_type", state, depth=4, width=1024)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    counts = cms_state_df(spark, load_cms(state))
+    keys = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return cms_estimate(
+        keys, counts, "event_type", depth=4, width=1024
+    ).select(
+        "event_type",
+        "true_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
+
+
 def _cms_bucket_sql(key_expr: str, d: str, width: int = 1024) -> str:
     """DuckDB replica of sketch._md5_bucket: 8-hex-nibble decode of
     md5('cms<d>:' || key) mod width. ``d`` is a SQL expression."""
@@ -3165,6 +3218,12 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "true_cnt", F.col("cms_est").cast("long").alias("cms_est")
     )
+
+
+# the streaming accumulation must equal the one-shot batch sketch (CMS is
+# linear, so state is batch-boundary-independent) — same oracle verbatim
+_QUERIES["stream_heavy_hitters"] = stream_heavy_hitters
+_ORACLES["stream_heavy_hitters"] = _ORACLES["heavy_hitters_cms"]
 
 
 _WS_NIBBLE12 = " + ".join(
@@ -5854,9 +5913,10 @@ _PRIORITY: list[str] = [
     "audience_overlap_theta",
     "value_quantiles_kll",
     "stream_everseen_dedup",
+    "stream_heavy_hitters",
     "ivf_topk_serve",
     "ivfpq_topk_serve",
-    # ---- positions 15-22: contract/oracle/plan changed this round ------
+    # ---- positions 16-23: contract/oracle/plan changed this round ------
     "q12_late_shipping",
     "dedup_jaccard",
     "dedup_minhash_lsh",

@@ -80,3 +80,29 @@ def test_state_versions_pruned(spark, tmp_path):
         wrapped(_df(spark, [b]), b)
     files = sorted(p.name for p in state.iterdir())
     assert files == ["bloom_v3.npy", "bloom_v4.npy"]
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """CMS linearity end-to-end: accumulating per-batch sketches must
+    equal the one-shot sketch of all the data, for ANY batch split, and
+    replays must not double-count."""
+    import numpy as np
+
+    from faust_spark.operators.sketch import cms_counts
+    from faust_spark.streaming.cms_agg import cms_batch_sink, load_cms
+
+    rows = [(f"k{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    state = str(tmp_path / "cms")
+    sink = cms_batch_sink("k", state, depth=3, width=128)
+    # split 200 / 300 deterministically
+    part0 = spark.createDataFrame(rows[:200], ["k"])
+    part1 = spark.createDataFrame(rows[200:], ["k"])
+    sink(part0, 0)
+    sink(part1, 1)
+    sink(part1, 1)  # replay: must not double-count
+    got = load_cms(state)
+    want = np.zeros((3, 128), dtype=np.int64)
+    for r in cms_counts(df, "k", 3, 128).collect():
+        want[int(r.d), int(r.bucket)] = int(r.cnt)
+    assert (got == want).all()

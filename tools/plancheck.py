@@ -19,6 +19,7 @@ sys.path.insert(0, "/root/repo")
 # here targets the batch surface
 SKIP = {
     "stream_everseen_dedup",
+    "stream_heavy_hitters",
     "stream_tumbling_hourly",
     "stream_window_close",
     "stream_stateful_counter",
