@@ -274,6 +274,10 @@ class App:
         return t
 
     def stream(self, source) -> Stream:
+        # the reference runs @app.task hooks when the worker starts,
+        # before any agent processes; building the first stream is the
+        # analogous "processing begins" point here (start() is idempotent)
+        self.start()
         if isinstance(source, Topic):
             source = source.batch_df()
         if isinstance(source, Stream):
@@ -461,6 +465,7 @@ class App:
         (``.url``, ``.stop()``). ``port=0`` picks an ephemeral port."""
         from faust_spark.web import WebServer
 
+        self.start()  # serve entry point: fire @app.task hooks first
         for route in self.pages:
             if route.match_info and (
                 f"{{{route.match_info}}}" not in route.pattern

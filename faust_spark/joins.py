@@ -130,6 +130,13 @@ def asof_join(
     Ties: a right row AT the left timestamp matches in both directions;
     among several right rows at the matched timestamp the MAXIMUM
     ``right_tiebreak`` wins in both directions ("latest version wins").
+
+    NULL timestamps: a NULL is not ordered against anything, so it can
+    never satisfy ``<=``/``>=`` — right rows with a NULL ``right_ts``
+    are dropped before the union, and left rows with a NULL ``left_ts``
+    come back with NULL right columns in BOTH directions (previously the
+    forward direction's nulls-first sort silently matched them to the
+    earliest right row).
     """
     keys = [on] if isinstance(on, str) else list(on)
     # The timestamp columns travel separately (__ts / the carried right ts),
@@ -151,7 +158,7 @@ def asof_join(
             for c in carried
         ],
     )
-    rt = right.select(
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
@@ -194,12 +201,21 @@ def asof_join(
             for c in carried
         ]
     filled = unioned.select("*", *picks)
+
+    # NULL left timestamps match nothing: nulls sort first, so in the
+    # forward direction the following frame would otherwise hand them the
+    # earliest right row. The guard nulls the carried columns instead.
+    def _pick(c: str):
+        return F.when(
+            F.col("__ts").isNull(), F.lit(None)
+        ).otherwise(F.col(f"__f_{c}"))
+
     out = filled.filter(F.col("__is_left") == 1).select(
         *keys,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(c) for c in rcols],
-        F.col(f"__f_{right_ts}").alias(f"{right_ts}_right"),
+        *[_pick(c).alias(c) for c in rcols],
+        _pick(right_ts).alias(f"{right_ts}_right"),
     )
     return out
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from faust_spark.operators.mat import materialize
+
 
 # --------------------------------------------------------------------------
 # exact
@@ -119,11 +121,10 @@ def jaccard_pairs(
     occurring in 1M docs would otherwise contribute 10^12 join rows.
     """
     # the shingle set feeds the freq filter, both join sides, and the size
-    # table — materialize once via localCheckpoint (blocks are released
-    # by the context cleaner on GC, unlike a persist pinned until an
-    # unpersist nobody calls; on a cluster: prefer a checkpoint/Delta
-    # staging table for multi-TB corpora)
-    sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=False)
+    # table — materialize once (operators.mat: localCheckpoint by default;
+    # set spark.faust_spark.materialize=reliable under dynamic allocation,
+    # where non-replicated localCheckpoint blocks are a job-loss risk)
+    sh = materialize(shingles(df, n, text_col, id_col))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -175,7 +176,7 @@ def containment_pairs(
     ``max_shingle_freq`` hub guard; only the denominator changes.
     Returns (doc1, doc2, containment), doc1 < doc2.
     """
-    sh = shingles(df, n, text_col, id_col).localCheckpoint(eager=False)
+    sh = materialize(shingles(df, n, text_col, id_col))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -230,12 +231,8 @@ def incremental_dedup(
     the corpus side before the join (same guard as
     :func:`jaccard_pairs`).
     """
-    sh_new = shingles(new_df, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
-    sh_old = shingles(corpus_df, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    sh_new = materialize(shingles(new_df, n, text_col, id_col))
+    sh_old = materialize(shingles(corpus_df, n, text_col, id_col))
     if max_shingle_freq is not None:
         freq = sh_old.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh_old = sh_old.join(
@@ -456,7 +453,7 @@ def minhash_lsh_pairs(
     # one shingle materialization serves signatures, verification joins,
     # and sizes (localCheckpoint: GC-released blocks, lineage cut; Delta
     # staging at corpus scale)
-    sh = shingles(lsh_df, n, text_col, id_col).localCheckpoint(eager=False)
+    sh = materialize(shingles(lsh_df, n, text_col, id_col))
     # band signatures straight off the wide signature row — the banding
     # needs NO second shuffle (lsh_bands' (id, band) re-agg exists only
     # for callers holding the long (id, seed, mh) shape)
@@ -658,7 +655,7 @@ def connected_components(
     # would otherwise evaluate the (expensive) pair-generation pipeline
     # twice; eager localCheckpoint both forces the materialization and
     # lets the blocks free on GC (a persist here was never unpersisted)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = materialize(pairs, eager=True)
     edges = (
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .unionByName(
@@ -726,7 +723,7 @@ def connected_components(
         # planning time alone dominates. localCheckpoint materializes the
         # current labels and cuts the chain.
         if it > 0 and it % 5 == 0:
-            labels = labels.localCheckpoint(eager=True)
+            labels = materialize(labels, eager=True)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")

@@ -91,23 +91,28 @@ def bloom_might_contain(
     m_bits = len(bloom) * 64
     spark = df.sparkSession
     bdf = spark.createDataFrame([(bloom,)], "__bloom array<long>")
-    pred = None
+    # positions materialize as aliased columns and the shift expression
+    # references only those aliases — key_col is never interpolated into
+    # SQL text, so names with dots/spaces/hyphens work like any column
+    tagged = df.crossJoin(F.broadcast(bdf))
+    pcols = []
     for i in range(k_hashes):
-        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        pc = f"__bloom_p{i}"
+        pcols.append(pc)
+        tagged = tagged.withColumn(
+            pc, F.pmod(F.xxhash64(df[key_col], F.lit(i)), F.lit(m_bits))
+        )
+    pred = None
+    for pc in pcols:
         word = F.element_at(
-            F.col("__bloom"), (p / 64).cast("int") + 1
+            F.col("__bloom"), (F.col(pc) / 64).cast("int") + 1
         )
         bit = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pmod(xxhash64({key_col}, {i}), {m_bits}) % 64 AS INT))"
+            f"shiftleft(CAST(1 AS BIGINT), CAST(`{pc}` % 64 AS INT))"
         )
         hit = word.bitwiseAND(bit) != 0
         pred = hit if pred is None else (pred & hit)
-    return (
-        df.crossJoin(F.broadcast(bdf))
-        .withColumn(out_col, pred)
-        .drop("__bloom")
-    )
+    return tagged.withColumn(out_col, pred).drop("__bloom", *pcols)
 
 
 def bloom_prefilter_dedup(
@@ -217,6 +222,11 @@ def cms_estimate(
     1 − e^-depth per query). Implemented as a broadcast join of the
     model-sized counts table against the key set — no driver arrays,
     no UDF; an absent (d, bucket) coordinate means count 0.
+
+    ``keys`` rows must be DISTINCT: the per-key min groups by every
+    ``keys`` column, so duplicate probe rows collapse to one output row.
+    Probe/join bookkeeping rides on ``__cms_``-prefixed internal aliases,
+    so a ``keys`` table that already has d/bucket/cnt columns is safe.
     """
     probes = keys.select(
         "*",
@@ -232,13 +242,26 @@ def cms_estimate(
                     for d in range(depth)
                 ]
             )
-        ).alias("c"),
-    ).select("*", "c.d", "c.bucket").drop("c")
-    joined = probes.join(F.broadcast(counts), ["d", "bucket"], "left")
+        ).alias("__cms_c"),
+    ).select(
+        "*",
+        F.col("__cms_c.d").alias("__cms_d"),
+        F.col("__cms_c.bucket").alias("__cms_bucket"),
+    ).drop("__cms_c")
+    cnts = counts.select(
+        F.col("d").alias("__cms_d"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
+    joined = probes.join(
+        F.broadcast(cnts), ["__cms_d", "__cms_bucket"], "left"
+    )
     others = [c for c in keys.columns]
     return (
         joined.groupBy(*others)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+        .agg(
+            F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias(out_col)
+        )
     )
 
 

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from faust_spark.operators.mat import materialize
+
 # Tiny per-language marker lists for the n-gram/stopword language-ID
 # heuristic. Real corpora would load larger lists; the mechanism (score =
 # marker hits / tokens, argmax with deterministic tie-break) is what scales.
@@ -374,7 +376,7 @@ def build_vocab(
     # unpersist, which leaks across repeated vocab builds in a
     # long-lived session.  (Checkpoint blocks use a disk-backed level,
     # so a 100 TB corpus tail spills instead of evicting.)
-    counts = counts.localCheckpoint(eager=True)
+    counts = materialize(counts, eager=True)
     # model-sized frequency histogram → cutoff frequency + tie quota
     hist = sorted(
         (
@@ -1183,7 +1185,7 @@ def perplexity_buckets(
     # collect below, the cumulative-histogram plan, and the final join —
     # materialize it once (localCheckpoint: blocks auto-release on GC,
     # unlike a pinned persist; same reasoning as build_vocab)
-    scored = scored.localCheckpoint(eager=True)
+    scored = materialize(scored, eager=True)
     hist = (
         scored.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__cnt"))

@@ -294,3 +294,43 @@ def test_asof_output_columns_unique_and_selectable(spark):
     assert out.select("t").collect()[0].t == ts(10)
     row = out.collect()[0]
     assert row.t_right == ts(8) and row.rv == "R"
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL timestamps are unordered: a NULL left ts yields no match in
+    BOTH directions (forward previously nulls-first-matched the earliest
+    right row), and a NULL right ts is never a match candidate."""
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("t", TimestampType()),
+            StructField("v", StringType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [("k", None, "Lnull"), ("k", ts(10), "L10")], schema
+    )
+    right = spark.createDataFrame(
+        [("k", None, "Rnull"), ("k", ts(8), "R8"), ("k", ts(15), "R15")],
+        schema,
+    )
+    for direction, want in (
+        ("backward", {"Lnull": None, "L10": "R8"}),
+        ("forward", {"Lnull": None, "L10": "R15"}),
+    ):
+        got = {
+            r.v: r.rv
+            for r in asof_join(
+                left,
+                right.withColumnRenamed("v", "rv"),
+                "k",
+                "t",
+                "t",
+                direction=direction,
+            ).collect()
+        }
+        assert got == want, direction

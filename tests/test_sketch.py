@@ -179,3 +179,67 @@ def test_kll_rollup_quantiles_within_rank_error(spark):
     for est, q in ((out.q50, 0.5), (out.q90, 0.9)):
         true_rank = float((vals <= est).mean())
         assert abs(true_rank - q) < 0.03, (q, est, true_rank)
+
+
+def test_bloom_key_col_survives_odd_names(spark):
+    """ADVICE r5: key_col was string-interpolated into an F.expr — a name
+    needing backticks (hyphen) parsed wrong. Positions now materialize as
+    aliased columns, so any column name works."""
+    from faust_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    corpus = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("the-key")
+    )
+    bloom = bloom_build(corpus, "the-key", m_bits=1 << 14)
+    probe = spark.createDataFrame(
+        [("k5",), ("definitely-new",)], ["the-key"]
+    )
+    got = {
+        r["the-key"]: r["__might_contain"]
+        for r in bloom_might_contain(probe, "the-key", bloom).collect()
+    }
+    assert got["k5"] is True
+    assert got["definitely-new"] is False
+
+
+def test_cms_estimate_survives_colliding_key_columns(spark):
+    """ADVICE r5: cms_estimate joined on literal d/bucket/cnt names; a
+    keys table already carrying those columns broke the probe join. The
+    internal __cms_ aliases make it safe."""
+    from faust_spark.operators.sketch import cms_counts, cms_estimate
+
+    data = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, ["k"]
+    )
+    counts = cms_counts(data, "k", depth=4, width=64)
+    keys = spark.createDataFrame(
+        [("a", 99, 99, 99), ("b", 98, 98, 98)], ["k", "d", "bucket", "cnt"]
+    )
+    got = {
+        r.k: r.cms_est
+        for r in cms_estimate(keys, counts, "k", depth=4, width=64).collect()
+    }
+    # CMS never undercounts; with 2 keys and width 64 no collisions
+    assert got == {"a": 7, "b": 3}
+
+
+def test_materialize_strategy_knob(spark):
+    """operators.mat: the conf knob selects localCheckpoint (default),
+    reliable checkpoint, or persist; bad values raise."""
+    import pytest as _pytest
+
+    from faust_spark.operators.mat import materialize
+
+    df = spark.range(10)
+    assert materialize(df).count() == 10  # default local
+
+    spark.conf.set("spark.faust_spark.materialize", "persist")
+    try:
+        p = materialize(df, eager=True)
+        assert p.count() == 10
+        p.unpersist()
+        spark.conf.set("spark.faust_spark.materialize", "bogus")
+        with _pytest.raises(ValueError):
+            materialize(df)
+    finally:
+        spark.conf.set("spark.faust_spark.materialize", "local")

@@ -244,3 +244,23 @@ def test_agent_ask_map_join_kvmap(spark):
 
     with pytest.raises(ValueError, match="sequence column"):
         aggregating.ask({"value": 1})
+
+
+def test_app_task_fires_on_first_stream(spark):
+    """ADVICE r5: tasks registered per the reference pattern must fire in
+    normal operation, not only via an explicit start() — building the
+    app's first stream (processing begins) triggers them."""
+    from faust_spark.app import App
+
+    app = App("task-auto", spark=spark)
+    calls = []
+
+    @app.task
+    def hook():
+        calls.append("hook")
+
+    assert calls == []
+    app.stream(spark.range(3))
+    assert calls == ["hook"]
+    app.stream(spark.range(3))  # idempotent across streams
+    assert calls == ["hook"]
