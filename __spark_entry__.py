@@ -3273,14 +3273,80 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-@_q("mmr_rerank")
+def _mmr_oracle_sql(
+    k: int = 5, n_cand: int = 20, lam: float = 0.7, nq: int = 5
+) -> str:
+    """DuckDB replica of the FULL greedy MMR chain (VERDICT r5 item 1:
+    mmr_rerank was the last rows-only non-ANN row). The greedy loop is a
+    chain of ``k`` argmax steps, each conditioned on the selected-so-far
+    set — not expressible as one relational query, but perfectly
+    expressible UNROLLED: sel_t = argmax over candidates not yet picked
+    of ROUND(lam*rel - (1-lam)*max_{s in sel_{t-1}} cos(c, s), 9) with
+    nid tie-break, exactly the rule the operator applies under
+    ``round_dp=9``. Cosines are computed on DOUBLE[] casts so both
+    engines carry ~1e-15 sum error against a 1e-9 rounding grid —
+    a pick can only flip if two true scores straddle a rounding boundary
+    within that error, the same accepted-risk class as every other
+    rank-compared float query in this file."""
+    om = 1.0 - lam
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {nq}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+          FROM embeddings),
+    s AS (SELECT q.qid, e.vec_id AS nid, e.ev,
+                 list_cosine_similarity(q.qv, e.ev) AS rel
+          FROM q, e WHERE e.vec_id != q.qid),
+    cand AS (SELECT qid, nid, ev, rel FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+               FROM s) WHERE rk <= {n_cand}),
+    pw AS (SELECT a.qid, a.nid AS i, b.nid AS j,
+                  list_cosine_similarity(a.ev, b.ev) AS sim
+           FROM cand a JOIN cand b ON a.qid = b.qid),
+    s1 AS (SELECT qid, nid FROM (
+            SELECT qid, nid, ROW_NUMBER() OVER (
+              PARTITION BY qid
+              ORDER BY ROUND({lam} * rel, 9) DESC, nid) AS rr
+            FROM cand) WHERE rr = 1),
+    sel1 AS (SELECT qid, nid, 1 AS mmr_rank FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""
+    m{t} AS (SELECT c.qid, c.nid, c.rel, MAX(p.sim) AS ms
+             FROM cand c
+             JOIN sel{p} s ON s.qid = c.qid
+             JOIN pw p ON p.qid = c.qid AND p.i = c.nid AND p.j = s.nid
+             LEFT JOIN sel{p} x ON x.qid = c.qid AND x.nid = c.nid
+             WHERE x.nid IS NULL
+             GROUP BY 1, 2, 3),
+    s{t} AS (SELECT qid, nid FROM (
+              SELECT qid, nid, ROW_NUMBER() OVER (
+                PARTITION BY qid
+                ORDER BY ROUND({lam} * rel - {om} * ms, 9) DESC, nid) AS rr
+              FROM m{t}) WHERE rr = 1),
+    sel{t} AS (SELECT * FROM sel{p}
+               UNION ALL SELECT qid, nid, {t} FROM s{t})""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT qid, nid, CAST(mmr_rank AS INT) AS mmr_rank FROM sel{k}"""
+    )
+
+
+@_q("mmr_rerank", _mmr_oracle_sql())
 def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification after dense retrieval (operators/search.py
     mmr_rerank): per query, greedy λ-tradeoff between relevance and
     max-similarity-to-already-selected, run inside one Arrow batch per
-    query over the retrieval-bounded candidate set. Rows-only (the
-    greedy argmax chain is not SQL-expressible); the selection itself is
-    pinned against a pure-numpy reference in tests/test_search.py."""
+    query over the retrieval-bounded candidate set. The greedy chain IS
+    oracle-verified: ``round_dp=9`` makes each step's argmax
+    engine-portable and the DuckDB oracle unrolls all k selection steps
+    in SQL (``_mmr_oracle_sql``) — the full selection sequence
+    (qid, nid, mmr_rank) hash-matches, not just invariants. The raw
+    numpy path (round_dp=None) stays pinned in tests/test_search.py."""
     from faust_spark.operators.search import mmr_rerank
     from faust_spark.operators.similarity import cosine_expr, cosine_topk
 
@@ -3299,7 +3365,11 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    return mmr_rerank(cands, k=5, lam=0.7).orderBy("qid", "mmr_rank")
+    return (
+        mmr_rerank(cands, k=5, lam=0.7, round_dp=9)
+        .select("qid", "nid", "mmr_rank")
+        .orderBy("qid", "mmr_rank")
+    )
 
 
 @_q(
@@ -4370,14 +4440,12 @@ def ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 
 
-@_q("ivf_topk_serve")
-def ivf_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF serving path ALONE — no embedded brute-force recall
-    contract (that verification artifact lives in ``ivf_topk`` and
-    dominates its gate cost; VERDICT r4: bench the operator and gate the
-    contract separately). Rows-only by design: the result is pinned
-    against the oracle-verified exact set by ``ivf_topk``'s recall row,
-    and per-query recall is unit-tested in tests/test_similarity.py."""
+def ivf_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF serving path ALONE — what bench.py times (the brute-force
+    recall contract is a verification artifact whose cost would otherwise
+    dominate the serve measurement; VERDICT r4 asked for the split).
+    Not a registered gate query: the GATE row ``ivf_topk_serve`` wraps
+    exactly this result in the oracle-checked recall contract."""
     from faust_spark.operators.similarity import ivf_topk as _ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4389,11 +4457,31 @@ def ivf_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ivfpq_topk_serve")
-def ivfpq_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ serving path alone (see ivf_topk_serve): coarse-cell
-    pruning + ADC over PQ codes + shortlist re-rank, without the
-    brute-force contract that ``ivfpq_topk`` pays for verification."""
+@_q("ivf_topk_serve", _ANN_RECALL_ORACLE)
+def ivf_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle contract for the IVF serving path (VERDICT r5 item 1: the
+    r5 rows-only serve row weakened the gate — every serve result now
+    carries its own verifiable row). The served (qid, nid) set from
+    ``ivf_topk_serve_raw`` is asserted ≥0.8 recall against the exact
+    ranking, and the exact set itself is pinned cross-engine by
+    ``exact_pairs_md5`` (DuckDB recomputes it) — so this row fails if
+    EITHER the serve path drifts or the exact baseline does. bench.py
+    times ``ivf_topk_serve_raw`` (the serve cost alone) under this key."""
+    from faust_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = ivf_topk_serve_raw(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_recall_contract(approx, exact, min_recall=0.8)
+
+
+def ivfpq_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving path alone (see ivf_topk_serve_raw): coarse-cell
+    pruning + ADC over PQ codes + shortlist re-rank — the bench target;
+    the ``ivfpq_topk_serve`` gate row adds the recall contract."""
     from faust_spark.operators.similarity import ivfpq_topk as _ipq
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4403,6 +4491,22 @@ def ivfpq_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ipq(
         emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16
     ).select("qid", "nid")
+
+
+@_q("ivfpq_topk_serve", _ANN_RECALL_ORACLE)
+def ivfpq_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle contract for the IVF+PQ serving path — same shape as
+    ``ivf_topk_serve``: served pairs ≥0.8 recall vs the DuckDB-pinned
+    exact set (closes the last r5 ``no_oracle`` ANN row)."""
+    from faust_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = ivfpq_topk_serve_raw(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_recall_contract(approx, exact, min_recall=0.8)
 
 
 @_q("ivfpq_topk", _ANN_RECALL_ORACLE)

@@ -51,9 +51,10 @@ HEADLINE = [
     "ngram_contamination",  # benchmark decontamination
     "dedup_keep_best",  # quality-aware keeper argmax
     "ann_cosine_topk",
-    # r5: serving paths benched WITHOUT the embedded brute-force recall
-    # contract (the contract is a verification artifact — it stays in the
-    # oracle gate via ivf_topk/ivfpq_topk; r4 verdict asked for the split)
+    # serving paths benched WITHOUT the embedded brute-force recall
+    # contract (r4 verdict asked for the split; r6: the GATE rows under
+    # these keys now carry the recall contract + oracle, while the bench
+    # times the raw serve functions via _BENCH_OVERRIDES below)
     "ivf_topk_serve",  # IVF ANN (k-means fit + nprobe probe)
     "ivfpq_topk_serve",  # IVF+PQ: cell-pruned ADC over codes + re-rank
     "embedding_dup_pairs",  # block-grid GEMM exact path
@@ -106,6 +107,19 @@ HEADLINE = [
     "stream_session_windows",
 ]
 
+# gate rows for these keys are oracle contracts (recall vs exact, which
+# embeds a brute-force ranking); the bench times the raw serving path
+_BENCH_OVERRIDES = {
+    "ivf_topk_serve": "ivf_topk_serve_raw",
+    "ivfpq_topk_serve": "ivfpq_topk_serve_raw",
+}
+
+#: VERDICT r5 item 5: single-shot numbers carried up to 2x cold-start
+#: noise (hybrid_search 4.78 -> 2.47 min-of-3) — the harness now reports
+#: min-of-N per query so cross-round comparisons stop needing
+#: adjudication notes. Override with SPARK_GRAFT_BENCH_REPEATS.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,9 +160,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        t0 = time.time()
-        qs[key](spark, sf_dir).collect()
-        timings[key] = round(time.time() - t0, 3)
+        fn = (
+            getattr(entry, _BENCH_OVERRIDES[key])
+            if key in _BENCH_OVERRIDES
+            else qs[key]
+        )
+        best = None
+        for _ in range(REPEATS):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
@@ -170,22 +193,29 @@ def main() -> None:
         s = stream_parquet(spark, os.path.join(sf_dir, "events.parquet"))
         return normalize_event_time(s)
 
-    t0 = time.time()
-    run_to_memory(
-        _events_stream().select("event_id", "user_id", "value"),
-        output_mode="append",
-    )
-    baseline_eps = round(n_events / (time.time() - t0))
+    def _best_eps(mk_df, output_mode: str) -> int:
+        """Max events/sec over REPEATS runs (throughput analogue of the
+        per-query min: cold-start noise only ever slows a run down)."""
+        best = None
+        for _ in range(REPEATS):
+            t0 = time.time()
+            run_to_memory(mk_df(), output_mode=output_mode)
+            eps_i = n_events / (time.time() - t0)
+            best = eps_i if best is None or eps_i > best else best
+        return round(best)
 
-    t0 = time.time()
-    run_to_memory(
-        _events_stream()
+    baseline_eps = _best_eps(
+        lambda: _events_stream().select("event_id", "user_id", "value"),
+        "append",
+    )
+
+    forward_eps = _best_eps(
+        lambda: _events_stream()
         .repartition("user_id")  # the explicit extra hop
         .groupBy("user_id")
         .agg(SF.count(SF.lit(1)).alias("cnt")),
-        output_mode="complete",
+        "complete",
     )
-    forward_eps = round(n_events / (time.time() - t0))
 
     # windowed pipeline (watermark + tumbling agg) under BOTH state
     # backends (VERDICT r3 item 6). State partitions are sized to the
@@ -224,9 +254,7 @@ def main() -> None:
             "true",
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
-        t0 = time.time()
-        run_to_memory(_windowed(), output_mode="update")
-        windowed_eps[backend] = round(n_events / (time.time() - t0))
+        windowed_eps[backend] = _best_eps(_windowed, "update")
     spark.conf.set("spark.sql.shuffle.partitions", default_parts)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", _PROVIDERS["hdfs"]
@@ -239,6 +267,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": REPEATS,
                 "events_per_sec_stream": eps,
                 "stream_baseline_eps": baseline_eps,
                 "stream_forward_eps": forward_eps,

@@ -230,6 +230,7 @@ def mmr_rerank(
     id_col: str = "nid",
     score_col: str = "score",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998): per query, greedily select ``k`` results maximizing
@@ -250,6 +251,17 @@ def mmr_rerank(
     ``candidates``: (qid, nid, score, embedding) — e.g. the output of a
     dense top-n (n > k) joined back to its vectors. Returns
     (qid, nid, mmr_rank 1..k, mmr_score).
+
+    ``round_dp``: engine-portable selection mode — each step's argmax
+    runs over the MMR score ROUNDED to ``round_dp`` decimals with ties
+    broken on ascending ``id_col`` (ids must be orderable). Last-ulp
+    float-sum differences between engines then cannot flip a pick unless
+    two candidates' true scores land within ~1e-``round_dp`` of each
+    other AND straddle a rounding boundary — which is what lets the gate
+    verify the whole greedy chain against a DuckDB oracle that unrolls
+    the k selection steps in SQL with the same rounding rule. Default
+    ``None`` keeps raw-float argmax (first-max-wins on the
+    relevance-sorted frame).
     """
     import pandas as pd
 
@@ -280,6 +292,7 @@ def mmr_rerank(
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         rel = pdf[score_col].to_numpy(dtype=np.float64)
+        nids = pdf[id_col].to_numpy()
         n = len(pdf)
         chosen: list[int] = []
         scores: list[float] = []
@@ -289,7 +302,14 @@ def mmr_rerank(
                 np.isfinite(max_sim), max_sim, 0.0
             )
             mmr[chosen] = -np.inf
-            i = int(np.argmax(mmr))
+            if round_dp is None:
+                i = int(np.argmax(mmr))
+            else:
+                key = np.round(mmr, round_dp)
+                key[chosen] = -np.inf
+                # argmax under (rounded score DESC, id ASC): lexsort is
+                # last-key-primary, -key ascending == score descending
+                i = int(np.lexsort((nids, -key))[0])
             chosen.append(i)
             scores.append(float(mmr[i]))
             max_sim = np.maximum(max_sim, V @ V[i])

@@ -176,3 +176,46 @@ def test_mmr_rerank_matches_numpy_reference_and_diversifies(spark):
     # the duplicate (nid 1, cos=1 to rank-1 pick) is pushed out of top-5
     assert 1 not in [n for n, _ in got]
     assert [r for _, r in got] == [1, 2, 3, 4, 5]
+
+
+def test_mmr_round_dp_matches_raw_selection(spark):
+    """round_dp=9 (the engine-portable argmax the oracle unrolls) picks
+    the same sequence as the raw-float argmax whenever scores are
+    separated by more than the rounding grid — i.e. on any non-adversarial
+    data the two modes are the same operator."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for qid in range(3):
+        for nid in range(12):
+            v = rng.randn(8).astype("float32")
+            rows.append((qid, nid, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "qid int, nid int, embedding array<float>"
+    )
+    from faust_spark.operators.search import mmr_rerank
+    from faust_spark.operators.similarity import cosine_expr
+
+    q = emb.filter(F.col("nid") == 0).select(
+        "qid", F.col("embedding").alias("qv")
+    )
+    cands = (
+        emb.filter(F.col("nid") > 0)
+        .join(q, "qid")
+        .select(
+            "qid",
+            "nid",
+            cosine_expr(F.col("qv"), F.col("embedding")).alias("score"),
+            "embedding",
+        )
+    )
+
+    def seq(df):
+        return sorted(
+            (r.qid, r.mmr_rank, r.nid) for r in df.collect()
+        )
+
+    raw = seq(mmr_rerank(cands, k=4, lam=0.7))
+    portable = seq(mmr_rerank(cands, k=4, lam=0.7, round_dp=9))
+    assert raw == portable

@@ -59,6 +59,11 @@ def main() -> int:
         "spin_old_s": so,
         "spin_new_s": sn,
         "host_speed_ratio": round(sn / so, 2),
+        # min-of-N runs (bench.py REPEATS) vs single-shot are not
+        # noise-comparable — surface both sides' repeat counts so a
+        # cross-round reader sees when that changed (r5: 1, r6+: 3)
+        "repeats_old": old.get("repeats", 1),
+        "repeats_new": new.get("repeats", 1),
         "common_queries": len(common),
         "total_norm_ratio": round(tot_new / tot_old, 2),
         "worst": rows[: args.top],
