@@ -340,6 +340,117 @@ def knn_vote(
     )
 
 
+def hard_negative_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    overfetch: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """The IVF candidate cascade for hard-negative mining — the 100 TB
+    path whose exact form (:func:`hard_negative_topk`) is its recall
+    oracle (gated: ``hard_negatives_ivf`` asserts recall vs brute force).
+
+    Stage 1 over-fetches ``k * overfetch`` nearest neighbors per query
+    through the cell-probed IVF scan (labels unknown to the quantizer, so
+    the fetch must be deep enough that ``k`` cross-label rows survive —
+    with L uniform labels the expected cross-label fraction is
+    (L-1)/L, so ``overfetch=8`` is conservative for L >= 2). Stage 2
+    joins labels onto the model-sized candidate table (candidates are
+    |Q|·k·overfetch rows — broadcast side of a hash join against the
+    corpus, ONE corpus scan, never a nested loop), filters
+    ``label != qlabel``, and exact-cosine re-ranks.
+    """
+    cand = ivf_topk(
+        corpus,
+        queries,
+        k=k * overfetch,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("qid", "nid")
+    cvec = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = (
+        cvec.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def knn_vote_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """kNN majority-vote labeling through the IVF candidate cascade —
+    the scale path :func:`knn_vote` documents (gated: ``knn_label_ivf``
+    asserts prediction agreement vs the brute-force vote).
+
+    IVF already exact-cosine-ranks within the probed cells, so its
+    top-k IS the candidate neighborhood; labels join onto that
+    model-sized table (broadcast hash join, one corpus scan) and the
+    vote + argmax tie-break (votes DESC, label ASC) match
+    :func:`knn_vote` exactly. Returns (qid, pred_label, votes).
+    """
+    nn = ivf_topk(
+        corpus,
+        queries,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("qid", "nid")
+    labels = corpus.select(
+        F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "nid")
+        .groupBy("qid", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = W.partitionBy("qid").orderBy(F.desc("votes"), F.col("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("nlabel").alias("pred_label"), "votes")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,

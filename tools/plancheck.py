@@ -111,6 +111,14 @@ ALLOW_NESTED_LOOP = {
     # inequality — intentionally a broadcast nested loop of a tiny side;
     # the raw data is touched once, by the sketch aggregation
     "audience_overlap_theta",
+    # r6: cascade GATE rows embed the brute-force exact side for the
+    # recall/agreement contract (ann_cosine_topk's tiny-query broadcast)
+    # plus ivf's centroid-probe NLs. The cascades THEMSELVES add zero
+    # nested loops over bare ivf_topk — corpus/label joins are broadcast
+    # hash joins — asserted by tests/test_similarity.py
+    # test_cascade_adds_only_hash_joins
+    "hard_negatives_ivf",
+    "knn_label_ivf",
 }
 
 
