@@ -2424,21 +2424,24 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_everseen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ever-seen streaming dedup (streaming/bloom_dedup.py): unlike the
-    watermarked ``stream_dedup`` (which forgets past the horizon), the
-    versioned-Bloom screen suppresses keys seen in ANY earlier batch
-    with O(m_bits) state. The events table replays as multiple
-    micro-batches (4 files, 2 per trigger); each user_id must surface
-    EXACTLY once across all batches — so the emitted set equals
-    DISTINCT user_id regardless of batch boundaries (the oracle). The
-    2^22-bit map keeps the false-positive probability for the fixture
-    cardinalities below ~1e-6, i.e. deterministic in practice; the
-    bounded-FP contract itself is pinned in
-    tests/test_bloom_dedup_stream.py."""
+    """Ever-seen streaming dedup through the DFS-sharded state backend
+    (streaming/dfs_state.py — r6: state lives as versioned parquet word
+    shards under the checkpoint root, written by executors; the r5
+    driver-resident-bitmap variant remains in streaming/bloom_dedup.py
+    for small-cardinality/control-plane use). Unlike the watermarked
+    ``stream_dedup`` (which forgets past the horizon), the Bloom screen
+    suppresses keys seen in ANY earlier batch with O(m_bits) state. The
+    events table replays as multiple micro-batches (4 files, 2 per
+    trigger); each user_id must surface EXACTLY once across all batches
+    — so the emitted set equals DISTINCT user_id regardless of batch
+    boundaries (the oracle). The 2^22-bit map keeps the false-positive
+    probability for the fixture cardinalities below ~1e-6, i.e.
+    deterministic in practice; the bounded-FP and replay contracts are
+    pinned in tests/test_bloom_dedup_stream.py + test_dfs_state.py."""
     import tempfile
 
     from faust_spark.catalog import load_table, normalize_event_time
-    from faust_spark.streaming.bloom_dedup import bloom_dedup_batch_sink
+    from faust_spark.streaming.dfs_state import bloom_dedup_dfs_sink
     from faust_spark.streaming.runner import stream_parquet
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
@@ -2448,11 +2451,19 @@ def stream_everseen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emitted: list = []
 
+    # GATE-HARNESS ONLY: this collect() funnels survivors into the
+    # comparable DataFrame the driver hashes — it is NOT the production
+    # usage pattern (the operator itself never collects; real pipelines
+    # write survivors to a sink, see examples/everseen_dedup.py's
+    # parquet sink).
     def sink(df: DataFrame, bid: int) -> None:
         emitted.extend(r.user_id for r in df.select("user_id").collect())
 
-    wrapped = bloom_dedup_batch_sink(
-        sink, "user_id", os.path.join(work, "state"), m_bits=1 << 22
+    # state rides under the same root as the checkpoint — one
+    # durability domain for progress and state
+    wrapped = bloom_dedup_dfs_sink(
+        sink, "user_id", os.path.join(work, "ckpt", "bloom_state"),
+        m_bits=1 << 22,
     )
     stream = normalize_event_time(
         stream_parquet(spark, src, max_files_per_trigger=2)
@@ -3110,22 +3121,23 @@ def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING count-min state (streaming/cms_agg.py): the events
-    table replays as multiple micro-batches, each folding its
-    (d, bucket, cnt) aggregation into the versioned sketch state. CMS
-    is a linear sketch, so the accumulated state is provably
-    batch-boundary-independent — the oracle rebuilds the sketch from
-    the full data in one shot and the streaming estimates must match
-    BIT-FOR-BIT. The strongest form of streaming-state verification in
-    the repo: not rows-only, not a tolerance contract — exact."""
+    """STREAMING count-min state through the DFS-sharded backend
+    (streaming/dfs_state.py — r6: per-batch (d, bucket, cnt) deltas as
+    executor-written parquet under the checkpoint root, merged by
+    per-cell SUM; the r5 driver-array variant stays in
+    streaming/cms_agg.py). CMS is a linear sketch, so the accumulated
+    state is provably batch-boundary-independent — the oracle rebuilds
+    the sketch from the full data in one shot and the streaming
+    estimates must match BIT-FOR-BIT. The strongest form of
+    streaming-state verification in the repo: not rows-only, not a
+    tolerance contract — exact."""
     import tempfile
 
     from faust_spark.catalog import load_table, normalize_event_time
     from faust_spark.operators.sketch import cms_estimate
-    from faust_spark.streaming.cms_agg import (
-        cms_batch_sink,
-        cms_state_df,
-        load_cms,
+    from faust_spark.streaming.dfs_state import (
+        cms_dfs_sink,
+        cms_state_cells,
     )
     from faust_spark.streaming.runner import stream_parquet
 
@@ -3133,13 +3145,13 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="streamcms_")
     src = os.path.join(work, "src")
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    state = os.path.join(work, "state")
+    state = os.path.join(work, "ckpt", "cms_state")
     stream = normalize_event_time(
         stream_parquet(spark, src, max_files_per_trigger=2)
     )
     q = (
         stream.writeStream.foreachBatch(
-            cms_batch_sink("event_type", state, depth=4, width=1024)
+            cms_dfs_sink("event_type", state, depth=4, width=1024)
         )
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -3147,7 +3159,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    counts = cms_state_df(spark, load_cms(state))
+    counts = cms_state_cells(spark, state)
     keys = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -27,6 +27,16 @@ documented false-positive rate (a genuinely-new key wrongly dropped,
 Reference tie-in: this is the Spark-shaped version of keeping a
 dedup Table keyed by event id (faust's canonical exactly-once recipe,
 README "table for deduplication") without the unbounded per-key state.
+
+SCALE NOTE (r6): this variant keeps the bitmap as a driver-resident
+numpy array versioned into a LOCAL directory — appropriate for
+control-plane / small-cardinality streams (<= ~100M keys: 125 MB
+driver array at 10 bits/key). For corpus-scale cardinalities use
+:mod:`faust_spark.streaming.dfs_state` — same semantics, same
+replay contract (bitwise-identical emissions, see
+``artifacts/state_probe_r6.json``), state as executor-written parquet
+word shards under the checkpoint DFS root: survives driver loss and
+keeps driver memory flat in the key count.
 """
 
 from __future__ import annotations

@@ -14,6 +14,13 @@ State is a versioned ``.npy`` per batch id with atomic renames (the
 ``streaming.bloom_dedup`` recipe): a replayed batch adds into the
 version BELOW its own id, so at-least-once redelivery cannot
 double-count. depth × width int64 words (32 KiB at the 4×1024 default).
+
+SCALE NOTE (r6): the driver-resident array + local dir is fine at the
+default sketch sizes; for wide sketches or DFS durability use
+:mod:`faust_spark.streaming.dfs_state` (``cms_dfs_sink`` /
+``cms_state_cells``) — bit-identical accumulated state as
+executor-written (d, bucket, cnt) parquet deltas under the checkpoint
+root, per-cell SUM merge, no driver array.
 """
 
 from __future__ import annotations

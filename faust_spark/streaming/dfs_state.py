@@ -1,0 +1,345 @@
+"""DFS-sharded streaming sketch state: Bloom ever-seen dedup and
+count-min accumulation whose state NEVER lands on the driver.
+
+``streaming.bloom_dedup`` / ``streaming.cms_agg`` carry their state as a
+driver-resident numpy array versioned into a local directory — honest
+and fast at their documented cardinalities, but three scale limits bite
+at 100 TB corpora (VERDICT r5): (a) a driver-machine loss loses the
+state even though the Spark checkpoint survives on the DFS; (b) a
+1B-key Bloom at 10 bits/key is a 1.25 GB driver array updated per
+batch; (c) serializing the whole bitmap per batch is O(m_bits) driver
+I/O. This module is the scale path:
+
+- **State is a parquet relation, not an array.** Bloom state is
+  (w, bits) words; CMS state is (d, bucket, cnt) cells. Both live under
+  a caller-chosen DFS directory (put it NEXT TO the streaming
+  checkpoint: same durability domain), written by executors with
+  ordinary distributed parquet writes — no ``collect()``, no driver
+  array, driver memory is flat in the key cardinality.
+- **Versioned deltas + periodic compaction.** Each batch writes only
+  its own aggregated updates (``delta_v<batch_id>``, model-sized);
+  every ``compact_every`` batches the base and accumulated deltas fold
+  into a new ``base_v<maxv>`` (Bloom OR / CMS sum are shard-local and
+  associative, so folding commutes with replay). Per-batch write cost
+  is O(batch words), not O(m_bits).
+- **Replay-idempotent by construction.** Screening/accumulation for
+  batch ``b`` reads ONLY versions strictly below ``b``; the batch's own
+  delta is written after the caller's sink ran, with an idempotent
+  overwrite (the delta content is a deterministic function of the batch
+  data). Spark's at-least-once replay of the last uncommitted batch
+  therefore sees the exact pre-batch state and reproduces byte-identical
+  output — the same contract the driver-resident variant proved, carried
+  over because OR/sum merges are order- and boundary-independent.
+- **Directory validity = `_SUCCESS`.** A crash mid-write leaves a dir
+  without the marker; readers skip it and the replay rewrites it.
+
+All paths go through the Hadoop FileSystem API (scheme-portable:
+``file:``, ``hdfs:``, ``s3a:``…), never ``os`` — this is what "under
+the checkpoint DFS path" means operationally.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# Hadoop FS helpers (scheme-portable listing/cleanup)
+# ---------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, dir_: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dir_)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _list_versions(spark: SparkSession, state_dir: str, prefix: str):
+    """Committed (``_SUCCESS``-marked) versions of ``prefix_v<id>`` dirs."""
+    fs, path, jvm = _fs(spark, state_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix + "_v")):
+            continue
+        try:
+            v = int(name[len(prefix) + 2:])
+        except ValueError:
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(v)
+    return sorted(out)
+
+
+def _rm(spark: SparkSession, dir_: str) -> None:
+    fs, path, _ = _fs(spark, dir_)
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def _state_parts(
+    spark: SparkSession,
+    state_dir: str,
+    before: int,
+) -> tuple[list[str], list[int], Optional[int]]:
+    """Paths contributing to the pre-``before`` state: the newest base
+    below ``before`` plus every later delta below ``before``. Returns
+    (paths, delta_versions_included, base_version)."""
+    bases = [
+        v for v in _list_versions(spark, state_dir, "base") if v < before
+    ]
+    base = max(bases) if bases else None
+    deltas = [
+        v
+        for v in _list_versions(spark, state_dir, "delta")
+        if v < before and (base is None or v > base)
+    ]
+    paths = []
+    if base is not None:
+        paths.append(f"{state_dir}/base_v{base}")
+    paths.extend(f"{state_dir}/delta_v{v}" for v in deltas)
+    return paths, deltas, base
+
+
+# ---------------------------------------------------------------------
+# Bloom ever-seen dedup
+# ---------------------------------------------------------------------
+
+
+def _bloom_words(
+    df: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """(w, bits) word updates for ``df[key_col]`` — the same distributed
+    bit_or aggregation as ``operators.sketch.bloom_build``, kept as a
+    DataFrame instead of collected."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(df[key_col], F.lit(i)), F.lit(m_bits)
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("bits"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def _read_state(
+    spark: SparkSession, paths: list[str], schema: str
+) -> DataFrame:
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def bloom_state_words(
+    spark: SparkSession, state_dir: str, before: int = 1 << 62
+) -> DataFrame:
+    """The merged (w, bits) Bloom relation from versions < ``before`` —
+    base and deltas OR-fold per word (shard-local merge)."""
+    paths, _, _ = _state_parts(spark, state_dir, before)
+    raw = _read_state(spark, paths, "w long, bits long")
+    return raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_dedup_dfs_sink(
+    sink: Callable[[DataFrame, int], None],
+    key_col: str,
+    state_dir: str,
+    m_bits: int = 1 << 24,
+    k_hashes: int = 4,
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` wrapper: ever-seen Bloom screen with DFS-sharded
+    state (the scale path of ``bloom_dedup.bloom_dedup_batch_sink`` —
+    same semantics, same no-false-negative guarantee, state off-driver).
+
+    Point ``state_dir`` under/next to the query's checkpoint location so
+    state and progress share a durability domain. The membership test is
+    a hash join of the batch's k·|keys| bit positions against the
+    word relation — distributed end to end; nothing about the state
+    touches the driver beyond file listings.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _compact_bloom(spark, state_dir, batch_id, compact_every)
+        state = bloom_state_words(spark, state_dir, before=batch_id)
+        keys = batch_df.dropDuplicates([key_col])
+        # k positions per key; a key is "might contain" iff EVERY
+        # position's word has the bit set in the pre-batch state
+        pos = keys.select(
+            F.col(key_col).alias("__k"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(keys[key_col], F.lit(i)),
+                            F.lit(m_bits),
+                        )
+                        for i in range(k_hashes)
+                    ]
+                )
+            ).alias("__p"),
+        ).select(
+            "__k",
+            (F.col("__p") / 64).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"
+            ).alias("__mask"),
+        )
+        verdict = (
+            pos.join(state, "w", "left")
+            .groupBy("__k")
+            .agg(
+                F.min(
+                    F.coalesce(
+                        F.col("bits").bitwiseAND(F.col("__mask")) != 0,
+                        F.lit(False),
+                    ).cast("int")
+                ).alias("__all_set")
+            )
+            .filter(F.col("__all_set") == 0)
+            .select("__k")
+        )
+        fresh = keys.join(
+            verdict, keys[key_col] == verdict["__k"]
+        ).drop("__k")
+        # the sink sees survivors BEFORE state advances: a crash here
+        # replays the batch against the same pre-batch state
+        sink(fresh, batch_id)
+        _bloom_words(keys, key_col, m_bits, k_hashes).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/delta_v{batch_id}")
+
+    return wrapped
+
+
+def _prune_superseded(
+    spark: SparkSession, state_dir: str, base: Optional[int]
+) -> None:
+    """Remove dirs a committed base makes dead: deltas <= base and older
+    bases (a crash between base-commit and cleanup leaves them; readers
+    already ignore them, this just reclaims the space)."""
+    if base is None:
+        return
+    for v in _list_versions(spark, state_dir, "delta"):
+        if v <= base:
+            _rm(spark, f"{state_dir}/delta_v{v}")
+    for v in _list_versions(spark, state_dir, "base"):
+        if v < base:
+            _rm(spark, f"{state_dir}/base_v{v}")
+
+
+def _compact_bloom(
+    spark: SparkSession, state_dir: str, batch_id: int, compact_every: int
+) -> None:
+    """Fold base + deltas strictly below ``batch_id`` into a new base.
+
+    Runs BEFORE the batch screens (inputs are immutable once batch_id
+    started, so a replayed batch redoes an identical, idempotent fold);
+    folded deltas and the superseded base are removed only after the new
+    base commits (``_SUCCESS``), so a crash at any point leaves a
+    readable state."""
+    if compact_every <= 0 or batch_id == 0 or batch_id % compact_every:
+        return
+    paths, deltas, base = _state_parts(spark, state_dir, batch_id)
+    if not deltas:
+        _prune_superseded(spark, state_dir, base)
+        return
+    target = max(deltas)
+    merged = (
+        _read_state(spark, paths, "w long, bits long")
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/base_v{target}")
+    _prune_superseded(spark, state_dir, target)
+
+
+# ---------------------------------------------------------------------
+# count-min accumulation
+# ---------------------------------------------------------------------
+
+
+def cms_state_cells(
+    spark: SparkSession, state_dir: str, before: int = 1 << 62
+) -> DataFrame:
+    """The merged (d, bucket, cnt) CMS relation from versions <
+    ``before`` — CMS is linear, so merge is a per-cell SUM. Feed
+    directly to ``operators.sketch.cms_estimate``."""
+    paths, _, _ = _state_parts(spark, state_dir, before)
+    raw = _read_state(spark, paths, "d int, bucket bigint, cnt long")
+    return raw.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_dfs_sink(
+    key_col: str,
+    state_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callback accumulating a CMS as DFS-sharded
+    (d, bucket, cnt) deltas (the scale path of ``cms_agg.cms_batch_sink``
+    — bit-identical accumulated sketch, state off-driver; the depth
+    rows are natural shards and per-cell SUM is the shard-local merge).
+    Read back with :func:`cms_state_cells`."""
+    from faust_spark.operators.sketch import cms_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _compact_cms(spark, state_dir, batch_id, compact_every)
+        cms_counts(batch_df, key_col, depth, width).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/delta_v{batch_id}")
+
+    return sink
+
+
+def _compact_cms(
+    spark: SparkSession, state_dir: str, batch_id: int, compact_every: int
+) -> None:
+    if compact_every <= 0 or batch_id == 0 or batch_id % compact_every:
+        return
+    paths, deltas, base = _state_parts(spark, state_dir, batch_id)
+    if not deltas:
+        _prune_superseded(spark, state_dir, base)
+        return
+    target = max(deltas)
+    merged = (
+        _read_state(spark, paths, "d int, bucket bigint, cnt long")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/base_v{target}")
+    _prune_superseded(spark, state_dir, target)
+
+
+__all__ = [
+    "bloom_dedup_dfs_sink",
+    "bloom_state_words",
+    "cms_dfs_sink",
+    "cms_state_cells",
+]

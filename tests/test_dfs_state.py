@@ -1,0 +1,175 @@
+"""DFS-sharded streaming sketch state (streaming/dfs_state.py): the
+scale path for ever-seen Bloom dedup and CMS accumulation — state as
+parquet relations written by executors, never a driver array.
+
+Contracts carried over from the driver-resident variants (VERDICT r5
+item 2): cross-batch suppression, no false negatives, replay
+idempotence (screen/accumulate against versions strictly below the
+batch id), PLUS the new ones — compaction preserves the merged state
+bit-for-bit, and a fresh process ("driver loss") resumes from the state
+directory alone."""
+
+from pyspark.sql import functions as F
+
+from faust_spark.streaming.dfs_state import (
+    bloom_dedup_dfs_sink,
+    bloom_state_words,
+    cms_dfs_sink,
+    cms_state_cells,
+)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(str(i),) for i in ids], ["k"])
+
+
+def test_cross_batch_duplicates_suppressed_dfs(spark, tmp_path):
+    seen: list[tuple[int, set]] = []
+
+    def sink(df, bid):
+        seen.append((bid, {r.k for r in df.collect()}))
+
+    wrapped = bloom_dedup_dfs_sink(
+        sink, "k", str(tmp_path / "state"), m_bits=1 << 14
+    )
+    wrapped(_df(spark, [1, 2, 3, 3]), 0)
+    wrapped(_df(spark, [2, 3, 4]), 1)
+    wrapped(_df(spark, [1, 4, 5]), 2)
+    assert seen[0] == (0, {"1", "2", "3"})
+    assert seen[1] == (1, {"4"})
+    assert seen[2] == (2, {"5"})
+
+
+def test_replay_screens_against_pre_batch_state_dfs(spark, tmp_path):
+    out: list[tuple[int, set]] = []
+
+    def sink(df, bid):
+        out.append((bid, {r.k for r in df.collect()}))
+
+    state = str(tmp_path / "state")
+    wrapped = bloom_dedup_dfs_sink(sink, "k", state, m_bits=1 << 14)
+    wrapped(_df(spark, [1, 2]), 0)
+    wrapped(_df(spark, [2, 3]), 1)   # emits {3}, writes delta_v1
+    wrapped(_df(spark, [2, 3]), 1)   # replay: same survivors
+    assert out == [(0, {"1", "2"}), (1, {"3"}), (1, {"3"})]
+    wrapped(_df(spark, [3, 9]), 2)
+    assert out[-1] == (2, {"9"})
+
+
+def test_compaction_preserves_state_and_prunes(spark, tmp_path):
+    """Bloom OR-merge is shard-local: after compaction the merged word
+    relation is identical, screening behavior unchanged, and superseded
+    delta dirs are gone."""
+    emitted: set = set()
+
+    def sink(df, bid):
+        emitted.update(r.k for r in df.collect())
+
+    state_dir = tmp_path / "state"
+    wrapped = bloom_dedup_dfs_sink(
+        sink, "k", str(state_dir), m_bits=1 << 12, compact_every=3
+    )
+    for b in range(7):  # compactions fire at b=3 and b=6
+        wrapped(_df(spark, [b, b + 100]), b)
+    # every key emitted exactly once
+    want = {str(b) for b in range(7)} | {str(b + 100) for b in range(7)}
+    assert emitted == want
+    names = sorted(p.name for p in state_dir.iterdir())
+    assert "base_v5" in names           # b=6 folded deltas 0..5
+    assert not any(n.startswith("delta_v") and int(n[7:]) <= 5
+                   for n in names)
+    # post-compaction duplicates are still recognized
+    wrapped(_df(spark, [0, 104, 999]), 7)
+    assert emitted == want | {"999"}
+
+
+def test_driver_loss_resumes_from_state_dir(spark, tmp_path):
+    """Simulated driver loss: a brand-new sink instance (no shared
+    Python state) continues suppression from the DFS dir alone."""
+    a_out: set = set()
+    state = str(tmp_path / "ckpt" / "bloom_state")  # under the ckpt root
+
+    s1 = bloom_dedup_dfs_sink(
+        lambda df, b: a_out.update(r.k for r in df.collect()),
+        "k", state, m_bits=1 << 14,
+    )
+    s1(_df(spark, [1, 2, 3]), 0)
+    s1(_df(spark, [4, 5]), 1)
+    del s1  # driver gone
+
+    b_out: set = set()
+    s2 = bloom_dedup_dfs_sink(
+        lambda df, b: b_out.update(r.k for r in df.collect()),
+        "k", state, m_bits=1 << 14,
+    )
+    s2(_df(spark, [2, 4, 6]), 2)
+    assert b_out == {"6"}
+
+
+def test_dfs_state_equals_driver_resident_bitmap(spark, tmp_path):
+    """The sharded (w, bits) relation OR-folds to exactly the bitmap the
+    driver-resident variant builds from the same keys."""
+    from faust_spark.operators.sketch import bloom_build
+
+    keys = _df(spark, range(200))
+    wrapped = bloom_dedup_dfs_sink(
+        lambda df, b: None, "k", str(tmp_path / "s"), m_bits=1 << 12
+    )
+    wrapped(keys, 0)
+    words = {
+        r.w: r.bits
+        for r in bloom_state_words(spark, str(tmp_path / "s")).collect()
+    }
+    arr = bloom_build(keys, "k", m_bits=1 << 12)
+    want = {i: v for i, v in enumerate(arr) if v}
+    assert words == want
+
+
+def test_streaming_cms_dfs_equals_batch_sketch(spark, tmp_path):
+    """CMS linearity through the DFS deltas: accumulation equals the
+    one-shot sketch for any split, replays don't double-count, and
+    compaction preserves every cell."""
+    from faust_spark.operators.sketch import cms_counts
+
+    rows = [(f"k{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    state = str(tmp_path / "cms")
+    sink = cms_dfs_sink("k", state, depth=3, width=128, compact_every=2)
+    chunks = [rows[:150], rows[150:300], rows[300:]]
+    for b, ch in enumerate(chunks):
+        sink(spark.createDataFrame(ch, ["k"]), b)
+    sink(spark.createDataFrame(chunks[-1], ["k"]), 2)  # replay last batch
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_state_cells(spark, state).collect()
+        if r.cnt
+    }
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_counts(df, "k", 3, 128).collect()
+        if r.cnt
+    }
+    assert got == want
+
+
+def test_bloom_state_never_collects_to_driver(spark, tmp_path):
+    """Driver-memory-flat structural guarantee: processing a batch runs
+    zero DataFrame.collect() inside the sink (the state is joined, not
+    materialized) — only the caller's own sink callback may collect."""
+    import faust_spark.streaming.dfs_state as mod
+    from unittest import mock
+
+    calls = []
+    orig = mod.DataFrame.collect
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    wrapped = bloom_dedup_dfs_sink(
+        lambda df, b: None, "k", str(tmp_path / "s2"), m_bits=1 << 12
+    )
+    with mock.patch.object(mod.DataFrame, "collect", spy):
+        wrapped(_df(spark, range(50)), 0)
+        wrapped(_df(spark, range(25, 75)), 1)
+    assert calls == []
