@@ -6104,118 +6104,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-5 window policy: positions 1-14 are the 14 queries NEW this
-# round (sketch family, containment, weighted sampling, MMR, forward
-# as-of, per-field validation, SCD2 lookup, ever-seen streaming dedup,
-# the two rows-only ANN serve benches) — none has a driver row yet.
-# Positions 15-22 are every query whose contract/oracle/plan changed
-# this round: q12_late_shipping (the r4 red row — oracle CAST fix),
-# dedup_jaccard (hub guard engaged, mirrored oracle),
-# dedup_minhash_lsh (exact-dup pre-collapse, identical results),
-# dedup_components (lineage truncation), perplexity_buckets
-# (localCheckpoint + label contract), dsir_score (bucket-parameter fix,
-# identity at default), vocab_build/tokenize_ids (localCheckpoint).
-# Positions 23-37 reconfirm the r4-new operators (one driver-green row
-# so far); 38-50 keep the LLM-pipeline core in the hard gate.
-# Displaced queries (driver-green in earlier rounds, byte-identical
-# now — the r4 first-evidence TPC-H/multimodal/session block) drop
-# below 50 and stay covered by ``tools/check.py`` →
-# ``artifacts/check_all_r5.json`` (149/149).
+# Round-6 window policy: positions 1-5 are the only queries without a
+# prior driver-green hash row — the three r5 no_oracle rows, which now
+# carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
+# the two ANN serve rows: recall-vs-pinned-exact-set), plus the two NEW
+# r6 cascade gates (hard_negatives_ivf / knn_label_ivf). Positions 6-22
+# are every query whose implementation changed this round and must be
+# re-proven: the DFS-sharded streaming state backends
+# (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
+# (dsir_score), the as-of NULL-timestamp guard (asof_join /
+# asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
+# (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
+# through dedup/text (dedup_* / vocab_build / tokenize_ids /
+# perplexity_buckets / unigram_logprob). Positions 23-50 rotate the
+# STALEST driver evidence back under the driver (VERDICT r5 item 6):
+# every row there was hash-green only in round 1; with r1-r5 unions,
+# after this round every registered query has driver-green evidence, and
+# the leftover r1-only block (q7/q10/q14/q18, window_functions,
+# rolling/rank/profile/pivot/rollup, stream_tumbling/stateful/hopping/
+# set_table) is queued first for the r7 window. Displaced rows keep
+# full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-14: NEW this round, first driver evidence ---------
-    "asof_join_forward",
-    "validate_orders",
-    "dedup_containment",
-    "bloom_dedup_admit",
-    "weighted_sample",
+    # ---- positions 1-5: first driver evidence — the r5 no_oracle rows
+    # now carrying real contracts (mmr full-chain SQL, serve recall)
+    # and the two NEW r6 cascade gates ---------------------------------
     "mmr_rerank",
-    "heavy_hitters_cms",
-    "distinct_rollup_hll",
-    "scd2_lookup",
-    "audience_overlap_theta",
-    "value_quantiles_kll",
-    "stream_everseen_dedup",
-    "stream_heavy_hitters",
     "ivf_topk_serve",
     "ivfpq_topk_serve",
-    # ---- positions 16-23: contract/oracle/plan changed this round ------
-    "q12_late_shipping",
+    "hard_negatives_ivf",
+    "knn_label_ivf",
+    # ---- positions 6-22: implementation changed this round — DFS-
+    # sharded streaming state, fused DSIR, as-of NULL semantics,
+    # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
+    "stream_everseen_dedup",
+    "stream_heavy_hitters",
+    "dsir_score",
+    "asof_join",
+    "asof_join_forward",
+    "scd2_lookup",
+    "bloom_dedup_admit",
+    "heavy_hitters_cms",
     "dedup_jaccard",
+    "dedup_containment",
+    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_components",
-    "perplexity_buckets",
-    "dsir_score",
     "vocab_build",
     "tokenize_ids",
-    # ---- positions 23-37: r4-new operators, reconfirm ------------------
-    "hybrid_search",  # r4: BM25+dense RRF fusion
-    "hard_negatives",  # r4: cross-label nearest-neighbor mining
-    "knn_label",  # r4: kNN majority-vote label propagation
-    "temperature_mix",  # r4: corpus-derived temperature mixture
-    "retrieval_eval",  # r4: ANN recall/MRR eval harness
-    "substring_dedup",  # r4: ExactSubstr span dedup (Lee et al. 2022)
-    "remove_dup_spans",  # r4: ExactSubstr span REMOVAL, md5-verified
-    "winnow_fingerprint",  # r4: MOSS winnowing fingerprints
-    "zorder_layout",  # r4: Morton-key two-dimensional clustering
-    "bigram_logprob",  # r4: interpolated bigram LM (Jelinek-Mercer)
-    "edit_distance_pairs",  # r4: exact semantics via PassJoin blocking
-    "ivf_topk",  # r4: oracle pins exact pair set (exact_pairs_md5)
-    "pq_ann_topk",  # r4: same oracle change
-    "ivf2_topk",  # r4: two-level IVF under the recall contract
-    "ivfpq_topk",  # r4: IVF+PQ composition, same recall contract
-    # ---- positions 38-50: LLM-pipeline core stays in the hard gate -----
-    "dedup_exact",
-    "dedup_keep_best",
-    "simhash_fp",
-    "embedding_dup_pairs",
-    "semantic_dedup",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_centroids",
-    "text_tokens",
-    "text_quality",
-    "lang_id",
-    "gopher_rules",
-    "pii_redact",
+    "perplexity_buckets",
     "unigram_logprob",
-    "quality_classifier",
-    # ---- positions 51+: past the window; full-gate-checked every round --
-    "multimodal_decode",
-    "multimodal_frames",
-    "stratified_sample",
-    "sample_mixture_weights",
-    # displaced this round (driver-green r1-r3, byte-identical r4)
-    "pipeline_filter_dedup",
-    "repetition_stats",
-    "ngram_contamination",
-    "stream_session_windows",
-    "ivf_assign",
-    "split_assign",
-    "shard_shuffle",
-    "doc_chunking",
-    "distinctive_terms",
-    "dedup_incremental",
-    "bm25_search",
-    "boilerplate_chunks",
-    "grouping_sets_revenue",
-    "stream_left_outer_join",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_window_close",
-    "value_trend",
-    "remove_boilerplate",
-    "zipf_slope",
-    "user_anomaly",
-    "stream_anomaly",
-    "approx_percentiles",
-    # displaced in earlier rounds
-    "approx_distinct_users",
-    "asof_join",
-    "interval_join_sliding",
-    "domain_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "stream_blocklist_filter",
+    # ---- positions 23-50: stalest driver evidence (hash-green only in
+    # round 1) rotated back under the driver per VERDICT r5 item 6;
+    # the remaining r1-only block (q7/q10/q14/q18, window_functions,
+    # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
+    # is queued for the r7 window --------------------------------------
     "enumerate_stream",
     "counter_table",
     "sum_table",
@@ -6244,6 +6186,76 @@ _PRIORITY: list[str] = [
     "q5_local_volume",
     "q6_forecast",
     "q4_order_priority",
+    # ---- positions 51+: past the window; every row here has a prior
+    # driver-green round AND stays covered by the per-round full local
+    # gate (tools/check.py -> artifacts/check_all_r6.json) -------------
+    "validate_orders",
+    "weighted_sample",
+    "distinct_rollup_hll",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
+    "q12_late_shipping",
+    "hybrid_search",
+    "hard_negatives",
+    "knn_label",
+    "temperature_mix",
+    "retrieval_eval",
+    "substring_dedup",
+    "remove_dup_spans",
+    "winnow_fingerprint",
+    "zorder_layout",
+    "bigram_logprob",
+    "edit_distance_pairs",
+    "ivf_topk",
+    "pq_ann_topk",
+    "ivf2_topk",
+    "ivfpq_topk",
+    "dedup_exact",
+    "dedup_keep_best",
+    "simhash_fp",
+    "embedding_dup_pairs",
+    "semantic_dedup",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "text_tokens",
+    "text_quality",
+    "lang_id",
+    "gopher_rules",
+    "pii_redact",
+    "quality_classifier",
+    "multimodal_decode",
+    "multimodal_frames",
+    "stratified_sample",
+    "sample_mixture_weights",
+    "pipeline_filter_dedup",
+    "repetition_stats",
+    "ngram_contamination",
+    "stream_session_windows",
+    "ivf_assign",
+    "split_assign",
+    "shard_shuffle",
+    "doc_chunking",
+    "distinctive_terms",
+    "bm25_search",
+    "boilerplate_chunks",
+    "grouping_sets_revenue",
+    "stream_left_outer_join",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_window_close",
+    "value_trend",
+    "remove_boilerplate",
+    "zipf_slope",
+    "user_anomaly",
+    "stream_anomaly",
+    "approx_percentiles",
+    "approx_distinct_users",
+    "interval_join_sliding",
+    "domain_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "stream_blocklist_filter",
     "q7_nation_volume",
     "q10_returns",
     "q14_promo",
@@ -6258,6 +6270,27 @@ _PRIORITY: list[str] = [
     "stream_stateful_counter",
     "stream_hopping",
     "stream_set_table",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "stream_enriched_counts",
+    "hourly_histogram",
+    "null_safe_join",
+    "session_windows",
+    "doc_fingerprint",
+    "multimodal_features",
+    "multimodal_resize",
+    "multires_rollup",
+    "value_percentiles",
 ]
 
 

@@ -1,0 +1,331 @@
+"""LiveCheck analogue: end-to-end canary checks for running pipelines.
+
+The reference ships LiveCheck (``faust/livecheck/`` — app.py:73-385,
+case.py:55-350, signals.py:25-150), its largest subsystem with no
+counterpart here until now: production pipelines register test *cases*
+that continuously verify the system end-to-end — either by piggybacking
+on live traffic with some probability or by injecting *fake requests*
+on a schedule — and synchronize on named *signals* that pipeline stages
+resolve as the tracked order passes through. A case that stops seeing
+traffic goes STALLED; repeated failures fail the suite.
+
+Spark-shaped mapping (micro-batch world, no asyncio):
+
+- **Signal transport**: the reference uses a Kafka bus topic
+  (``signals.py:91-150``); here a signal is resolved by appending an
+  atomic one-event JSON file under the LiveCheck state directory (put
+  it next to the pipeline's checkpoint — DFS-durable, visible across
+  driver restarts). ``Signal.send`` is callable from anywhere that has
+  the test key — typically a ``foreachBatch`` stage after it commits.
+  ``Signal.wait`` polls the directory with a wall-clock deadline.
+- **Cases** subclass :class:`Case`, declare signals as class attributes
+  (``__set_name__`` binds names, as in the reference), implement
+  ``run(test)`` with ordinary assertions, and optionally
+  ``make_fake_request()`` to inject a canary when no live traffic
+  arrives (reference ``case.py:features frequency/probability``).
+- **Execution**: :meth:`LiveCheck.run_once` drives every active case
+  once (probability-gated when marked live), records
+  PASS/FAIL/TIMEOUT/ERROR, tracks consecutive failures against
+  ``max_consecutive_failures`` (→ :class:`SuiteFailed`), and flags
+  cases whose last traffic predates ``warn_stalled_after`` as STALL
+  (reference ``case.py:State`` machine). :meth:`LiveCheck.report_df`
+  returns the suite state as a DataFrame for dashboards /
+  ``@app.page`` handlers.
+
+Divergence, documented: the reference interleaves cases with live
+consumer traffic via header propagation; Spark's exactly-once batch
+boundaries make "ride a live record" equivalent to "inject a canary
+row tagged with the test id" — the canary traverses the SAME pipeline
+(source → stages → sink), so the end-to-end property checked is the
+same. Header propagation over Kafka is covered by the EOS contract
+tests instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Type
+
+__all__ = [
+    "Case",
+    "LiveCheck",
+    "Signal",
+    "SuiteFailed",
+    "TestExecution",
+    "TestTimeout",
+]
+
+
+class TestTimeout(AssertionError):
+    """Signal did not resolve within the deadline (reference
+    ``livecheck/exceptions.py:TestTimeout``)."""
+
+
+class SuiteFailed(Exception):
+    """A case exceeded ``max_consecutive_failures`` (reference
+    ``livecheck/exceptions.py:SuiteFailed``)."""
+
+
+@dataclass
+class TestExecution:
+    """One tracked test order (reference ``models.py:TestExecution``):
+    the id travels with the canary so stages can resolve signals
+    against it."""
+
+    id: str
+    case_name: str
+    timestamp: float
+
+    @classmethod
+    def new(cls, case_name: str) -> "TestExecution":
+        return cls(
+            id=uuid.uuid4().hex, case_name=case_name, timestamp=time.time()
+        )
+
+
+class Signal:
+    """Named synchronization point (reference ``signals.py:Signal``).
+
+    Pipeline code calls ``send(test_id, value)`` when the tracked order
+    passes the stage; the case's ``run`` calls ``wait(test_id,
+    timeout=...)``. Events are one-file-per-event JSON with atomic
+    rename — safe under concurrent senders and driver restarts, no
+    broker needed.
+    """
+
+    def __init__(self, name: str = "") -> None:
+        self.name = name
+        self.case: Optional["Case"] = None
+
+    def __set_name__(self, owner: Type, name: str) -> None:
+        if not self.name:
+            self.name = name
+
+    # bound onto the case instance by Case.__init__ (the reference
+    # clones class-level signals per case, signals.py:79-84)
+    def _bind(self, case: "Case") -> "Signal":
+        s = Signal(self.name)
+        s.case = case
+        return s
+
+    def _dir(self) -> str:
+        assert self.case is not None, "signal not bound to a case"
+        return os.path.join(
+            self.case.app.state_dir, self.case.name, self.name
+        )
+
+    def send(self, key: str, value: Any = None) -> None:
+        """Resolve this signal for test ``key``."""
+        d = self._dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{key}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"key": key, "value": value, "ts": time.time()}, f)
+        os.replace(tmp, os.path.join(d, f"{key}.json"))
+
+    def wait(self, key: str, timeout: float = 30.0, poll: float = 0.05):
+        """Block until the signal resolves for ``key``; returns the sent
+        value. Raises :class:`TestTimeout` past the deadline."""
+        path = os.path.join(self._dir(), f"{key}.json")
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)["value"]
+            time.sleep(poll)
+        raise TestTimeout(
+            f"signal {self.name!r} for test {key!r} not resolved "
+            f"within {timeout}s"
+        )
+
+
+@dataclass
+class _CaseState:
+    status: str = "INIT"  # INIT/PASS/FAIL/ERROR/TIMEOUT/STALL
+    last_test_received: Optional[float] = None
+    consecutive_failures: int = 0
+    total_failures: int = 0
+    runs: int = 0
+    last_error: Optional[str] = None
+
+
+class Case:
+    """A LiveCheck test case (reference ``case.py:Case``).
+
+    Subclass, declare :class:`Signal` class attributes, implement
+    ``run(test)``; optionally ``make_fake_request()`` to inject the
+    canary (called before ``run`` on scheduled executions). Class-level
+    knobs mirror the reference: ``active``, ``probability`` (chance of
+    running against a live-traffic tick), ``warn_stalled_after``
+    (seconds without any test → STALL), ``max_consecutive_failures``.
+    """
+
+    name: str = ""
+    active: bool = True
+    probability: float = 0.5
+    warn_stalled_after: float = 1800.0
+    max_consecutive_failures: int = 30
+    test_timeout: float = 30.0
+
+    def __init__(self, app: "LiveCheck") -> None:
+        self.app = app
+        if not self.name:
+            self.name = type(self).__name__
+        # bind class-level signals to this instance
+        for attr in dir(type(self)):
+            v = getattr(type(self), attr, None)
+            if isinstance(v, Signal):
+                setattr(self, attr, v._bind(self))
+
+    # -- overridables --------------------------------------------------
+    def make_fake_request(self, test: TestExecution) -> None:
+        """Inject the canary for ``test`` into the pipeline (reference
+        ``case.py:make_fake_request``). Default: nothing — the case is
+        then only meaningful under ``on_test_received``-style wiring."""
+
+    def run(self, test: TestExecution) -> None:  # pragma: no cover
+        """The assertions. Raise (or let ``Signal.wait`` time out) to
+        fail."""
+        raise NotImplementedError
+
+
+class LiveCheck:
+    """Registry + executor for :class:`Case` (reference ``app.py:73``).
+
+    ``state_dir`` holds signal events and should live next to the
+    pipeline checkpoints (same durability domain).
+    """
+
+    def __init__(self, name: str, state_dir: str) -> None:
+        self.name = name
+        self.state_dir = state_dir
+        self.cases: Dict[str, Case] = {}
+        self._state: Dict[str, _CaseState] = {}
+
+    def case(
+        self,
+        *,
+        name: Optional[str] = None,
+        probability: Optional[float] = None,
+        warn_stalled_after: Optional[float] = None,
+        max_consecutive_failures: Optional[int] = None,
+        test_timeout: Optional[float] = None,
+    ) -> Callable[[Type[Case]], Case]:
+        """Class decorator registering a case (reference
+        ``app.py:208-271``); returns the INSTANCE, as the reference
+        does."""
+
+        def deco(cls: Type[Case]) -> Case:
+            if name:
+                cls.name = name
+            if probability is not None:
+                cls.probability = probability
+            if warn_stalled_after is not None:
+                cls.warn_stalled_after = warn_stalled_after
+            if max_consecutive_failures is not None:
+                cls.max_consecutive_failures = max_consecutive_failures
+            if test_timeout is not None:
+                cls.test_timeout = test_timeout
+            inst = cls(self)
+            self.cases[inst.name] = inst
+            self._state[inst.name] = _CaseState()
+            return inst
+
+        return deco
+
+    # -- execution -----------------------------------------------------
+    def run_case(self, case: Case) -> str:
+        """Execute one case now (fake request + run + bookkeeping).
+        Returns the resulting status. Raises :class:`SuiteFailed` when
+        the consecutive-failure budget is exhausted."""
+        st = self._state[case.name]
+        test = TestExecution.new(case.name)
+        st.runs += 1
+        st.last_test_received = time.time()
+        try:
+            case.make_fake_request(test)
+            case.run(test)
+        except TestTimeout as e:
+            self._record_failure(case, st, "TIMEOUT", e)
+        except Exception as e:  # noqa: BLE001 — any assertion = FAIL
+            self._record_failure(case, st, "FAIL", e)
+        else:
+            st.status = "PASS"
+            st.consecutive_failures = 0
+            st.last_error = None
+        return st.status
+
+    def _record_failure(
+        self, case: Case, st: _CaseState, status: str, err: Exception
+    ) -> None:
+        st.status = status
+        st.consecutive_failures += 1
+        st.total_failures += 1
+        st.last_error = f"{type(err).__name__}: {err}"
+        if st.consecutive_failures >= case.max_consecutive_failures:
+            raise SuiteFailed(
+                f"case {case.name!r}: {st.consecutive_failures} "
+                f"consecutive failures (last: {st.last_error})"
+            )
+
+    def run_once(self, live_traffic: bool = False) -> Dict[str, str]:
+        """Drive every active case once (reference ``_execute_tests``).
+
+        ``live_traffic=True`` applies the per-case ``probability`` gate
+        using a DETERMINISTIC hash of (case name, run count) — no RNG,
+        reproducible schedules (md5-derived like every other
+        deterministic draw in this repo)."""
+        import hashlib
+
+        results: Dict[str, str] = {}
+        for case in self.cases.values():
+            if not case.active:
+                continue
+            if live_traffic:
+                st = self._state[case.name]
+                h = hashlib.md5(
+                    f"{case.name}:{st.runs}".encode()
+                ).digest()
+                if (int.from_bytes(h[:6], "big") / float(1 << 48)
+                        >= case.probability):
+                    continue
+            results[case.name] = self.run_case(case)
+        self._update_stalled()
+        return results
+
+    def _update_stalled(self) -> None:
+        now = time.time()
+        for case in self.cases.values():
+            st = self._state[case.name]
+            last = st.last_test_received
+            if last is None or now - last > case.warn_stalled_after:
+                if st.status in ("INIT", "PASS"):
+                    st.status = "STALL"
+
+    # -- reporting -----------------------------------------------------
+    def report_rows(self) -> List[tuple]:
+        return [
+            (
+                n,
+                s.status,
+                s.runs,
+                s.total_failures,
+                s.consecutive_failures,
+                s.last_error,
+            )
+            for n, s in sorted(self._state.items())
+        ]
+
+    def report_df(self, spark):
+        """Suite state as a DataFrame (feed ``Table.show`` /
+        ``@app.page`` — the reference posts TestReport models to a
+        reports topic, ``app.py:380-385``)."""
+        return spark.createDataFrame(
+            self.report_rows(),
+            "case string, status string, runs long, total_failures long, "
+            "consecutive_failures long, last_error string",
+        )
