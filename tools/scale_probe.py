@@ -98,6 +98,8 @@ PROBES_EMB = [
     "hard_negatives",  # r4: broadcast queries, linear scan by design
     "knn_label",  # r4: same shape + per-qid vote agg
     "mmr_rerank",  # r5: retrieval-bounded per-query Arrow greedy
+    "hard_negatives_ivf",  # r6: cascade gate (IVF probe + label re-rank)
+    "knn_label_ivf",  # r6: cascade vote gate (deeper nprobe=8)
 ]
 
 
