@@ -20,6 +20,7 @@ no Python, no UDF, vectorizable by codegen.
 from __future__ import annotations
 
 import hashlib
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -692,6 +693,43 @@ def assign_cells_two_level(
     return df.withColumn("cell", cell)
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer ONCE (deterministic Lloyd) and keep
+    the k×dim centroid model for reuse across serving calls — the fit
+    is the expensive, amortizable part of :func:`ivf_topk` (iters+1
+    corpus passes), and a 100 TB deployment runs it per index build,
+    not per query batch."""
+    return kmeans_centroids(
+        corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+
+
+def ivf_assign_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The persisted IVF index relation: (nid, cv, cell). Write it
+    bucketed by ``cell`` (``storage.write_bucketed``) so each query
+    batch reads only its probed cells' buckets; feed back to
+    :func:`ivf_topk` via ``assigned=`` to make the per-call cost
+    probe + re-rank only."""
+    base = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+    )
+    return base.join(
+        assign_cells_join(base, centroids, vec_col="cv", id_col="nid"),
+        "nid",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -704,9 +742,21 @@ def ivf_topk(
     query_id_col: str = "qid",
     assign_mode: str = "flat",
     physical: str = "join",
+    centroids: Optional[list[list[float]]] = None,
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, probe the
     ``nprobe`` nearest cells per query, exact cosine re-rank within.
+
+    **Index reuse — the actual serving shape.** The inline form re-fits
+    the quantizer and re-assigns the corpus per call, which is the
+    one-shot/benchmark shape. A serving deployment fits ONCE and probes
+    many times: pass ``centroids=`` (from :func:`ivf_fit`) to skip the
+    Lloyd iterations, and optionally ``assigned=`` — a persisted
+    (nid, cv, cell) relation (from :func:`ivf_assign_corpus`, written
+    ``storage.write_bucketed`` by ``cell`` at 100 TB so each query reads
+    only its probed cells' buckets) — to skip the corpus assignment scan
+    too, leaving the per-call cost at probe + re-rank only.
 
     The data-dependent counterpart to ``hyperplane_lsh_topk`` (whose
     buckets are data-oblivious): cells adapt to the embedding
@@ -725,24 +775,31 @@ def ivf_topk(
     query side is tiny, and probing near-best cells matters more than
     assigning them).
     """
-    cents = kmeans_centroids(
-        corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
-    )
-    base = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
-    )
-    if assign_mode == "two_level":
-        c = assign_cells_two_level(base, cents, "cv")
-    elif physical == "join":
-        # centroids as a broadcast table (same argmin + tie-break as the
-        # literal expression, constant-size codegen — see
-        # assign_cells_join); reattach the vector for the re-rank
-        c = base.join(
-            assign_cells_join(base, cents, vec_col="cv", id_col="nid"),
-            "nid",
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
         )
+    )
+    if assigned is not None:
+        c = assigned
     else:
-        c = assign_cells(base, cents, "cv")
+        base = corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+        )
+        if assign_mode == "two_level":
+            c = assign_cells_two_level(base, cents, "cv")
+        elif physical == "join":
+            # centroids as a broadcast table (same argmin + tie-break as
+            # the literal expression, constant-size codegen — see
+            # assign_cells_join); reattach the vector for the re-rank
+            c = base.join(
+                assign_cells_join(base, cents, vec_col="cv", id_col="nid"),
+                "nid",
+            )
+        else:
+            c = assign_cells(base, cents, "cv")
     # nprobe nearest cells per query — rank the same distance terms
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -1181,6 +1238,33 @@ def probe_cells_expr(
     )
 
 
+def ivfpq_fit(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fit the IVFPQ index models once — (coarse centroids, PQ
+    codebooks) — for reuse across :func:`ivfpq_topk` calls via
+    ``index=``. One batched multi-group Lloyd fit (iters+2 driver
+    round-trips for coarse + all m subspaces)."""
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    fitted = kmeans_centroids_multi(
+        corpus,
+        [(1, dim, n_cells)] + [(j * d + 1, d, ksub) for j in range(m)],
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    return fitted[0], fitted[1:]
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1195,6 +1279,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     physical: str = "join",
+    index: Optional[tuple] = None,
+    codes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF + PQ composition — the FAISS IVFPQ serving shape, and the
     one that actually holds at 100 TB: the IVF coarse quantizer prunes
@@ -1230,23 +1316,35 @@ def ivfpq_topk(
     near-degenerate shortlist tails — recall is contract-checked either
     way (same recall@5 gate as ivf_topk / pq_ann_topk).
 
+    **Index reuse**: pass ``index=(cents, books)`` from
+    :func:`ivfpq_fit` to skip the quantizer fits, and ``codes=`` — the
+    persisted (nid, cell, codes) relation from :func:`pq_encode_join`
+    (the compact index artifact, written bucketed by cell at scale) —
+    to skip corpus encoding; the per-call cost is then probe + ADC over
+    the probed code buckets + shortlist re-rank only. Inline fit stays
+    the default for one-shot use. (``codes`` applies to the default
+    ``physical="join"`` path.)
+
     Returns (qid, nid, rank).
     """
-    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
-    # one batched fit: group 0 is the coarse quantizer over the full
-    # vector, groups 1..m the PQ subspaces — iters+2 driver round-trips
-    # total instead of (m+1) independent fits
-    fitted = kmeans_centroids_multi(
-        corpus,
-        [(1, dim, n_cells)] + [(j * d + 1, d, ksub) for j in range(m)],
-        iters=iters,
-        vec_col=vec_col,
-        id_col=id_col,
-    )
-    cents, books = fitted[0], fitted[1:]
+    if index is not None:
+        cents, books = index
+    else:
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
+        # one batched fit: group 0 is the coarse quantizer over the full
+        # vector, groups 1..m the PQ subspaces — iters+2 driver
+        # round-trips total instead of (m+1) independent fits
+        fitted = kmeans_centroids_multi(
+            corpus,
+            [(1, dim, n_cells)] + [(j * d + 1, d, ksub) for j in range(m)],
+            iters=iters,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        cents, books = fitted[0], fitted[1:]
     # code table WITH cell id: (nid, cell, codes) — at scale this is the
     # compact index artifact, written once and bucketed by cell
     q = queries.select(
@@ -1254,11 +1352,15 @@ def ivfpq_topk(
     )
     if physical == "join":
         qp = probe_cells_join(q, cents, nprobe)
-        enc = pq_encode_join(
-            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
-            books,
-            coarse=cents,
-            vec_col=vec_col,
+        enc = (
+            codes
+            if codes is not None
+            else pq_encode_join(
+                corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+                books,
+                coarse=cents,
+                vec_col=vec_col,
+            )
         )
         lut = adc_lut(qp, books)
         expl = enc.select(
@@ -1318,7 +1420,9 @@ __all__ = [
     "cosine_expr",
     "cosine_topk",
     "hard_negative_topk",
+    "hard_negative_topk_ivf",
     "knn_vote",
+    "knn_vote_ivf",
     "ranking_eval",
     "hyperplane_signature",
     "hyperplane_lsh_topk",
@@ -1328,7 +1432,10 @@ __all__ = [
     "assign_cells_join",
     "centroid_blocks",
     "assign_cells_two_level",
+    "ivf_fit",
+    "ivf_assign_corpus",
     "ivf_topk",
+    "ivfpq_fit",
     "ivfpq_topk",
     "pq_codebooks",
     "pq_encode",

@@ -266,3 +266,66 @@ def test_cascade_adds_only_hash_joins(spark, sf_dir):
     knn_nl, knn_bhj = shape(knn_vote_ivf(emb, q.drop("label"), k=5))
     assert hn_nl == base_nl and knn_nl == base_nl
     assert hn_bhj > base_bhj and knn_bhj > base_bhj
+
+
+def test_index_reuse_matches_inline_fit(spark, sf_dir):
+    """Serving shape: ivf_fit / ivf_assign_corpus / ivfpq_fit amortize
+    the quantizer fits and corpus assignment across calls; results must
+    be IDENTICAL to the inline-fit forms (same deterministic Lloyd, same
+    tie-breaks)."""
+    from faust_spark.operators.similarity import (
+        ivf_assign_corpus,
+        ivf_fit,
+        ivf_topk,
+        ivfpq_fit,
+        ivfpq_topk,
+        pq_encode_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    inline = {(r.qid, r.nid, r.rank)
+              for r in ivf_topk(emb, q, k=5, n_cells=8).collect()}
+    cents = ivf_fit(emb, n_cells=8)
+    reused = {
+        (r.qid, r.nid, r.rank)
+        for r in ivf_topk(emb, q, k=5, n_cells=8, centroids=cents).collect()
+    }
+    assert reused == inline
+    assigned = ivf_assign_corpus(emb, cents)
+    fully = {
+        (r.qid, r.nid, r.rank)
+        for r in ivf_topk(
+            emb, q, k=5, n_cells=8, centroids=cents, assigned=assigned
+        ).collect()
+    }
+    assert fully == inline
+
+    inline_pq = {
+        (r.qid, r.nid, r.rank)
+        for r in ivfpq_topk(emb, q, k=5, n_cells=8, m=4, ksub=8).collect()
+    }
+    cents2, books = ivfpq_fit(emb, n_cells=8, m=4, ksub=8)
+    reused_pq = {
+        (r.qid, r.nid, r.rank)
+        for r in ivfpq_topk(
+            emb, q, k=5, n_cells=8, m=4, ksub=8, index=(cents2, books)
+        ).collect()
+    }
+    assert reused_pq == inline_pq
+    codes = pq_encode_join(
+        emb.select(F.col("vec_id").alias("nid"), "embedding"),
+        books,
+        coarse=cents2,
+    )
+    with_codes = {
+        (r.qid, r.nid, r.rank)
+        for r in ivfpq_topk(
+            emb, q, k=5, n_cells=8, m=4, ksub=8,
+            index=(cents2, books), codes=codes,
+        ).collect()
+    }
+    assert with_codes == inline_pq
