@@ -5557,6 +5557,100 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_oracle_sql(steps: int = 4, lr: float = 1.0) -> str:
+    """DuckDB replica of the FULL logistic-regression GD trajectory
+    (operators/ml.py logreg_fit): the iterative fit unrolls into one
+    CTE per step — each computes σ(w·x) from the PREVIOUS step's
+    rounded weights and emits the next rounded weight vector — the
+    ``_mmr_oracle_sql`` unrolling trick applied to optimization. The
+    7-dp weight rounding (HALF_UP in both engines) absorbs the ~1e-13
+    cross-engine float-sum error of the normalized gradient sums."""
+    feats = ["x1", "x2", "x3"]
+    parts = [
+        """
+    WITH feat AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(n_chars AS DOUBLE) AS f1,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS f2,
+             CAST(len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','of','and','to','in','is')))
+                  AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f3
+      FROM documents),
+    mx AS (SELECT
+             CASE WHEN COALESCE(MAX(ABS(f1)), 0) = 0 THEN 1.0
+                  ELSE MAX(ABS(f1)) END AS m1,
+             CASE WHEN COALESCE(MAX(ABS(f2)), 0) = 0 THEN 1.0
+                  ELSE MAX(ABS(f2)) END AS m2,
+             CASE WHEN COALESCE(MAX(ABS(f3)), 0) = 0 THEN 1.0
+                  ELSE MAX(ABS(f3)) END AS m3 FROM feat),
+    norm AS (SELECT y, f1 / m1 AS x1, f2 / m2 AS x2, f3 / m3 AS x3
+             FROM feat CROSS JOIN mx),
+    w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        zy = "w.w0 + w.w1 * n.x1 + w.w2 * n.x2 + w.w3 * n.x3"
+        grads = ",\n               ".join(
+            f"ROUND(MAX(w.w{j}) - {lr} * SUM((pp.p - pp.y) * pp.{c})"
+            f" / COUNT(*), 7) AS w{j}"
+            for j, c in [(0, "one")] + list(enumerate(feats, start=1))
+        )
+        parts.append(f"""
+    p{t} AS (SELECT n.y, n.x1, n.x2, n.x3, 1.0 AS one,
+                    1.0 / (1.0 + EXP(-({zy}))) AS p
+             FROM norm n CROSS JOIN w{p} w),
+    w{t} AS (SELECT {grads}
+             FROM p{t} pp CROSS JOIN w{p} w)""")
+    tail = "\n    UNION ALL ".join(
+        f"SELECT {t} AS step, w0, w1, w2, w3 FROM w{t}"
+        for t in range(steps + 1)
+    )
+    return ",".join(parts) + f"""
+    SELECT CAST(step AS INT) AS step, w0, w1, w2, w3 FROM ({tail})"""
+
+
+@_q("quality_logreg_fit", _logreg_oracle_sql())
+def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING (operators/ml.py
+    logreg_fit) — the fit step quality-filter pipelines run on their
+    labeled seed set before the one-scan apply (quality_classifier is
+    the apply). Four full-batch GD steps, each ONE ungrouped
+    aggregation pass (map-side combine end to end, (d+1)-double
+    result); features are max-normalized exactly; every step's weight
+    vector rounds to 7 dp in-engine before feeding the next step, so
+    the ENTIRE optimization trajectory is verified bit-for-bit against
+    a DuckDB oracle that unrolls the steps in SQL — iterative model
+    fitting under the same oracle bar as every relational query.
+    Label: lang='en'; features: n_chars, word count, English-stopword
+    ratio (the quality_classifier feature family — exactly the signal
+    a lang-quality filter trains on)."""
+    from faust_spark.operators.ml import logreg_fit
+
+    _STOPS = ["the", "a", "of", "and", "to", "in", "is"]
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        (F.col("lang") == "en").alias("y"),
+        F.col("n_chars").cast("double").alias("f1"),
+        F.size(toks).cast("double").alias("f2"),
+        (
+            F.size(F.filter(toks, lambda w: w.isin(*_STOPS))).cast(
+                "double"
+            )
+            / F.size(toks).cast("double")
+        ).alias("f3"),
+    )
+    traj = logreg_fit(
+        feat, ["f1", "f2", "f3"], "y", steps=4, lr=1.0, round_dp=7
+    )
+    return spark.createDataFrame(
+        [(i, *w) for i, w in enumerate(traj)],
+        "step int, w0 double, w1 double, w2 double, w3 double",
+    )
+
+
 @_q(
     "validate_orders",
     """
@@ -6104,11 +6198,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-5 are the only queries without a
+# Round-6 window policy: positions 1-6 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
-# the two ANN serve rows: recall-vs-pinned-exact-set), plus the two NEW
-# r6 cascade gates (hard_negatives_ivf / knn_label_ivf). Positions 6-22
+# the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
+# cascade gates (hard_negatives_ivf / knn_label_ivf), and the NEW
+# oracle-verified GD trainer (quality_logreg_fit). Positions 7-23
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6116,11 +6211,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 23-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 24-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6):
 # every row there was hash-green only in round 1; with r1-r5 unions,
 # after this round every registered query has driver-green evidence, and
-# the leftover r1-only block (q7/q10/q14/q18, window_functions,
+# the leftover r1-only block (q4/q7/q10/q14/q18, window_functions,
 # rolling/rank/profile/pivot/rollup, stream_tumbling/stateful/hopping/
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
@@ -6133,7 +6228,8 @@ _PRIORITY: list[str] = [
     "ivfpq_topk_serve",
     "hard_negatives_ivf",
     "knn_label_ivf",
-    # ---- positions 6-22: implementation changed this round — DFS-
+    "quality_logreg_fit",
+    # ---- positions 7-23: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6153,7 +6249,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 23-50: stalest driver evidence (hash-green only in
+    # ---- positions 24-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6185,10 +6281,13 @@ _PRIORITY: list[str] = [
     "q3_shipping",
     "q5_local_volume",
     "q6_forecast",
-    "q4_order_priority",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
-    # gate (tools/check.py -> artifacts/check_all_r6.json) -------------
+    # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
+    # q4_order_priority displaced below 50 by the late-round
+    # quality_logreg_fit insertion (positions 1-6 = first-evidence rows)
+    # and joins the r1-only block queued for r7 ------------------------
+    "q4_order_priority",
     "validate_orders",
     "weighted_sample",
     "distinct_rollup_hll",

@@ -26,6 +26,11 @@ SKIP = {
     "stream_dedup",
     "stream_stream_join",
     "dedup_components",  # driver-side loop; terminal plan is trivial
+    "quality_logreg_fit",  # r6: GD steps run eagerly inside logreg_fit
+    # (one ungrouped agg pass each: partial agg -> single-ROW exchange
+    # -> final agg, no Python evals; pinned by tests/test_ml.py
+    # test_gd_step_plan_shape); the terminal plan is the trajectory
+    # literal
 }
 
 
