@@ -5557,6 +5557,76 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """DuckDB replica of the FULL PageRank trajectory
+    (operators/graph.py pagerank) over the customer→supplier purchase
+    graph: one CTE trio (dangling mass, inflow, update) per iteration,
+    ROUND(·, 9) per rank per iteration exactly as the operator — the
+    unrolled-iteration oracle pattern (mmr / logreg) on a graph op."""
+    parts = [
+        """
+    WITH e AS (SELECT DISTINCT
+                 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               FROM orders o
+               JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT node, ROUND(1.0 / nn.n, 9) AS rank
+           FROM nodes CROSS JOIN nn)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    d{t} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+             FROM r{p} r LEFT JOIN od ON od.src = r.node
+             WHERE od.src IS NULL),
+    c{t} AS (SELECT e.dst, SUM(r.rank / od.outdeg) AS inflow
+             FROM e JOIN od ON od.src = e.src
+             JOIN r{p} r ON r.node = e.src
+             GROUP BY 1),
+    r{t} AS (SELECT n.node,
+                    ROUND((1.0 - {d}) / nn.n
+                          + {d} * (COALESCE(c.inflow, 0.0)
+                                   + dd.dm / nn.n), 9) AS rank
+             FROM nodes n
+             LEFT JOIN c{t} c ON c.dst = n.node
+             CROSS JOIN nn CROSS JOIN d{t} dd)""")
+    return ",".join(parts) + f"""
+    SELECT node, rank FROM r{iters}"""
+
+
+@_q("supplier_pagerank", _pagerank_oracle_sql())
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph
+    (operators/graph.py) — the domain-authority ranking step crawl
+    pipelines run before weighting sources (Common Crawl publishes
+    exactly such centrality-ranked domain lists for corpus builders).
+    Three synchronous iterations with uniform dangling-mass
+    redistribution; per-iteration scatter/gather is one src-keyed hash
+    join + one dst-keyed partial-agg SUM, iterates materialized so plan
+    depth stays constant. The ENTIRE rank trajectory is
+    oracle-verified: per-iteration ROUND(·, 9) (in-engine, HALF_UP on
+    both sides) makes ranks bit-portable, and the DuckDB oracle unrolls
+    all three iterations — hash-matched ranks, not just a tolerance."""
+    from faust_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
 def _logreg_oracle_sql(steps: int = 4, lr: float = 1.0) -> str:
     """DuckDB replica of the FULL logistic-regression GD trajectory
     (operators/ml.py logreg_fit): the iterative fit unrolls into one
@@ -6198,12 +6268,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-6 are the only queries without a
+# Round-6 window policy: positions 1-7 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
-# cascade gates (hard_negatives_ivf / knn_label_ivf), and the NEW
-# oracle-verified GD trainer (quality_logreg_fit). Positions 7-23
+# cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
+# oracle-verified GD trainer (quality_logreg_fit), and the NEW
+# trajectory-verified PageRank (supplier_pagerank). Positions 8-24
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6211,7 +6282,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 24-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 25-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6):
 # every row there was hash-green only in round 1; with r1-r5 unions,
 # after this round every registered query has driver-green evidence, and
@@ -6220,16 +6291,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-5: first driver evidence — the r5 no_oracle rows
-    # now carrying real contracts (mmr full-chain SQL, serve recall)
-    # and the two NEW r6 cascade gates ---------------------------------
+    # ---- positions 1-7: first driver evidence — the r5 no_oracle rows
+    # now carrying real contracts (mmr full-chain SQL, serve recall),
+    # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
     "ivf_topk_serve",
     "ivfpq_topk_serve",
     "hard_negatives_ivf",
     "knn_label_ivf",
     "quality_logreg_fit",
-    # ---- positions 7-23: implementation changed this round — DFS-
+    "supplier_pagerank",
+    # ---- positions 8-24: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6249,7 +6321,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 24-50: stalest driver evidence (hash-green only in
+    # ---- positions 25-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6280,13 +6352,14 @@ _PRIORITY: list[str] = [
     "pack_sequences",
     "q3_shipping",
     "q5_local_volume",
-    "q6_forecast",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # q4_order_priority displaced below 50 by the late-round
-    # quality_logreg_fit insertion (positions 1-6 = first-evidence rows)
-    # and joins the r1-only block queued for r7 ------------------------
+    # q4_order_priority and q6_forecast displaced below 50 by the
+    # late-round quality_logreg_fit / supplier_pagerank insertions
+    # (positions 1-7 = first-evidence rows) and join the r1-only block
+    # queued for r7 ----------------------------------------------------
+    "q6_forecast",
     "q4_order_priority",
     "validate_orders",
     "weighted_sample",

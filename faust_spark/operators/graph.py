@@ -1,0 +1,114 @@
+"""Graph ranking over edge relations: PageRank.
+
+Crawl-scale data curation ranks DOMAINS before it ranks documents —
+Common Crawl publishes harmonic-centrality/PageRank-ranked domain lists
+precisely so corpus builders can weight or prune sources by authority.
+This module is that step over an arbitrary (src, dst) edge relation
+(domain link graphs, citation graphs, user→item interactions), kept in
+the repo's verification style: deterministic, engine-portable, the
+whole iteration trajectory reproducible by a SQL oracle.
+
+Shape per iteration (the only shapes in the loop):
+
+- contributions: ranks ⋈ edges on src (one hash join keyed by src),
+  partial-agg SUM keyed by dst — the classic scatter/gather, shuffle
+  bounded by |E| contribution rows pre-combine;
+- dangling mass: one-row aggregate, broadcast back (nodes with no
+  out-edges donate their rank uniformly — the standard stochastic fix);
+- update: rank' = ROUND((1-d)/N + d·(Σ in + dangling/N), round_dp).
+
+The per-iteration ROUND (in-engine, HALF_UP — same as DuckDB) is what
+makes the trajectory bit-portable: cross-engine float-sum differences
+(~1e-15 on in-neighbor sums) cannot move a rounded rank unless the true
+value sits within that error of a rounding-grid boundary — the
+``mmr_rerank``/``logreg_fit`` guard applied to graph iteration.
+
+Iterates are materialized each round (``operators.mat``), truncating
+lineage exactly as ``dedup.connected_components`` does — plan depth
+stays constant in ``iters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faust_spark.operators.mat import materialize
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 9,
+) -> DataFrame:
+    """PageRank over distinct directed edges; returns (node, rank).
+
+    Nodes = distinct src ∪ dst; initial rank = ROUND(1/N, round_dp);
+    ``iters`` synchronous iterations with uniform dangling-mass
+    redistribution. Deterministic — no RNG, no order dependence beyond
+    float addition, which the per-iteration rounding absorbs.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = materialize(e)
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated once with the donor's out-degree
+    eo = materialize(e.join(outdeg, "src"))
+
+    # initial rank rounded IN-ENGINE (F.round is HALF_UP like DuckDB's
+    # ROUND; Python's round() is banker's — a tie would diverge)
+    ranks = nodes.select(
+        "node",
+        F.round(F.lit(1.0) / F.lit(float(n)), round_dp).alias("rank"),
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = (
+            ranks.join(
+                outdeg, ranks["node"] == outdeg["src"], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            eo.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("rank").alias("r")
+                ),
+                "src",
+            )
+            .select("dst", (F.col("r") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = materialize(
+            nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    ),
+                    round_dp,
+                ).alias("rank"),
+            ),
+            eager=True,
+        )
+    return ranks

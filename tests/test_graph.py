@@ -1,0 +1,86 @@
+"""PageRank (operators/graph.py): trajectory vs a numpy reference,
+dangling-mass conservation, and plan shape (no Python evals)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from faust_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, iters, d=0.85, round_dp=9):
+    """Pure-numpy replica of the operator's exact recipe: synchronous
+    iterations, uniform dangling redistribution, per-iteration
+    HALF_UP rounding (the operator rounds in-engine)."""
+    import decimal
+
+    def half_up(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1).scaleb(-round_dp),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    r = np.full(n, half_up(1.0 / n))
+    for _ in range(iters):
+        dm = r[outdeg == 0].sum()
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[idx[t]] += r[idx[s]] / outdeg[idx[s]]
+        r = np.array(
+            [
+                half_up((1.0 - d) / n + d * (inflow[i] + dm / n))
+                for i in range(n)
+            ]
+        )
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    # chain with a dangling tail, a hub, and a duplicate edge (the
+    # operator must dedupe edges before counting out-degree)
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("d", "a"), ("e", "a"), ("e", "b"), ("a", "b"),  # dup
+        ("f", "g"),  # g is dangling
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=4, damping=0.85).collect()
+    }
+    want = _numpy_pagerank(edges, iters=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    """Uniform dangling redistribution keeps total rank ~1 every
+    iteration (up to rounding), even when many nodes have no
+    out-edges."""
+    edges = [(f"u{i}", "sink") for i in range(20)]  # sink is dangling
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for it in (1, 3):
+        total = (
+            pagerank(df, iters=it)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert abs(total - 1.0) < 1e-6, (it, total)
+
+
+def test_pagerank_no_python_evals(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    out = pagerank(df, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
