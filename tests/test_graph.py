@@ -77,10 +77,27 @@ def test_pagerank_mass_conserved_with_dangling(spark):
         assert abs(total - 1.0) < 1e-6, (it, total)
 
 
-def test_pagerank_no_python_evals(spark):
+def test_pagerank_iteration_plan_shape(spark):
+    """Under the persist strategy lineage is NOT truncated, so the
+    terminal plan exposes the full per-iteration shape: hash joins +
+    hash aggregates only — zero Python evals, and the only nested loop
+    is the one-ROW dangling-mass broadcast (O(n·1))."""
     df = spark.createDataFrame(
         [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
     )
-    out = pagerank(df, iters=2)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    spark.conf.set("spark.faust_spark.materialize", "persist")
+    try:
+        out = pagerank(df, iters=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.faust_spark.materialize", "local")
+        spark.catalog.clearCache()
     assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
+    # a cartesian product would mean the dangling-mass scalar joined
+    # un-broadcast; the expected shape is BroadcastNestedLoopJoin over
+    # the one-ROW dangling aggregate (count is unreliable here — the
+    # persist plan string repeats cached sub-plans inside each
+    # InMemoryRelation dump)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

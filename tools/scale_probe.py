@@ -78,6 +78,13 @@ PROBES_DOCS = [
     "weighted_sample",  # r5: hash priorities, per-group rank window
     # (output is one row per doc; duplicate-bucket membership grows with
     # replicas but total window rows stay linear in corpus chars)
+    "quality_logreg_fit",  # r6: 4 GD steps, one ungrouped agg pass each
+]
+# TPC-H graph/relational ops probed against replicated orders+lineitem
+# (customers shifted per replica -> edge count grows x mult; suppliers
+# shared -> in-degree grows, the realistic hub shape)
+PROBES_TPCH = [
+    "supplier_pagerank",  # r6: per-iteration scatter/gather is O(|E|)
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
@@ -107,7 +114,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "keys",
+        nargs="*",
+        help="probe only these query keys (default: all registered probes)",
+    )
     args = ap.parse_args()
+    only = set(args.keys) or None
+
+    def wanted(key: str) -> bool:
+        return only is None or key in only
 
     from pyspark.sql import functions as F
 
@@ -246,15 +262,56 @@ def main() -> int:
     else:
         big_emb = big
 
+    # TPC-H replication: orders x mult with shifted orderkeys+custkeys,
+    # lineitem x mult with matching orderkeys and SHARED suppkeys — the
+    # purchase graph grows x mult in edges and customers while suppliers
+    # accumulate in-degree (hub shape a real corpus-authority graph has)
+    big_tpch = os.path.join(big, "tpch")
+    if any(wanted(k) for k in PROBES_TPCH):
+        os.makedirs(big_tpch, exist_ok=True)
+        orders = load_table(spark, args.base, "orders")
+        li = load_table(spark, args.base, "lineitem")
+        n_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        n_ck = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+        reps_t = spark.range(args.mult).select(F.col("id").alias("rep"))
+        (
+            orders.crossJoin(reps_t)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * n_ok)
+            .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * n_ck)
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(big_tpch, "orders.parquet"))
+        )
+        (
+            li.crossJoin(reps_t)
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * n_ok)
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(big_tpch, "lineitem.parquet"))
+        )
+        for t in ("region nation customer supplier part events "
+                  "documents embeddings").split():
+            os.symlink(
+                os.path.join(big, f"{t}.parquet")
+                if t in ("events", "documents", "embeddings")
+                else os.path.join(args.base, f"{t}.parquet"),
+                os.path.join(big_tpch, f"{t}.parquet"),
+            )
+
     PAIRWISE_EMB = {"embedding_dup_pairs"}
     for key in (
         PROBES_EVENTS + PROBES_DOCS + PROBES_DOCS_PAIRWISE + PROBES_EMB
+        + PROBES_TPCH
     ):
+        if not wanted(key):
+            continue
         big_dir = (
             big_emb
             if key in PAIRWISE_EMB
             else big_docs4
             if key in PROBES_DOCS_PAIRWISE
+            else big_tpch
+            if key in PROBES_TPCH
             else big
         )
         base_t, base_n = timed(key, args.base)
@@ -293,20 +350,22 @@ def main() -> int:
         n = _edp(load_table(spark, sf_dir, "embeddings"), threshold=0.95).count()
         return round(time.time() - t0, 2), n
 
-    (b, bn), (g, gn) = lsh_probe(args.base), lsh_probe(big_emb)
-    out["embedding_dup_lsh@0.95"] = {
-        "base_s": b,
-        "big_s": g,
-        "data_mult": emb_mult,
-        "time_ratio": round(g / b, 2) if b else None,
-        "rows_base": bn,
-        "rows_big": gn,
-        "rows_ratio": round(gn / bn, 2) if bn else None,
-    }
-    print(
-        f"# embedding_dup_lsh@0.95: {b}s -> {g}s (x{emb_mult}, rows {bn} -> {gn})",
-        file=sys.stderr,
-    )
+    if wanted("embedding_dup_lsh@0.95"):
+        (b, bn), (g, gn) = lsh_probe(args.base), lsh_probe(big_emb)
+        out["embedding_dup_lsh@0.95"] = {
+            "base_s": b,
+            "big_s": g,
+            "data_mult": emb_mult,
+            "time_ratio": round(g / b, 2) if b else None,
+            "rows_base": bn,
+            "rows_big": gn,
+            "rows_ratio": round(gn / bn, 2) if bn else None,
+        }
+        print(
+            f"# embedding_dup_lsh@0.95: {b}s -> {g}s "
+            f"(x{emb_mult}, rows {bn} -> {gn})",
+            file=sys.stderr,
+        )
 
     # MinHash-LSH with a planted mega-cluster of byte-identical docs (r4
     # verdict item 4): 1k copies of one page at BOTH scales. Without the
@@ -347,23 +406,27 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         return round(best, 2), n
 
-    base_pl = planted_dir(args.base, "planted_base")
-    big_pl = planted_dir(big_docs4, "planted_big")
-    (b, bn), (g, gn) = lsh_cluster_probe(base_pl), lsh_cluster_probe(big_pl)
-    out["minhash_lsh_megacluster"] = {
-        "base_s": b,
-        "big_s": g,
-        "data_mult": doc_mult,
-        "time_ratio": round(g / b, 2) if b else None,
-        "rows_base": bn,
-        "rows_big": gn,
-        "rows_ratio": round(gn / bn, 2) if bn else None,
-    }
-    print(
-        f"# minhash_lsh_megacluster: {b}s -> {g}s (x{doc_mult}, "
-        f"rows {bn} -> {gn})",
-        file=sys.stderr,
-    )
+    if wanted("minhash_lsh_megacluster"):
+        base_pl = planted_dir(args.base, "planted_base")
+        big_pl = planted_dir(big_docs4, "planted_big")
+        (b, bn), (g, gn) = (
+            lsh_cluster_probe(base_pl),
+            lsh_cluster_probe(big_pl),
+        )
+        out["minhash_lsh_megacluster"] = {
+            "base_s": b,
+            "big_s": g,
+            "data_mult": doc_mult,
+            "time_ratio": round(g / b, 2) if b else None,
+            "rows_base": bn,
+            "rows_big": gn,
+            "rows_ratio": round(gn / bn, 2) if bn else None,
+        }
+        print(
+            f"# minhash_lsh_megacluster: {b}s -> {g}s (x{doc_mult}, "
+            f"rows {bn} -> {gn})",
+            file=sys.stderr,
+        )
     print(json.dumps({"mult": args.mult, "probes": out}))
     return 0
 
