@@ -5627,6 +5627,85 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3, damping=0.85)
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """DuckDB replica of the FULL Lloyd trajectory
+    (operators/similarity.py kmeans_fit): per iteration one CTE trio —
+    rounded squared distances, ROW_NUMBER argmin with (d, cell)
+    tie-break (== Spark's lexicographic struct-min), rounded per-dim
+    averages with empty-cell carry-over — ROUND(·, 9) everywhere the
+    operator rounds, so the centroid trajectory hash-matches."""
+    parts = [
+        f"""
+    WITH sd AS (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {k}),
+    seed AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                    embedding
+             FROM sd),
+    ev AS (SELECT vec_id, g.i - 1 AS pos,
+                  CAST(embedding[g.i] AS DOUBLE) AS v
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) g(i)),
+    c0 AS (SELECT cell, g.i - 1 AS pos,
+                  CAST(embedding[g.i] AS DOUBLE) AS v
+           FROM seed,
+                unnest(generate_series(1, len(embedding))) g(i))"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    d{t} AS (SELECT e.vec_id, c.cell,
+                    ROUND(SUM((e.v - c.v) * (e.v - c.v)), 9) AS d
+             FROM ev e JOIN c{p} c ON c.pos = e.pos
+             GROUP BY 1, 2),
+    a{t} AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell) AS rn
+               FROM d{t}) WHERE rn = 1),
+    m{t} AS (SELECT a.cell, e.pos, ROUND(AVG(e.v), 9) AS v
+             FROM a{t} a JOIN ev e USING (vec_id)
+             GROUP BY 1, 2),
+    c{t} AS (SELECT cell, pos, v FROM m{t}
+             UNION ALL
+             SELECT c.cell, c.pos, c.v FROM c{p} c
+             WHERE c.cell NOT IN (SELECT DISTINCT cell FROM m{t}))""")
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS step, cell, pos, v FROM c{t}"
+        for t in range(iters + 1)
+    )
+    return ",".join(parts) + f"""
+    {selects}"""
+
+
+@_q("kmeans_fit", _kmeans_oracle_sql())
+def kmeans_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means TRAINING (operators/similarity.py
+    kmeans_fit) — the coarse-quantizer fit behind every IVF index and
+    the cluster step behind SemDeDup, here verified as a first-class
+    trajectory instead of transitively through recall contracts. k=8
+    cells, 3 iterations; each iteration is ONE corpus pass (literal
+    argmin assignment in codegen — narrow map, no UDF) plus one
+    (cell, dim)-keyed partial-agg shuffle of k×dim averages; only the
+    k×dim model reaches the driver. Distances and updated centroids
+    round to 9 dp in-engine (HALF_UP on both sides) each iteration, so
+    the ENTIRE trajectory — seed, every assignment, every centroid —
+    is hash-matched by a DuckDB oracle that unrolls all three Lloyd
+    steps with the same (d, cell) argmin tie-break."""
+    from faust_spark.operators.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    traj = kmeans_fit(emb, k=8, iters=3, round_dp=9)
+    rows = [
+        (s, c, p, float(v))
+        for s, cents in enumerate(traj)
+        for c, cent in enumerate(cents)
+        for p, v in enumerate(cent)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, cell int, pos int, v double"
+    )
+
+
 def _logreg_oracle_sql(steps: int = 4, lr: float = 1.0) -> str:
     """DuckDB replica of the FULL logistic-regression GD trajectory
     (operators/ml.py logreg_fit): the iterative fit unrolls into one
@@ -6268,13 +6347,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-7 are the only queries without a
+# Round-6 window policy: positions 1-8 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
-# trajectory-verified PageRank (supplier_pagerank). Positions 8-24
+# trajectory-verified PageRank and Lloyd k-means (supplier_pagerank /
+# kmeans_fit). Positions 9-25
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6291,7 +6371,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-7: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-8: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6301,7 +6381,8 @@ _PRIORITY: list[str] = [
     "knn_label_ivf",
     "quality_logreg_fit",
     "supplier_pagerank",
-    # ---- positions 8-24: implementation changed this round — DFS-
+    "kmeans_fit",
+    # ---- positions 9-25: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6321,7 +6402,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 25-50: stalest driver evidence (hash-green only in
+    # ---- positions 26-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6351,14 +6432,14 @@ _PRIORITY: list[str] = [
     "scd2_history",
     "pack_sequences",
     "q3_shipping",
-    "q5_local_volume",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # q4_order_priority and q6_forecast displaced below 50 by the
-    # late-round quality_logreg_fit / supplier_pagerank insertions
-    # (positions 1-7 = first-evidence rows) and join the r1-only block
-    # queued for r7 ----------------------------------------------------
+    # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
+    # by the late-round quality_logreg_fit / supplier_pagerank /
+    # kmeans_fit insertions (positions 1-8 = first-evidence rows) and
+    # join the r1-only block queued for r7 -----------------------------
+    "q5_local_volume",
     "q6_forecast",
     "q4_order_priority",
     "validate_orders",

@@ -90,6 +90,7 @@ HEADLINE = [
     "quality_classifier",  # model apply: literal weights, one scan
     "quality_logreg_fit",  # r6: GD training, one agg pass per step
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
+    "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)

@@ -452,22 +452,34 @@ def knn_vote_ivf(
     )
 
 
-def kmeans_centroids(
+def kmeans_fit(
     df: DataFrame,
     k: int = 16,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[list[float]]:
-    """Deterministic Lloyd k-means over an embedding column.
+    round_dp: Optional[int] = None,
+) -> list[list[list[float]]]:
+    """Deterministic Lloyd k-means; returns the FULL centroid trajectory
+    ``[cents_0, ..., cents_iters]`` (cents_0 = the seed).
 
     Init is the ``k`` lowest-id vectors (no RNG: identical across runs and
-    retries).  Each iteration is one cluster-DataFrame pass: broadcast the
-    k centroids into an argmin expression (k dot products in codegen, no
-    UDF), then one (cell, dim)-keyed partial-agg shuffle via posexplode to
-    re-average.  Only the k×dim centroid model ever reaches the driver —
+    retries).  Each iteration is one corpus pass: nearest-centroid
+    assignment, then one (cell, dim)-keyed partial-agg shuffle via
+    posexplode to re-average.  For k ≤ 32 the assignment is the literal
+    argmin expression (narrow map — the whole iteration is ONE shuffle of
+    k×dim partial sums); larger k uses the broadcast centroid-table form
+    (``assign_cells_join``), which adds the id-keyed argmin shuffle but
+    keeps codegen constant-size.  Both forms produce identical values and
+    tie-breaks.  Only the k×dim centroid model ever reaches the driver —
     the standard fit shape for IVF coarse quantizers (k ≪ data, model is
     driver-side by design).
+
+    ``round_dp`` rounds both the assignment distances and the updated
+    centroids in-engine each iteration (HALF_UP, same as DuckDB's ROUND),
+    making the whole trajectory bit-portable so a SQL oracle can unroll
+    and hash-match it — the ``logreg_fit``/``pagerank`` guard applied to
+    clustering.  ``None`` (default) keeps full precision.
     """
     seed = (
         df.orderBy(F.col(id_col))
@@ -475,20 +487,29 @@ def kmeans_centroids(
         .select(vec_col)
         .collect()
     )
-    cents = [list(r[0]) for r in seed]
+    cents = [[float(v) for v in r[0]] for r in seed]
+    traj = [cents]
     for _ in range(iters):
-        # join-form assignment: argmin values identical to the literal
-        # expression, but codegen stays constant-size as k grows (the
-        # literal form's compile time scales with k — see
-        # assign_cells_join)
-        cells = assign_cells_join(df, cents, vec_col=vec_col, id_col=id_col)
-        assigned = df.select(F.col(id_col), F.col(vec_col)).join(
-            cells, id_col
-        )
+        if k <= 32:
+            assigned = df.select(
+                _cell_expr(cents, vec_col, round_dp).alias("cell"),
+                F.col(vec_col),
+            )
+        else:
+            cells = assign_cells_join(
+                df, cents, vec_col=vec_col, id_col=id_col,
+                round_dp=round_dp,
+            )
+            assigned = df.select(F.col(id_col), F.col(vec_col)).join(
+                cells, id_col
+            )
+        m = F.avg("v")
+        if round_dp is not None:
+            m = F.round(m, round_dp)
         per_dim = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(m.alias("m"))
         )
         rows = (
             per_dim.groupBy("cell")
@@ -505,12 +526,32 @@ def kmeans_centroids(
         new = {r["cell"]: list(r["centroid"]) for r in rows}
         # empty cells keep their previous centroid
         cents = [new.get(i, c) for i, c in enumerate(cents)]
-    return cents
+        traj.append(cents)
+    return traj
 
 
-def _cell_expr(cents: list[list[float]], vec_col: str) -> Column:
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Final centroids of :func:`kmeans_fit` (full precision)."""
+    return kmeans_fit(df, k, iters, vec_col, id_col)[-1]
+
+
+def _cell_expr(
+    cents: list[list[float]],
+    vec_col: str,
+    round_dp: Optional[int] = None,
+) -> Column:
     """argmin-over-centroids as one codegen expression: k squared-distance
-    terms in an array of (dist, idx) structs, array_min picks the cell."""
+    terms in an array of (dist, idx) structs, array_min picks the cell.
+    ``round_dp`` rounds each distance in-engine before the argmin — the
+    bit-portability guard the oracle-verified ``kmeans_fit`` needs (a
+    cross-engine float-sum difference can only flip an assignment when
+    two true distances straddle a rounding-grid boundary)."""
     terms = []
     for i, c in enumerate(cents):
         carr = F.array(*[F.lit(v) for v in c])
@@ -519,6 +560,8 @@ def _cell_expr(cents: list[list[float]], vec_col: str) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        if round_dp is not None:
+            d = F.round(d, round_dp)
         terms.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     return F.array_min(F.array(*terms))["i"]
 
@@ -535,6 +578,7 @@ def assign_cells_join(
     cents: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_dp: Optional[int] = None,
 ) -> DataFrame:
     """(id, cell) via a broadcast CENTROID TABLE instead of a literal
     argmin expression.
@@ -565,6 +609,8 @@ def assign_cells_join(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if round_dp is not None:
+        dist = F.round(dist, round_dp)
     return (
         df.join(F.broadcast(cdf))
         .groupBy(id_col)
@@ -1426,6 +1472,7 @@ __all__ = [
     "ranking_eval",
     "hyperplane_signature",
     "hyperplane_lsh_topk",
+    "kmeans_fit",
     "kmeans_centroids",
     "kmeans_centroids_multi",
     "assign_cells",

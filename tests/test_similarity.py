@@ -329,3 +329,90 @@ def test_index_reuse_matches_inline_fit(spark, sf_dir):
         ).collect()
     }
     assert with_codes == inline_pq
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    """Full rounded Lloyd trajectory (kmeans_fit round_dp=9) matches a
+    pure-numpy replica: seed = k lowest ids, HALF_UP rounding of
+    distances and centroid averages, (d, cell) argmin tie-break,
+    empty-cell carry-over."""
+    import decimal
+
+    import numpy as np
+
+    from faust_spark.operators.similarity import kmeans_fit
+
+    def half_up(x, dp=9):
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal(1).scaleb(-dp),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    rng = np.random.RandomState(3)
+    X = np.float32(rng.randn(60, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = kmeans_fit(df, k=3, iters=2, round_dp=9)
+
+    cents = [[float(v) for v in X[i]] for i in range(3)]
+    want = [cents]
+    for _ in range(2):
+        asg = []
+        for x in np.float64(X):
+            ds = [
+                half_up(((x - np.array(c)) ** 2).sum()) for c in cents
+            ]
+            asg.append(min(range(3), key=lambda j: (ds[j], j)))
+        new = []
+        for j in range(3):
+            m = np.float64(X)[np.array(asg) == j]
+            new.append(
+                [half_up(v) for v in m.mean(axis=0)]
+                if len(m)
+                else cents[j]
+            )
+        cents = new
+        want.append(cents)
+    assert len(got) == 3
+    for gs, ws in zip(got, want):
+        for g, w in zip(gs, ws):
+            assert np.allclose(g, w, atol=1e-9), (g, w)
+
+
+def test_kmeans_assignment_forms_agree(spark):
+    """The literal argmin expression and the broadcast centroid-table
+    form produce identical assignments under rounding (same values,
+    same tie-break), so kmeans_fit's k-dependent form switch never
+    changes results."""
+    import numpy as np
+
+    from faust_spark.operators.similarity import (
+        assign_cells_join,
+        _cell_expr,
+    )
+
+    rng = np.random.RandomState(7)
+    X = np.float32(rng.randn(80, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = [[float(v) for v in X[i]] for i in range(5)]
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id",
+            _cell_expr(cents, "embedding", round_dp=9).alias("cell"),
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_join(
+            df, cents, round_dp=9
+        ).collect()
+    }
+    assert a == b

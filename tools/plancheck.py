@@ -31,6 +31,9 @@ SKIP = {
     # -> final agg, no Python evals; pinned by tests/test_ml.py
     # test_gd_step_plan_shape); the terminal plan is the trajectory
     # literal
+    "kmeans_fit",  # r6: Lloyd steps run eagerly inside the fit (one
+    # codegen argmin scan + one (cell,dim)-keyed agg each — narrow map,
+    # no UDF); the terminal plan is the trajectory literal
     "supplier_pagerank",  # r6: iterations materialize eagerly inside
     # pagerank (lineage truncated per round, plan depth constant); the
     # per-iteration shape (hash joins + hash aggs, one-row dangling

@@ -107,6 +107,7 @@ PROBES_EMB = [
     "mmr_rerank",  # r5: retrieval-bounded per-query Arrow greedy
     "hard_negatives_ivf",  # r6: cascade gate (IVF probe + label re-rank)
     "knn_label_ivf",  # r6: cascade vote gate (deeper nprobe=8)
+    "kmeans_fit",  # r6: one scan + k*dim-bounded agg per Lloyd step
 ]
 
 
