@@ -5627,6 +5627,76 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3, damping=0.85)
 
 
+def _hits_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replica of the FULL HITS trajectory
+    (operators/graph.py hits) over the customer→supplier purchase
+    graph: per iteration an authority CTE pair (in-edge hub sums,
+    L1-normalized + ROUND 9) then a hub CTE pair (out-edge auth sums,
+    same), exactly the operator's update order — the unrolled-iteration
+    oracle pattern again."""
+    parts = [
+        """
+    WITH e AS (SELECT DISTINCT
+                 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               FROM orders o
+               JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    ar{t} AS (SELECT e.dst, SUM(h.hub) AS raw
+              FROM e JOIN h{p} h ON h.node = e.src GROUP BY 1),
+    at{t} AS (SELECT SUM(raw) AS t FROM ar{t}),
+    a{t} AS (SELECT n.node,
+                    ROUND(COALESCE(r.raw / NULLIF(tt.t, 0), 0.0), 9)
+                      AS auth
+             FROM nodes n
+             LEFT JOIN ar{t} r ON r.dst = n.node
+             CROSS JOIN at{t} tt),
+    hr{t} AS (SELECT e.src, SUM(a.auth) AS raw
+              FROM e JOIN a{t} a ON a.node = e.dst GROUP BY 1),
+    ht{t} AS (SELECT SUM(raw) AS t FROM hr{t}),
+    h{t} AS (SELECT n.node,
+                    ROUND(COALESCE(r.raw / NULLIF(tt.t, 0), 0.0), 9)
+                      AS hub
+             FROM nodes n
+             LEFT JOIN hr{t} r ON r.src = n.node
+             CROSS JOIN ht{t} tt)""")
+    return ",".join(parts) + f"""
+    SELECT h.node, h.hub, a.auth
+    FROM h{iters} h JOIN a{iters} a USING (node)"""
+
+
+@_q("supplier_hits", _hits_oracle_sql())
+def supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py hits) over the
+    customer→supplier purchase graph: authoritative suppliers = those
+    bought by strong hub customers (mutual reinforcement — the other
+    classical link-analysis ranking next to supplier_pagerank, and on
+    a bipartite graph the principal-singular-vector co-purchase
+    centrality). Three iterations, L1 normalization, per-step
+    ROUND(·, 9) in-engine; the DuckDB oracle unrolls every half-step,
+    so hubs AND authorities hash-match across the whole trajectory."""
+    from faust_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return hits(edges, iters=3)
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """DuckDB replica of the FULL Lloyd trajectory
     (operators/similarity.py kmeans_fit): per iteration one CTE trio —
@@ -6347,14 +6417,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-8 are the only queries without a
+# Round-6 window policy: positions 1-9 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
-# trajectory-verified PageRank and Lloyd k-means (supplier_pagerank /
-# kmeans_fit). Positions 9-25
+# trajectory-verified PageRank, HITS, and Lloyd k-means
+# (supplier_pagerank / supplier_hits / kmeans_fit). Positions 10-26
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6371,7 +6441,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-8: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-9: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6382,7 +6452,8 @@ _PRIORITY: list[str] = [
     "quality_logreg_fit",
     "supplier_pagerank",
     "kmeans_fit",
-    # ---- positions 9-25: implementation changed this round — DFS-
+    "supplier_hits",
+    # ---- positions 10-26: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6402,7 +6473,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 26-50: stalest driver evidence (hash-green only in
+    # ---- positions 27-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6431,14 +6502,14 @@ _PRIORITY: list[str] = [
     "sample_3_per_user",
     "scd2_history",
     "pack_sequences",
-    "q3_shipping",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round quality_logreg_fit / supplier_pagerank /
-    # kmeans_fit insertions (positions 1-8 = first-evidence rows) and
+    # q3_shipping, q4_order_priority, q5_local_volume, q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-9 =
+    # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "q3_shipping",
     "q5_local_volume",
     "q6_forecast",
     "q4_order_priority",

@@ -91,6 +91,7 @@ HEADLINE = [
     "quality_logreg_fit",  # r6: GD training, one agg pass per step
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
+    "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)

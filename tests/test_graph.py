@@ -4,7 +4,7 @@ dangling-mass conservation, and plan shape (no Python evals)."""
 import numpy as np
 from pyspark.sql import functions as F
 
-from faust_spark.operators.graph import pagerank
+from faust_spark.operators.graph import hits, pagerank
 
 
 def _numpy_pagerank(edges, iters, d=0.85, round_dp=9):
@@ -101,3 +101,69 @@ def test_pagerank_iteration_plan_shape(spark):
     # InMemoryRelation dump)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def _numpy_hits(edges, iters, round_dp=9):
+    """Replica of the operator's recipe: L1-normalized half-steps with
+    HALF_UP rounding after each normalization."""
+    import decimal
+
+    def half_up(x):
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal(1).scaleb(-round_dp),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            raw[t] += hub[s]
+        tot = sum(raw.values())
+        auth = {
+            n: half_up(raw[n] / tot) if tot else 0.0 for n in nodes
+        }
+        raw = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            raw[s] += auth[t]
+        tot = sum(raw.values())
+        hub = {
+            n: half_up(raw[n] / tot) if tot else 0.0 for n in nodes
+        }
+    return hub, auth
+
+
+def test_hits_matches_numpy_reference(spark):
+    edges = [
+        ("a", "x"), ("a", "y"), ("b", "y"), ("b", "z"),
+        ("c", "y"), ("c", "x"), ("d", "z"), ("a", "x"),  # dup
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, iters=3).collect()
+    }
+    hub, auth = _numpy_hits(edges, iters=3)
+    assert set(got) == set(hub)
+    for n in hub:
+        assert abs(got[n][0] - hub[n]) < 1e-9, (n, got[n], hub[n])
+        assert abs(got[n][1] - auth[n]) < 1e-9, (n, got[n], auth[n])
+
+
+def test_hits_bipartite_roles(spark):
+    """On a bipartite graph sources get hub mass and sinks get
+    authority mass; each side's scores sum to ~1 (L1 norm) and the
+    most-purchased sink is the top authority."""
+    edges = [("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c3", "s2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = {x["node"]: x for x in hits(df, iters=3).collect()}
+    assert all(r[s]["auth"] == 0.0 for s in ("c1", "c2", "c3"))
+    assert all(r[s]["hub"] == 0.0 for s in ("s1", "s2"))
+    assert abs(sum(x["auth"] for x in r.values()) - 1.0) < 1e-6
+    assert abs(sum(x["hub"] for x in r.values()) - 1.0) < 1e-6
+    assert r["s1"]["auth"] > r["s2"]["auth"]

@@ -34,6 +34,7 @@ SKIP = {
     "kmeans_fit",  # r6: Lloyd steps run eagerly inside the fit (one
     # codegen argmin scan + one (cell,dim)-keyed agg each — narrow map,
     # no UDF); the terminal plan is the trajectory literal
+    "supplier_hits",  # r6: same eager-iteration shape as pagerank
     "supplier_pagerank",  # r6: iterations materialize eagerly inside
     # pagerank (lineage truncated per round, plan depth constant); the
     # per-iteration shape (hash joins + hash aggs, one-row dangling

@@ -85,6 +85,7 @@ PROBES_DOCS = [
 # shared -> in-degree grows, the realistic hub shape)
 PROBES_TPCH = [
     "supplier_pagerank",  # r6: per-iteration scatter/gather is O(|E|)
+    "supplier_hits",  # r6: two O(|E|) half-steps per iteration
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
