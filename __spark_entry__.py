@@ -5697,6 +5697,97 @@ def supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=3)
 
 
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """DuckDB replica of the FULL BPE merge-learning trajectory
+    (operators/bpe.py bpe_learn): per iteration the overlap-counted
+    pair stats, the (freq DESC, lhs, rhs) argmax, and the greedy
+    left-to-right merge application as islands-parity window logic —
+    all-integer arithmetic, so the merge table matches with ZERO
+    tolerance (no rounding guard needed anywhere)."""
+    parts = [
+        """
+    WITH w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(string_split(lower(text), ' '))
+                       AS word
+                     FROM documents) t
+               WHERE regexp_matches(word, '^[a-z]+$')
+               GROUP BY 1),
+    s0 AS MATERIALIZED (SELECT word, cnt,
+                  list_append(
+                    list_transform(generate_series(1, length(word)),
+                                   i -> word[i]),
+                    '</w>') AS syms
+           FROM w)"""
+    ]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        parts.append(f"""
+    p{t} AS (SELECT syms[g.i] AS a, syms[g.i + 1] AS b,
+                    SUM(cnt) AS f
+             FROM s{p}, unnest(generate_series(1, len(syms) - 1)) g(i)
+             GROUP BY 1, 2),
+    b{t} AS MATERIALIZED (SELECT a, b, f FROM p{t}
+             ORDER BY f DESC, a, b LIMIT 1),
+    e{t} AS (SELECT word, cnt, g.i AS i, syms[g.i] AS s
+             FROM s{p}, unnest(generate_series(1, len(syms))) g(i)),
+    x{t} AS (SELECT word, cnt, i, s, LEAD(s) OVER wo AS nxt,
+                    COALESCE(s = (SELECT a FROM b{t})
+                             AND LEAD(s) OVER wo
+                                   = (SELECT b FROM b{t}),
+                             FALSE) AS mt
+             FROM e{t}
+             WINDOW wo AS (PARTITION BY word ORDER BY i)),
+    y{t} AS (SELECT *,
+                    SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER wo AS mrn
+             FROM x{t}
+             WINDOW wo AS (PARTITION BY word ORDER BY i)),
+    k{t} AS (SELECT *,
+                    mt AND ((i - MIN(i) OVER (
+                        PARTITION BY word,
+                        CASE WHEN mt THEN i - mrn END)) % 2 = 0)
+                      AS kept
+             FROM y{t}),
+    q{t} AS (SELECT *,
+                    COALESCE(LAG(kept) OVER (
+                        PARTITION BY word ORDER BY i), FALSE) AS pk
+             FROM k{t}),
+    s{t} AS MATERIALIZED (SELECT word, cnt,
+                    list(CASE WHEN kept THEN s || nxt ELSE s END
+                         ORDER BY i) AS syms
+             FROM q{t}
+             WHERE kept OR NOT pk
+             GROUP BY 1, 2)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS step, a AS lhs, b AS rhs, "
+        f"CAST(f AS BIGINT) AS freq FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + f"""
+    {selects}"""
+
+
+@_q("bpe_merges", _bpe_oracle_sql())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/bpe.py bpe_learn) — the merge
+    learning every LLM pipeline runs before tokenizing (Sennrich 2016).
+    ONE corpus pass builds the Zipf-bounded word dictionary; each of 10
+    merge iterations runs over the dictionary only: overlap-counted
+    adjacent-pair stats, deterministic argmax (freq DESC, pair
+    lexicographic), greedy left-to-right merge application expressed as
+    islands-parity window logic. All-integer arithmetic end to end —
+    the DuckDB oracle unrolls all 10 iterations and the learned merge
+    table matches with ZERO tolerance, the strongest verification class
+    in the repo (no rounding-grid accepted risk at all)."""
+    from faust_spark.operators.bpe import bpe_learn, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(word_counts(d), n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "step int, lhs string, rhs string, freq bigint",
+    )
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """DuckDB replica of the FULL Lloyd trajectory
     (operators/similarity.py kmeans_fit): per iteration one CTE trio —
@@ -6417,14 +6508,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-9 are the only queries without a
+# Round-6 window policy: positions 1-10 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
-# trajectory-verified PageRank, HITS, and Lloyd k-means
-# (supplier_pagerank / supplier_hits / kmeans_fit). Positions 10-26
+# trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
+# learning (supplier_pagerank / supplier_hits / kmeans_fit /
+# bpe_merges). Positions 11-27
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6441,7 +6533,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-9: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-10: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6453,7 +6545,8 @@ _PRIORITY: list[str] = [
     "supplier_pagerank",
     "kmeans_fit",
     "supplier_hits",
-    # ---- positions 10-26: implementation changed this round — DFS-
+    "bpe_merges",
+    # ---- positions 11-27: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6473,7 +6566,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 27-50: stalest driver evidence (hash-green only in
+    # ---- positions 28-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6501,14 +6594,15 @@ _PRIORITY: list[str] = [
     "sample_10pct",
     "sample_3_per_user",
     "scd2_history",
-    "pack_sequences",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # q3_shipping, q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-9 =
+    # pack_sequences, q3_shipping, q4_order_priority, q5_local_volume,
+    # q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-10 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "pack_sequences",
     "q3_shipping",
     "q5_local_volume",
     "q6_forecast",

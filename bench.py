@@ -92,6 +92,7 @@ HEADLINE = [
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass
+    "bpe_merges",  # r6: BPE merge learning over the Zipf-bounded dict
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)

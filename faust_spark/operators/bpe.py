@@ -1,0 +1,178 @@
+"""BPE tokenizer TRAINING over a distributed corpus.
+
+Byte-pair-encoding merge learning (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units") is the
+tokenizer-fit step every LLM data pipeline runs before tokenizing: count
+words once, then iteratively merge the most frequent adjacent symbol
+pair.  The classical algorithm is exactly Spark-shaped:
+
+- **one corpus pass** builds the word-frequency dictionary (term-keyed
+  partial agg — the only corpus-sized step; the dictionary is
+  Zipf-bounded, i.e. model-scale even at 100 TB of text);
+- **each merge iteration** runs over the dictionary only: adjacent-pair
+  counts (posexplode + pair-keyed partial agg, overlap-counted exactly
+  as the reference implementation's ``get_stats``), a deterministic
+  argmax (freq DESC, pair lexicographic), and a greedy left-to-right
+  non-overlapping merge application.
+
+The merge application is the subtle part: "merge left-to-right without
+overlap" is sequential on paper, but overlapping matches can only chain
+when left == right (a run like ``a a a a``), and within such a run the
+kept positions are exactly the even offsets.  So the greedy pass is
+expressible as pure window logic — match flags, gaps-and-islands ids,
+parity — identical integer arithmetic in Spark and in a SQL oracle.  No
+floats anywhere: the whole merge trajectory is bit-portable with no
+rounding guard at all, making this the most exactly-verifiable iterative
+operator in the repo.
+
+Words are lowercased and restricted to ``^[a-z]+$`` (the usual
+pre-normalization; also sidesteps engine differences in non-ASCII char
+indexing), and each word carries a ``</w>`` end-of-word marker symbol as
+in the reference algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from faust_spark.operators.mat import materialize
+
+END = "</w>"
+
+__all__ = ["word_counts", "bpe_learn", "END"]
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt) dictionary: lowercase ``^[a-z]+$`` words only.
+
+    The ONE corpus-sized step of BPE training — everything after runs
+    on this Zipf-bounded relation.
+    """
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_pair(sym: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge (a, b) -> ab to every symbol sequence, greedy
+    left-to-right non-overlapping, via islands-parity window logic."""
+    wo = W.partitionBy("word").orderBy("i")
+    e = (
+        sym.select(
+            "word", "cnt", F.posexplode("syms").alias("i", "s")
+        )
+        .withColumn("nxt", F.lead("s").over(wo))
+        .withColumn(
+            "mt",
+            F.coalesce(
+                (F.col("s") == F.lit(a)) & (F.col("nxt") == F.lit(b)),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "mrn",
+            F.sum(F.when(F.col("mt"), 1).otherwise(0)).over(wo),
+        )
+        .withColumn(
+            "isl", F.when(F.col("mt"), F.col("i") - F.col("mrn"))
+        )
+    )
+    wi = W.partitionBy("word", "isl")
+    e = (
+        e.withColumn(
+            "kept",
+            F.col("mt")
+            & (((F.col("i") - F.min("i").over(wi)) % 2) == 0),
+        )
+        .withColumn(
+            "pk", F.coalesce(F.lag("kept").over(wo), F.lit(False))
+        )
+        .withColumn(
+            "o",
+            F.when(
+                F.col("kept"), F.concat(F.col("s"), F.col("nxt"))
+            ).when(~F.col("pk"), F.col("s")),
+        )
+        .filter(F.col("o").isNotNull())
+    )
+    return e.groupBy("word", "cnt").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("o")))
+            ),
+            lambda s: s["o"],
+        ).alias("syms")
+    )
+
+
+def bpe_learn(
+    words: DataFrame, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, cnt) dictionary;
+    returns [(left, right, freq), ...] in learned order — the tokenizer
+    model (driver-side by design, like centroids and GD weights).
+
+    Pair counts include overlaps (``get_stats`` semantics); the argmax
+    tie-breaks (freq DESC, left ASC, right ASC); application is greedy
+    left-to-right.  All-integer arithmetic — the trajectory is exactly
+    reproducible by a SQL oracle with zero tolerance.
+    """
+    sym = materialize(
+        words.select(
+            "word",
+            "cnt",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+        ),
+        eager=True,
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        # sequence(0, size-1) is always ascending (size >= 1); the
+        # trailing (last, null) pair is filtered out — F.sequence(0,
+        # size-2) would DESCEND to [0, -1] for a fully-merged
+        # single-symbol word and crash on syms[1]
+        pairs = (
+            sym.select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.size("syms") - F.lit(1)
+                        ),
+                        lambda i: F.struct(
+                            F.get(F.col("syms"), i).alias("a"),
+                            F.get(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .filter(F.col("p.b").isNotNull())
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("f"))
+        )
+        top = (
+            pairs.orderBy(
+                F.desc("f"), F.col("a"), F.col("b")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, f = top[0]["a"], top[0]["b"], int(top[0]["f"])
+        merges.append((a, b, f))
+        sym = materialize(_merge_pair(sym, a, b), eager=True)
+    return merges

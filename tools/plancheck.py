@@ -35,6 +35,8 @@ SKIP = {
     # codegen argmin scan + one (cell,dim)-keyed agg each — narrow map,
     # no UDF); the terminal plan is the trajectory literal
     "supplier_hits",  # r6: same eager-iteration shape as pagerank
+    "bpe_merges",  # r6: merge iterations run eagerly over the word
+    # dictionary; the terminal plan is the 10-row merge-table literal
     "supplier_pagerank",  # r6: iterations materialize eagerly inside
     # pagerank (lineage truncated per round, plan depth constant); the
     # per-iteration shape (hash joins + hash aggs, one-row dangling
