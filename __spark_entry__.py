@@ -5697,7 +5697,7 @@ def supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=3)
 
 
-def _bpe_oracle_sql(n_merges: int = 10) -> str:
+def _bpe_oracle_sql(n_merges: int = 10, final: str = "merges") -> str:
     """DuckDB replica of the FULL BPE merge-learning trajectory
     (operators/bpe.py bpe_learn): per iteration the overlap-counted
     pair stats, the (freq DESC, lhs, rhs) argmax, and the greedy
@@ -5757,11 +5757,14 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
              FROM q{t}
              WHERE kept OR NOT pk
              GROUP BY 1, 2)""")
-    selects = " UNION ALL ".join(
-        f"SELECT {t} AS step, a AS lhs, b AS rhs, "
-        f"CAST(f AS BIGINT) AS freq FROM b{t}"
-        for t in range(1, n_merges + 1)
-    )
+    if final == "merges":
+        selects = " UNION ALL ".join(
+            f"SELECT {t} AS step, a AS lhs, b AS rhs, "
+            f"CAST(f AS BIGINT) AS freq FROM b{t}"
+            for t in range(1, n_merges + 1)
+        )
+    else:
+        selects = f"SELECT word, cnt, syms FROM s{n_merges}"
     return ",".join(parts) + f"""
     {selects}"""
 
@@ -5786,6 +5789,22 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
         "step int, lhs string, rhs string, freq bigint",
     )
+
+
+@_q("bpe_segment_words", _bpe_oracle_sql(final="segments"))
+def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (operators/bpe.py bpe_fit): the segmented
+    word dictionary after the 10 learned merges — at corpus scale,
+    tokenization is split-to-words + a broadcast join against exactly
+    this model-sized relation, so verifying the dictionary
+    segmentation verifies the apply path. Every word's full subword
+    sequence hash-matches the DuckDB oracle's s10 relation (same
+    zero-tolerance integer semantics as bpe_merges)."""
+    from faust_spark.operators.bpe import bpe_fit, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    _, sym = bpe_fit(word_counts(d), n_merges=10)
+    return sym.select("word", "cnt", "syms")
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
@@ -6508,15 +6527,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-10 are the only queries without a
+# Round-6 window policy: positions 1-11 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
-# learning (supplier_pagerank / supplier_hits / kmeans_fit /
-# bpe_merges). Positions 11-27
+# learning + apply (supplier_pagerank / supplier_hits / kmeans_fit /
+# bpe_merges / bpe_segment_words). Positions 12-28
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6533,7 +6552,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-10: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-11: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6546,7 +6565,8 @@ _PRIORITY: list[str] = [
     "kmeans_fit",
     "supplier_hits",
     "bpe_merges",
-    # ---- positions 11-27: implementation changed this round — DFS-
+    "bpe_segment_words",
+    # ---- positions 12-28: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6566,7 +6586,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 28-50: stalest driver evidence (hash-green only in
+    # ---- positions 29-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6593,15 +6613,15 @@ _PRIORITY: list[str] = [
     "word_count",
     "sample_10pct",
     "sample_3_per_user",
-    "scd2_history",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # pack_sequences, q3_shipping, q4_order_priority, q5_local_volume,
-    # q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-10 =
+    # scd2_history, pack_sequences, q3_shipping, q4_order_priority,
+    # q5_local_volume, q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-11 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "scd2_history",
     "pack_sequences",
     "q3_shipping",
     "q5_local_volume",

@@ -41,7 +41,7 @@ from faust_spark.operators.mat import materialize
 
 END = "</w>"
 
-__all__ = ["word_counts", "bpe_learn", "END"]
+__all__ = ["word_counts", "bpe_learn", "bpe_fit", "bpe_segment", "END"]
 
 
 def word_counts(
@@ -128,6 +128,17 @@ def bpe_learn(
     left-to-right.  All-integer arithmetic — the trajectory is exactly
     reproducible by a SQL oracle with zero tolerance.
     """
+    return bpe_fit(words, n_merges)[0]
+
+
+def bpe_fit(
+    words: DataFrame, n_merges: int = 10
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """:func:`bpe_learn` that also returns the final segmented
+    dictionary (word, cnt, syms) — the tokenizer APPLY artifact: at
+    corpus scale, tokenization is split-to-words + a broadcast join
+    against this model-sized relation (the corpus text itself is never
+    re-segmented row by row)."""
     sym = materialize(
         words.select(
             "word",
@@ -175,4 +186,26 @@ def bpe_learn(
         a, b, f = top[0]["a"], top[0]["b"], int(top[0]["f"])
         merges.append((a, b, f))
         sym = materialize(_merge_pair(sym, a, b), eager=True)
-    return merges
+    return merges, sym
+
+
+def bpe_segment(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Apply an already-learned merge list to a (word, cnt) dictionary
+    in learned order; returns (word, cnt, syms) — the same greedy
+    left-to-right semantics as training, re-runnable on any later
+    corpus snapshot with a frozen tokenizer."""
+    sym = materialize(
+        words.select(
+            "word",
+            "cnt",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(END))
+            ).alias("syms"),
+        ),
+        eager=True,
+    )
+    for a, b, *_ in merges:
+        sym = materialize(_merge_pair(sym, a, b), eager=True)
+    return sym

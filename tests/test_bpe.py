@@ -101,3 +101,26 @@ def test_word_counts_normalizes(spark):
     }
     # lowercased, non-[a-z] words (x9, '') dropped
     assert got == {"the": 3, "foo": 2, "bar": 1}
+
+
+def test_bpe_segment_frozen_merges(spark):
+    """bpe_segment applies a frozen merge list to a NEW dictionary
+    (words unseen at training) with the same greedy semantics, and
+    reproduces bpe_fit's own segmentation on the training dict."""
+    from faust_spark.operators.bpe import bpe_fit, bpe_segment
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(
+        list(freqs.items()), "word string, cnt long"
+    )
+    merges, sym = bpe_fit(words, n_merges=4)
+    re_seg = {
+        r["word"]: r["syms"]
+        for r in bpe_segment(words, merges).collect()
+    }
+    assert re_seg == {r["word"]: r["syms"] for r in sym.collect()}
+    # unseen word: 'lowest' gets est</w> and lo from the frozen merges
+    new = spark.createDataFrame([("lowest", 1)], "word string, cnt long")
+    (seg,) = bpe_segment(new, merges).collect()
+    assert "est" + END in seg["syms"] or "est" in seg["syms"]
+    assert seg["syms"][0] in ("lo", "l")

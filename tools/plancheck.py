@@ -37,6 +37,8 @@ SKIP = {
     "supplier_hits",  # r6: same eager-iteration shape as pagerank
     "bpe_merges",  # r6: merge iterations run eagerly over the word
     # dictionary; the terminal plan is the 10-row merge-table literal
+    "bpe_segment_words",  # r6: same eager merge machinery; terminal
+    # plan is the final materialized dictionary
     "supplier_pagerank",  # r6: iterations materialize eagerly inside
     # pagerank (lineage truncated per round, plan depth constant); the
     # per-iteration shape (hash joins + hash aggs, one-row dangling
