@@ -5807,6 +5807,71 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.select("word", "cnt", "syms")
 
 
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replica of the FULL label-propagation trajectory
+    (operators/graph.py label_propagation): per iteration neighbor
+    votes + self-vote, (votes DESC, label ASC) argmax via ROW_NUMBER —
+    all-integer counting, zero tolerance."""
+    parts = [
+        """
+    WITH e AS (SELECT DISTINCT
+                 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               FROM orders o
+               JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    und AS MATERIALIZED (
+        SELECT src, dst FROM e
+        UNION
+        SELECT dst AS src, src AS dst FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    v{t} AS (SELECT u.src AS node, lb.label
+             FROM und u JOIN l{p} lb ON lb.node = u.dst
+             UNION ALL
+             SELECT node, label FROM l{p}),
+    c{t} AS (SELECT node, label, COUNT(*) AS votes
+             FROM v{t} GROUP BY 1, 2),
+    l{t} AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY votes DESC, label) AS rn
+          FROM c{t}) WHERE rn = 1)""")
+    return ",".join(parts) + f"""
+    SELECT node, label FROM l{iters}"""
+
+
+@_q("purchase_communities", _lpa_oracle_sql())
+def purchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (operators/graph.py
+    label_propagation) over the undirected customer↔supplier purchase
+    graph — the clustering step that consolidates near-dup pair lists
+    or co-purchase neighborhoods without all-pairs work. Three
+    synchronous iterations with a self-vote (damps bipartite
+    oscillation) and smallest-label tie-break; all-integer counting, so
+    the DuckDB oracle unrolls the trajectory and the final labels match
+    with ZERO tolerance."""
+    from faust_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return label_propagation(edges, iters=3)
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """DuckDB replica of the FULL Lloyd trajectory
     (operators/similarity.py kmeans_fit): per iteration one CTE trio —
@@ -6527,15 +6592,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-11 are the only queries without a
+# Round-6 window policy: positions 1-12 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
-# learning + apply (supplier_pagerank / supplier_hits / kmeans_fit /
-# bpe_merges / bpe_segment_words). Positions 12-28
+# learning + apply + label-propagation communities
+# (supplier_pagerank / supplier_hits / kmeans_fit / bpe_merges /
+# bpe_segment_words / purchase_communities). Positions 13-29
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6552,7 +6618,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-11: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-12: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6566,7 +6632,8 @@ _PRIORITY: list[str] = [
     "supplier_hits",
     "bpe_merges",
     "bpe_segment_words",
-    # ---- positions 12-28: implementation changed this round — DFS-
+    "purchase_communities",
+    # ---- positions 13-29: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6586,7 +6653,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 29-50: stalest driver evidence (hash-green only in
+    # ---- positions 30-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6612,15 +6679,15 @@ _PRIORITY: list[str] = [
     "q1_pricing",
     "word_count",
     "sample_10pct",
-    "sample_3_per_user",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # scd2_history, pack_sequences, q3_shipping, q4_order_priority,
-    # q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-11 =
+    # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
+    # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-12 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "sample_3_per_user",
     "scd2_history",
     "pack_sequences",
     "q3_shipping",

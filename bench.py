@@ -93,6 +93,7 @@ HEADLINE = [
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass
     "bpe_merges",  # r6: BPE merge learning over the Zipf-bounded dict
+    "purchase_communities",  # r6: label-propagation clustering
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)

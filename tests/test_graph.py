@@ -167,3 +167,58 @@ def test_hits_bipartite_roles(spark):
     assert abs(sum(x["auth"] for x in r.values()) - 1.0) < 1e-6
     assert abs(sum(x["hub"] for x in r.values()) - 1.0) < 1e-6
     assert r["s1"]["auth"] > r["s2"]["auth"]
+
+
+def _numpy_lpa(edges, iters):
+    """Replica: undirected neighbor votes + self-vote, argmax with
+    (votes DESC, label ASC) tie-break, synchronous updates."""
+    und = set()
+    for s, t in edges:
+        und.add((s, t))
+        und.add((t, s))
+    nodes = sorted({s for s, _ in und})
+    nbrs = {n: [t for s, t in und if s == n] for n in nodes}
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            votes: dict[str, int] = {lab[n]: 1}
+            for m in nbrs[n]:
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            new[n] = min(votes, key=lambda k: (-votes[k], k))
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    from faust_spark.operators.graph import label_propagation
+
+    edges = [
+        # two triangles bridged by one edge
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+        ("b", "a"),  # reverse dup
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got == _numpy_lpa(edges, 3)
+
+
+def test_label_propagation_separates_components(spark):
+    """Two disconnected cliques converge to distinct single labels
+    (the min node id of each clique)."""
+    from faust_spark.operators.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("p", "q"), ("q", "r"), ("p", "r")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=4).collect()
+    }
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["p"], got["q"], got["r"]} == {"p"}

@@ -35,6 +35,8 @@ SKIP = {
     # codegen argmin scan + one (cell,dim)-keyed agg each — narrow map,
     # no UDF); the terminal plan is the trajectory literal
     "supplier_hits",  # r6: same eager-iteration shape as pagerank
+    "purchase_communities",  # r6: eager LPA iterations; terminal plan
+    # is the materialized final label relation
     "bpe_merges",  # r6: merge iterations run eagerly over the word
     # dictionary; the terminal plan is the 10-row merge-table literal
     "bpe_segment_words",  # r6: same eager merge machinery; terminal
