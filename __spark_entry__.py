@@ -5565,14 +5565,16 @@ def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
     unrolled-iteration oracle pattern (mmr / logreg) on a graph op."""
     parts = [
         """
-    WITH e AS (SELECT DISTINCT
+    WITH e AS MATERIALIZED (SELECT DISTINCT
                  'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
                FROM orders o
                JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    od AS MATERIALIZED (
+        SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
     r0 AS (SELECT node, ROUND(1.0 / nn.n, 9) AS rank
            FROM nodes CROSS JOIN nn)"""
     ]
@@ -5586,7 +5588,7 @@ def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
              FROM e JOIN od ON od.src = e.src
              JOIN r{p} r ON r.node = e.src
              GROUP BY 1),
-    r{t} AS (SELECT n.node,
+    r{t} AS MATERIALIZED (SELECT n.node,
                     ROUND((1.0 - {d}) / nn.n
                           + {d} * (COALESCE(c.inflow, 0.0)
                                    + dd.dm / nn.n), 9) AS rank
@@ -5636,12 +5638,13 @@ def _hits_oracle_sql(iters: int = 3) -> str:
     oracle pattern again."""
     parts = [
         """
-    WITH e AS (SELECT DISTINCT
+    WITH e AS MATERIALIZED (SELECT DISTINCT
                  'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
                FROM orders o
                JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
     h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
     ]
     for t in range(1, iters + 1):
@@ -5650,7 +5653,7 @@ def _hits_oracle_sql(iters: int = 3) -> str:
     ar{t} AS (SELECT e.dst, SUM(h.hub) AS raw
               FROM e JOIN h{p} h ON h.node = e.src GROUP BY 1),
     at{t} AS (SELECT SUM(raw) AS t FROM ar{t}),
-    a{t} AS (SELECT n.node,
+    a{t} AS MATERIALIZED (SELECT n.node,
                     ROUND(COALESCE(r.raw / NULLIF(tt.t, 0), 0.0), 9)
                       AS auth
              FROM nodes n
@@ -5659,7 +5662,7 @@ def _hits_oracle_sql(iters: int = 3) -> str:
     hr{t} AS (SELECT e.src, SUM(a.auth) AS raw
               FROM e JOIN a{t} a ON a.node = e.dst GROUP BY 1),
     ht{t} AS (SELECT SUM(raw) AS t FROM hr{t}),
-    h{t} AS (SELECT n.node,
+    h{t} AS MATERIALIZED (SELECT n.node,
                     ROUND(COALESCE(r.raw / NULLIF(tt.t, 0), 0.0), 9)
                       AS hub
              FROM nodes n
@@ -5814,7 +5817,7 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
     all-integer counting, zero tolerance."""
     parts = [
         """
-    WITH e AS (SELECT DISTINCT
+    WITH e AS MATERIALIZED (SELECT DISTINCT
                  'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
                FROM orders o
