@@ -5629,6 +5629,91 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3, damping=0.85)
 
 
+def _ppr_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """DuckDB replica of the FULL personalized-PageRank trajectory
+    (operators/graph.py personalized_pagerank): teleport restricted to
+    the seed suppliers (nations 0-4), dangling mass re-entering through
+    the teleport distribution, per-rank ROUND(·, 9) per iteration."""
+    parts = [
+        """
+    WITH e AS MATERIALIZED (SELECT DISTINCT
+                 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               FROM orders o
+               JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM e UNION SELECT dst FROM e),
+    sd AS MATERIALIZED (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier WHERE s_nationkey < 5
+        INTERSECT SELECT node FROM nodes),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM sd),
+    wn AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.k
+                    ELSE 0.0 END AS w
+        FROM nodes n LEFT JOIN sd s ON s.node = n.node CROSS JOIN ns),
+    od AS MATERIALIZED (
+        SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT node, ROUND(w, 9) AS rank FROM wn)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    d{t} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+             FROM r{p} r LEFT JOIN od ON od.src = r.node
+             WHERE od.src IS NULL),
+    c{t} AS (SELECT e.dst, SUM(r.rank / od.outdeg) AS inflow
+             FROM e JOIN od ON od.src = e.src
+             JOIN r{p} r ON r.node = e.src
+             GROUP BY 1),
+    r{t} AS MATERIALIZED (SELECT n.node,
+                    ROUND((1.0 - {d}) * n.w
+                          + {d} * (COALESCE(c.inflow, 0.0)
+                                   + dd.dm * n.w), 9) AS rank
+             FROM wn n
+             LEFT JOIN c{t} c ON c.dst = n.node
+             CROSS JOIN d{t} dd)""")
+    return ",".join(parts) + f"""
+    SELECT node, rank FROM r{iters}"""
+
+
+@_q("trusted_supplier_ppr", _ppr_oracle_sql())
+def trusted_supplier_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank)
+    over the purchase graph, teleporting only to a TRUSTED SEED set
+    (suppliers from nations 0-4) — the curated-seed quality-propagation
+    pass crawl pipelines run to score sources by proximity to a vetted
+    list rather than raw popularity. Dangling mass re-enters through
+    the teleport distribution, so rank stays concentrated on the
+    seed-reachable subgraph. Per-rank in-engine rounding; the DuckDB
+    oracle unrolls all three iterations — full trajectory
+    hash-matched."""
+    from faust_spark.operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    seeds = sup.filter(F.col("s_nationkey") < 5).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        )
+    )
+    return personalized_pagerank(edges, seeds, iters=3, damping=0.85)
+
+
 def _hits_oracle_sql(iters: int = 3) -> str:
     """DuckDB replica of the FULL HITS trajectory
     (operators/graph.py hits) over the customer→supplier purchase
@@ -6595,16 +6680,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-12 are the only queries without a
+# Round-6 window policy: positions 1-13 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
-# learning + apply + label-propagation communities
+# learning + apply + label-propagation communities + seeded PPR
 # (supplier_pagerank / supplier_hits / kmeans_fit / bpe_merges /
-# bpe_segment_words / purchase_communities). Positions 13-29
+# bpe_segment_words / purchase_communities / trusted_supplier_ppr).
+# Positions 14-30
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6621,7 +6707,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-12: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-13: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6636,7 +6722,8 @@ _PRIORITY: list[str] = [
     "bpe_merges",
     "bpe_segment_words",
     "purchase_communities",
-    # ---- positions 13-29: implementation changed this round — DFS-
+    "trusted_supplier_ppr",
+    # ---- positions 14-30: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6656,7 +6743,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 30-50: stalest driver evidence (hash-green only in
+    # ---- positions 31-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6681,15 +6768,16 @@ _PRIORITY: list[str] = [
     "anti_join",
     "q1_pricing",
     "word_count",
-    "sample_10pct",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
-    # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-12 =
+    # sample_10pct, sample_3_per_user, scd2_history, pack_sequences,
+    # q3_shipping, q4_order_priority, q5_local_volume, q6_forecast
+    # displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-13 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "sample_10pct",
     "sample_3_per_user",
     "scd2_history",
     "pack_sequences",

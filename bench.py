@@ -94,6 +94,7 @@ HEADLINE = [
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass
     "bpe_merges",  # r6: BPE merge learning over the Zipf-bounded dict
     "purchase_communities",  # r6: label-propagation clustering
+    "trusted_supplier_ppr",  # r6: seeded teleport quality propagation
     "pii_redact",  # codegen regex detect + mask, one scan
     "unigram_logprob",  # corpus-fit unigram LM perplexity scoring
     "substring_dedup",  # ExactSubstr span dedup (Lee et al. 2022)

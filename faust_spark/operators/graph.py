@@ -36,7 +36,12 @@ from pyspark.sql import Window as W
 
 from faust_spark.operators.mat import materialize
 
-__all__ = ["pagerank", "hits", "label_propagation"]
+__all__ = [
+    "pagerank",
+    "personalized_pagerank",
+    "hits",
+    "label_propagation",
+]
 
 
 def pagerank(
@@ -106,6 +111,102 @@ def pagerank(
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0.0))
                         + F.col("dm") / F.lit(float(n))
+                    ),
+                    round_dp,
+                ).alias("rank"),
+            ),
+            eager=True,
+        )
+    return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    round_dp: int = 9,
+) -> DataFrame:
+    """PageRank with the teleport restricted to a SEED set — the
+    trusted-seed scoring pass crawl pipelines run to propagate quality
+    from a curated list (seed domains, vetted sources) through the link
+    graph; returns (node, rank).
+
+    Teleport weight w_v = 1/|S| for seeds present in the graph, else 0;
+    init rank = ROUND(w, round_dp); update rank' = ROUND((1-d)·w +
+    d·(inflow + dangling·w), round_dp) — dangling mass re-enters
+    through the teleport distribution, so total mass stays with the
+    seed-reachable subgraph.  Same shapes as :func:`pagerank` (one
+    src-keyed join + dst-keyed SUM + one-row dangling broadcast per
+    iteration) plus a one-time seed semi-join.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = materialize(e)
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = materialize(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+    )
+    ns = sd.count()
+    if ns == 0:
+        raise ValueError("no seed nodes present in the edge relation")
+    wnodes = materialize(
+        nodes.join(
+            sd.withColumn("__s", F.lit(1)), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(1.0) / F.lit(float(ns)))
+            .otherwise(F.lit(0.0))
+            .alias("w"),
+        )
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = materialize(e.join(outdeg, "src"))
+
+    ranks = wnodes.select(
+        "node", F.round(F.col("w"), round_dp).alias("rank")
+    )
+    for _ in range(iters):
+        dangling = (
+            ranks.join(
+                outdeg, ranks["node"] == outdeg["src"], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            eo.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("rank").alias("r")
+                ),
+                "src",
+            )
+            .select("dst", (F.col("r") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = materialize(
+            wnodes.join(
+                contrib, wnodes["node"] == contrib["dst"], "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) * F.col("w")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") * F.col("w")
                     ),
                     round_dp,
                 ).alias("rank"),

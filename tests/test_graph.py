@@ -222,3 +222,68 @@ def test_label_propagation_separates_components(spark):
     }
     assert {got["a"], got["b"], got["c"]} == {"a"}
     assert {got["p"], got["q"], got["r"]} == {"p"}
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Seeded teleport: numpy replica with dangling mass re-entering
+    through the seed distribution; non-seed-reachable nodes get 0."""
+    import decimal
+
+    from faust_spark.operators.graph import personalized_pagerank
+
+    def half_up(x, dp=9):
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal(1).scaleb(-dp),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("x", "y"),  # disconnected from the seed component
+    ]
+    seeds = ["a", "zzz"]  # zzz not in graph -> ignored
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, sdf, iters=3).collect()
+    }
+
+    und = sorted(set(edges))
+    nodes = sorted({s for s, _ in und} | {t for _, t in und})
+    seed_in = [s for s in seeds if s in nodes]
+    w = {n: (1.0 / len(seed_in) if n in seed_in else 0.0) for n in nodes}
+    outdeg = {}
+    for s, _ in und:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: half_up(w[n]) for n in nodes}
+    d = 0.85
+    for _ in range(3):
+        dm = sum(r[n] for n in nodes if n not in outdeg)
+        inflow = {n: 0.0 for n in nodes}
+        for s, t in und:
+            inflow[t] += r[s] / outdeg[s]
+        r = {
+            n: half_up((1.0 - d) * w[n] + d * (inflow[n] + dm * w[n]))
+            for n in nodes
+        }
+    assert set(got) == set(r)
+    for n in r:
+        assert abs(got[n] - r[n]) < 1e-9, (n, got[n], r[n])
+    # the x->y component is unreachable from the seed: zero rank
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    # seed-reachable nodes carry all the mass
+    assert sum(got.values()) > 0.9
+
+
+def test_personalized_pagerank_requires_in_graph_seeds(spark):
+    import pytest
+
+    from faust_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    sdf = spark.createDataFrame([("nope",)], "node string")
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, sdf)

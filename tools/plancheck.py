@@ -35,6 +35,7 @@ SKIP = {
     # codegen argmin scan + one (cell,dim)-keyed agg each — narrow map,
     # no UDF); the terminal plan is the trajectory literal
     "supplier_hits",  # r6: same eager-iteration shape as pagerank
+    "trusted_supplier_ppr",  # r6: eager iterations like pagerank
     "purchase_communities",  # r6: eager LPA iterations; terminal plan
     # is the materialized final label relation
     "bpe_merges",  # r6: merge iterations run eagerly over the word

@@ -88,6 +88,7 @@ PROBES_TPCH = [
     "supplier_pagerank",  # r6: per-iteration scatter/gather is O(|E|)
     "supplier_hits",  # r6: two O(|E|) half-steps per iteration
     "purchase_communities",  # r6: |2E| votes + (node,label) agg per pass
+    "trusted_supplier_ppr",  # r6: pagerank shapes + one seed semi-join
 ]
 # embeddings replicate as EXACT copies, so embedding_dup_pairs' exact mode
 # pays both more pairs and a bigger output — the honest quadratic cost of
