@@ -181,3 +181,65 @@ def test_substring_spans_match_bruteforce(spark, texts):
         for r in remove_dup_spans(df, window=W, stride=S).collect()
     }
     assert gotc == exp_clean
+
+
+# ---- graph trainers (round 6): random graphs vs pure-python replicas
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(list("abcdefgh")),
+        st.sampled_from(list("abcdefgh")),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=8, deadline=None)
+def test_pagerank_random_graphs_match_replica(spark, edges):
+    from faust_spark.operators.graph import pagerank
+    from tests.test_graph import _numpy_pagerank
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=2).collect()
+    }
+    want = _numpy_pagerank(edges, iters=2)
+    assert set(got) == set(want)
+    assert all(abs(got[n] - want[n]) < 1e-9 for n in want), (got, want)
+    # stochastic invariant: total rank ~1 under dangling redistribution
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=8, deadline=None)
+def test_label_propagation_random_graphs_match_replica(spark, edges):
+    from faust_spark.operators.graph import label_propagation
+    from tests.test_graph import _numpy_lpa
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=2).collect()
+    }
+    assert got == _numpy_lpa(edges, 2)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=6, deadline=None)
+def test_hits_random_graphs_match_replica(spark, edges):
+    from faust_spark.operators.graph import hits
+    from tests.test_graph import _numpy_hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, iters=2).collect()
+    }
+    hub, auth = _numpy_hits(edges, iters=2)
+    assert set(got) == set(hub)
+    for n in hub:
+        assert abs(got[n][0] - hub[n]) < 1e-9
+        assert abs(got[n][1] - auth[n]) < 1e-9
