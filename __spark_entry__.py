@@ -6039,6 +6039,146 @@ def kmeans_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adaboost_oracle_sql(rounds: int = 4, n_bins: int = 8) -> str:
+    """DuckDB replica of the FULL AdaBoost trajectory
+    (operators/ml.py adaboost_fit): per round the per-row weights are
+    an expression of the PRIOR stump rows (one-row CROSS JOINs), the
+    (feature, bin) weighted masses aggregate in one pass, the
+    threshold scan over a generate_series spine computes both
+    polarities' normalized errors with ROUND(·, 9), and the argmin
+    tie-breaks (eps, feat, bin, pol +1 first). Every cross-round
+    dependency is a discrete or rounded value, so the stump table
+    hash-matches."""
+    nb = n_bins
+    bin_tmpl = (
+        "CASE WHEN r.mx{k} = r.mn{k} THEN 0 ELSE LEAST({top}, "
+        "GREATEST(0, CAST(FLOOR(ROUND((f{k} - r.mn{k}) / "
+        "(r.mx{k} - r.mn{k}) * {nb}.0, 9)) AS INT))) END"
+    )
+    bins = ",\n             ".join(
+        bin_tmpl.format(k=k, top=nb - 1, nb=nb) + f" AS bin{k}"
+        for k in (1, 2, 3)
+    )
+    parts = [
+        f"""
+    WITH feat AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE -1.0 END AS yp,
+             CAST(n_chars AS DOUBLE) AS f1,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS f2,
+             CAST(len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','of','and','to','in','is')))
+                  AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f3
+      FROM documents),
+    rg AS (SELECT MIN(f1) AS mn1, MAX(f1) AS mx1,
+                  MIN(f2) AS mn2, MAX(f2) AS mx2,
+                  MIN(f3) AS mn3, MAX(f3) AS mx3 FROM feat),
+    bb AS MATERIALIZED (
+      SELECT yp,
+             {bins}
+      FROM feat CROSS JOIN rg r),
+    spine AS (SELECT j.j, s.bin
+              FROM (SELECT unnest(generate_series(0, 2)) AS j) j,
+                   (SELECT unnest(generate_series(0, {nb - 1}))
+                      AS bin) s)"""
+    ]
+    for t in range(1, rounds + 1):
+        prior = "".join(f" CROSS JOIN st{s} s{s}" for s in range(1, t))
+        hterms = []
+        for s in range(1, t):
+            hterms.append(
+                f"s{s}.alpha * (CASE WHEN (CASE WHEN s{s}.feat = 0"
+                f" THEN bin1 WHEN s{s}.feat = 1 THEN bin2"
+                f" ELSE bin3 END) <= s{s}.bin"
+                f" THEN CAST(s{s}.pol AS DOUBLE)"
+                f" ELSE -CAST(s{s}.pol AS DOUBLE) END)"
+            )
+        wexpr = (
+            "EXP(-yp * (" + " + ".join(hterms) + "))"
+            if hterms
+            else "1.0"
+        )
+        parts.append(f"""
+    m{t} AS MATERIALIZED (
+      SELECT j, bin,
+             SUM(CASE WHEN yp > 0 THEN w ELSE 0.0 END) AS wp,
+             SUM(CASE WHEN yp < 0 THEN w ELSE 0.0 END) AS wn
+      FROM (SELECT u.j,
+                   CASE WHEN u.j = 0 THEN bin1
+                        WHEN u.j = 1 THEN bin2 ELSE bin3 END AS bin,
+                   yp, {wexpr} AS w
+            FROM bb{prior},
+                 (SELECT unnest(generate_series(0, 2)) AS j) u)
+      GROUP BY 1, 2),
+    c{t} AS (SELECT s.j, s.bin,
+                    ROUND((SUM(CASE WHEN m.bin <= s.bin THEN m.wn
+                                    ELSE 0.0 END)
+                           + SUM(CASE WHEN m.bin > s.bin THEN m.wp
+                                      ELSE 0.0 END))
+                          / SUM(m.wp + m.wn), 9) AS ep
+             FROM spine s JOIN m{t} m ON m.j = s.j
+             GROUP BY 1, 2),
+    st{t} AS MATERIALIZED (
+      SELECT feat, bin, pol, eps,
+             ROUND(0.5 * LN((1.0 - GREATEST(0.000000001,
+                     LEAST(eps, 0.999999999)))
+                   / GREATEST(0.000000001,
+                     LEAST(eps, 0.999999999))), 9) AS alpha
+      FROM (SELECT j AS feat, bin, 1 AS pol, ep AS eps FROM c{t}
+            UNION ALL
+            SELECT j, bin, -1, ROUND(1.0 - ep, 9) FROM c{t})
+      ORDER BY eps, feat, bin, pol DESC LIMIT 1)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS round, feat, bin, pol, "
+        f"alpha, eps FROM st{t}"
+        for t in range(1, rounds + 1)
+    )
+    return ",".join(parts) + f"""
+    {selects}"""
+
+
+@_q("quality_adaboost_fit", _adaboost_oracle_sql())
+def quality_adaboost_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost decision-stump TRAINING (operators/ml.py adaboost_fit)
+    — the ensemble sibling of quality_logreg_fit, the
+    boosted-weak-learner shape behind production quality filters. Four
+    rounds over the same document features (n_chars, word count,
+    stopword ratio), 8 quantized bins each; every round is ONE corpus
+    aggregation pass (per-row weights are an in-engine expression of
+    the prior stumps — no per-row state exists anywhere), and the
+    stump selection runs over the d×bins model-sized mass table.
+    eps/alpha round to 9 dp and the stump params are discrete, so the
+    DuckDB oracle replays all four rounds and the full model table
+    hash-matches."""
+    from faust_spark.operators.ml import adaboost_fit
+
+    _STOPS = ["the", "a", "of", "and", "to", "in", "is"]
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        (F.col("lang") == "en").alias("y"),
+        F.col("n_chars").cast("double").alias("f1"),
+        F.size(toks).cast("double").alias("f2"),
+        (
+            F.size(F.filter(toks, lambda w: w.isin(*_STOPS))).cast(
+                "double"
+            )
+            / F.size(toks).cast("double")
+        ).alias("f3"),
+    )
+    stumps = adaboost_fit(
+        feat, ["f1", "f2", "f3"], "y", rounds=4, n_bins=8
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, j, b, pol, alpha, eps)
+            for i, (j, b, pol, alpha, eps) in enumerate(stumps)
+        ],
+        "round int, feat int, bin int, pol int, "
+        "alpha double, eps double",
+    )
+
+
 def _logreg_oracle_sql(steps: int = 4, lr: float = 1.0) -> str:
     """DuckDB replica of the FULL logistic-regression GD trajectory
     (operators/ml.py logreg_fit): the iterative fit unrolls into one
@@ -6680,17 +6820,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-13 are the only queries without a
+# Round-6 window policy: positions 1-14 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
 # cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
-# learning + apply + label-propagation communities + seeded PPR
-# (supplier_pagerank / supplier_hits / kmeans_fit / bpe_merges /
-# bpe_segment_words / purchase_communities / trusted_supplier_ppr).
-# Positions 14-30
+# learning + apply + label-propagation communities + seeded PPR +
+# AdaBoost stumps (supplier_pagerank / supplier_hits / kmeans_fit /
+# bpe_merges / bpe_segment_words / purchase_communities /
+# trusted_supplier_ppr / quality_adaboost_fit). Positions 15-31
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6707,7 +6847,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-13: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-14: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6723,7 +6863,8 @@ _PRIORITY: list[str] = [
     "bpe_segment_words",
     "purchase_communities",
     "trusted_supplier_ppr",
-    # ---- positions 14-30: implementation changed this round — DFS-
+    "quality_adaboost_fit",
+    # ---- positions 15-31: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6743,7 +6884,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 31-50: stalest driver evidence (hash-green only in
+    # ---- positions 32-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6767,16 +6908,16 @@ _PRIORITY: list[str] = [
     "semi_join",
     "anti_join",
     "q1_pricing",
-    "word_count",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # sample_10pct, sample_3_per_user, scd2_history, pack_sequences,
-    # q3_shipping, q4_order_priority, q5_local_volume, q6_forecast
-    # displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-13 =
+    # word_count, sample_10pct, sample_3_per_user, scd2_history,
+    # pack_sequences, q3_shipping, q4_order_priority, q5_local_volume,
+    # q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-14 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "word_count",
     "sample_10pct",
     "sample_3_per_user",
     "scd2_history",

@@ -36,7 +36,14 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_predict", "feature_scales"]
+__all__ = [
+    "logreg_fit",
+    "logreg_predict",
+    "feature_scales",
+    "adaboost_fit",
+    "adaboost_predict",
+    "feature_ranges",
+]
 
 
 def feature_scales(
@@ -130,3 +137,186 @@ def logreg_predict(
     ]
     z = _z(list(weights), xcols)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+# ---------------------------------------------------------------------
+# AdaBoost with decision stumps (round 6)
+# ---------------------------------------------------------------------
+
+def feature_ranges(
+    df: DataFrame, feature_cols: Sequence[str]
+) -> list[tuple[float, float]]:
+    """(min, max) per feature — the binning model ``adaboost_fit``
+    quantizes against.  min/max are order-independent aggregates, so
+    the scalars are bit-identical across engines."""
+    aggs = []
+    for c in feature_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+    row = df.agg(*aggs).first()
+    return [
+        (float(row[f"mn_{c}"]), float(row[f"mx_{c}"]))
+        for c in feature_cols
+    ]
+
+
+def _bin_expr(
+    col: Column, mn: float, mx: float, n_bins: int
+) -> Column:
+    """Engine-portable bin id in [0, n_bins-1]: FLOOR of the 9-dp
+    ROUNDed scaled position (the rounding grid absorbs cross-engine
+    ulp differences in the division; a flip needs the true position
+    within float error of a grid boundary — the repo's accepted-risk
+    class), clamped top and bottom."""
+    if mx == mn:
+        return F.lit(0)
+    u = F.round(
+        (col - F.lit(mn)) / F.lit(mx - mn) * F.lit(float(n_bins)), 9
+    )
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(u).cast("int")),
+    )
+
+
+def _stump_h(
+    stump: tuple, bins: list[Column]
+) -> Column:
+    """h(x) = pol if bin_j(x) <= b else -pol, as a codegen expression."""
+    j, b, pol = stump[0], stump[1], stump[2]
+    return F.when(
+        bins[j] <= F.lit(b), F.lit(float(pol))
+    ).otherwise(F.lit(float(-pol)))
+
+
+def adaboost_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    rounds: int = 4,
+    n_bins: int = 8,
+    round_dp: int = 9,
+    ranges: Optional[Sequence[tuple[float, float]]] = None,
+) -> list[tuple[int, int, int, float, float]]:
+    """AdaBoost.M1 over quantized decision stumps; returns the model
+    as ``[(feat_idx, bin_threshold, polarity, alpha, eps), ...]``.
+
+    The ensemble-training sibling of :func:`logreg_fit`, same
+    verification bar: every round is ONE corpus aggregation pass —
+    per-row weights ``w = exp(-y'·F(x))`` are an in-engine expression
+    of the PRIOR stumps (discrete params + rounded alphas — no per-row
+    state is ever stored or shuffled), and the pass emits weighted
+    label masses per (feature, bin): a d×n_bins-sized result.  The
+    best stump (threshold scan over the cumulative masses, both
+    polarities) and its ``alpha = 0.5·ln((1-eps)/eps)`` are computed
+    driver-side from that model-sized table, with eps and alpha
+    ROUNDed to ``round_dp`` — every cross-round dependency flows
+    through discrete or rounded values, so a SQL oracle replays the
+    trajectory exactly.  Tie-break: (eps, feat, bin, polarity +1
+    first).  ``label_col`` is 0/1; eps is clamped to
+    [1e-9, 1 - 1e-9] before the log.
+    """
+    d = len(feature_cols)
+    rg = list(ranges) if ranges is not None else feature_ranges(
+        df, feature_cols
+    )
+    bins = [
+        _bin_expr(F.col(c).cast("double"), mn, mx, n_bins)
+        for c, (mn, mx) in zip(feature_cols, rg)
+    ]
+    yp = (F.col(label_col).cast("double") * 2.0 - 1.0)  # ±1
+    stumps: list[tuple[int, int, int, float, float]] = []
+    for _ in range(rounds):
+        fx: Column = F.lit(0.0)
+        for s in stumps:
+            fx = fx + F.lit(float(s[3])) * _stump_h(s, bins)
+        w = F.exp(-yp * fx)
+        # one pass: per-feature unpivot via a stacked struct array
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bins[j].alias("bin")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p")
+        masses = (
+            df.select(
+                pairs,
+                (w * F.when(yp > 0, 1.0).otherwise(0.0)).alias("wp"),
+                (w * F.when(yp < 0, 1.0).otherwise(0.0)).alias("wn"),
+            )
+            .groupBy("p.j", "p.bin")
+            .agg(F.sum("wp").alias("wp"), F.sum("wn").alias("wn"))
+            .collect()
+        )
+        wp = {(r["j"], r["bin"]): r["wp"] for r in masses}
+        wn = {(r["j"], r["bin"]): r["wn"] for r in masses}
+        total_p = {j: 0.0 for j in range(d)}
+        total_n = {j: 0.0 for j in range(d)}
+        for j in range(d):
+            for b in range(n_bins):  # ascending — the canonical order
+                total_p[j] += wp.get((j, b), 0.0)
+                total_n[j] += wn.get((j, b), 0.0)
+        best = None
+        for j in range(d):
+            cwp = cwn = 0.0
+            total = total_p[j] + total_n[j]
+            for b in range(n_bins):
+                cwp += wp.get((j, b), 0.0)
+                cwn += wn.get((j, b), 0.0)
+                # pol=+1 predicts +1 for bin<=b: misses wn below, wp
+                # above; normalize by the total weight so eps ∈ [0, 1]
+                ep = round_half_up(
+                    (cwn + (total_p[j] - cwp)) / total, round_dp
+                )
+                en = round_half_up(1.0 - ep, round_dp)
+                for pol, eps in ((1, ep), (-1, en)):
+                    key = (eps, j, b, -pol)
+                    if best is None or key < best[0]:
+                        best = (key, j, b, pol, eps)
+        _, j, b, pol, eps = best
+        import math
+
+        ec = min(max(eps, 1e-9), 1.0 - 1e-9)
+        alpha = round_half_up(
+            0.5 * math.log((1.0 - ec) / ec), round_dp
+        )
+        stumps.append((j, b, pol, alpha, eps))
+    return stumps
+
+
+def round_half_up(x: float, dp: int) -> float:
+    """Python-side HALF_UP rounding matching F.round / DuckDB ROUND
+    (Python's built-in round() is banker's — a tie would diverge)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-dp),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+    )
+
+
+def adaboost_predict(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    stumps: Sequence[tuple],
+    ranges: Sequence[tuple[float, float]],
+    n_bins: int = 8,
+    out_col: str = "score",
+) -> DataFrame:
+    """Score rows with a fitted ensemble: F(x) = Σ alpha·h(x) as
+    ``out_col`` (sign = predicted class) — literal stump params in one
+    codegen scan, the quality_classifier apply shape."""
+    bins = [
+        _bin_expr(F.col(c).cast("double"), mn, mx, n_bins)
+        for c, (mn, mx) in zip(feature_cols, ranges)
+    ]
+    fx: Column = F.lit(0.0)
+    for s in stumps:
+        fx = fx + F.lit(float(s[3])) * _stump_h(s, bins)
+    return df.withColumn(out_col, fx)

@@ -104,3 +104,115 @@ def test_gd_step_plan_shape(spark):
     assert "EvalPython" not in plan
     assert plan.count("Exchange SinglePartition") == 1
     assert "HashAggregate" in plan
+
+
+# ---- AdaBoost stumps (round 6)
+
+
+def _py_adaboost(X, y, rounds=4, n_bins=8, dp=9):
+    """Pure-python replica of adaboost_fit's recipe: quantized bins,
+    weights from prior rounded alphas, normalized rounded errors,
+    (eps, feat, bin, pol +1 first) tie-break."""
+    import math
+
+    from faust_spark.operators.ml import round_half_up
+
+    d = X.shape[1]
+    rg = [(float(X[:, j].min()), float(X[:, j].max())) for j in range(d)]
+
+    def bins(j, v):
+        mn, mx = rg[j]
+        if mx == mn:
+            return 0
+        u = round_half_up((v - mn) / (mx - mn) * n_bins, 9)
+        return min(n_bins - 1, max(0, math.floor(u)))
+
+    B = [[bins(j, float(X[i, j])) for j in range(d)] for i in range(len(X))]
+    yp = [1.0 if t > 0 else -1.0 for t in (y * 2 - 1)]
+    stumps = []
+    for _ in range(rounds):
+        w = []
+        for i in range(len(X)):
+            fx = 0.0
+            for (j, b, pol, alpha, _e) in stumps:
+                h = pol if B[i][j] <= b else -pol
+                fx += alpha * h
+            w.append(math.exp(-yp[i] * fx))
+        best = None
+        for j in range(d):
+            total = sum(w)
+            for b in range(n_bins):
+                miss_p = sum(
+                    w[i]
+                    for i in range(len(X))
+                    if (B[i][j] <= b and yp[i] < 0)
+                    or (B[i][j] > b and yp[i] > 0)
+                )
+                ep = round_half_up(miss_p / total, dp)
+                en = round_half_up(1.0 - ep, dp)
+                for pol, eps in ((1, ep), (-1, en)):
+                    key = (eps, j, b, -pol)
+                    if best is None or key < best[0]:
+                        best = (key, j, b, pol, eps)
+        _, j, b, pol, eps = best
+        ec = min(max(eps, 1e-9), 1.0 - 1e-9)
+        alpha = round_half_up(0.5 * math.log((1.0 - ec) / ec), dp)
+        stumps.append((j, b, pol, alpha, eps))
+    return stumps
+
+
+def test_adaboost_matches_python_reference(spark):
+    from faust_spark.operators.ml import adaboost_fit
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(150, 3) * np.array([4.0, 1.0, 0.5])
+    y = ((X[:, 0] - X[:, 2] * 3.0) > 0).astype(float)
+    df = spark.createDataFrame(
+        [
+            (float(yy), float(a), float(b), float(c))
+            for yy, (a, b, c) in zip(y, X)
+        ],
+        "y double, f1 double, f2 double, f3 double",
+    )
+    got = adaboost_fit(df, ["f1", "f2", "f3"], "y", rounds=4)
+    want = _py_adaboost(X, y, rounds=4)
+    assert got == want, (got, want)
+
+
+def test_adaboost_separates_and_error_decreases(spark):
+    from faust_spark.operators.ml import (
+        adaboost_fit,
+        adaboost_predict,
+        feature_ranges,
+    )
+
+    rng = np.random.RandomState(5)
+    X = np.vstack([rng.randn(150, 2) + 2.0, rng.randn(150, 2) - 2.0])
+    y = np.array([1.0] * 150 + [0.0] * 150)
+    df = spark.createDataFrame(
+        [(float(yy), float(a), float(b)) for yy, (a, b) in zip(y, X)],
+        "y double, f1 double, f2 double",
+    )
+    st = adaboost_fit(df, ["f1", "f2"], "y", rounds=4)
+    # round-1 stump must be a better-than-chance learner, and every
+    # round's eps stays below 0.5 (the boostability condition)
+    assert all(s[4] < 0.5 for s in st), st
+    rg = feature_ranges(df, ["f1", "f2"])
+    sc = adaboost_predict(df, ["f1", "f2"], st, rg)
+    acc = sc.filter(
+        ((F.col("score") > 0) & (F.col("y") == 1.0))
+        | ((F.col("score") <= 0) & (F.col("y") == 0.0))
+    ).count() / 300.0
+    assert acc > 0.9, acc
+
+
+def test_adaboost_constant_feature_safe(spark):
+    from faust_spark.operators.ml import adaboost_fit
+
+    df = spark.createDataFrame(
+        [(float(i % 2), 5.0, float(i)) for i in range(40)],
+        "y double, z double, f double",
+    )
+    st = adaboost_fit(df, ["z", "f"], "y", rounds=2)
+    assert len(st) == 2
+    assert all(np.isfinite(s[3]) for s in st)

@@ -27,6 +27,8 @@ SKIP = {
     "stream_stream_join",
     "dedup_components",  # driver-side loop; terminal plan is trivial
     "quality_logreg_fit",  # r6: GD steps run eagerly inside logreg_fit
+    "quality_adaboost_fit",  # r6: boosting rounds run eagerly (one
+    # (feat,bin)-keyed agg pass each); terminal plan is the stump table
     # (one ungrouped agg pass each: partial agg -> single-ROW exchange
     # -> final agg, no Python evals; pinned by tests/test_ml.py
     # test_gd_step_plan_shape); the terminal plan is the trajectory

@@ -79,6 +79,7 @@ PROBES_DOCS = [
     # (output is one row per doc; duplicate-bucket membership grows with
     # replicas but total window rows stay linear in corpus chars)
     "quality_logreg_fit",  # r6: 4 GD steps, one ungrouped agg pass each
+    "quality_adaboost_fit",  # r6: 4 boosting rounds, one agg pass each
     "bpe_merges",  # r6: one corpus pass, then dictionary-sized merges
 ]
 # TPC-H graph/relational ops probed against replicated orders+lineitem
