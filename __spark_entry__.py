@@ -6039,6 +6039,72 @@ def kmeans_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NB_ORACLE = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang AS cls, w
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+      WHERE regexp_matches(w, '^[a-z]+$')),
+    wc AS (SELECT cls, w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT w FROM wc),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    tot AS (SELECT cls, SUM(cnt) AS tot FROM wc GROUP BY 1),
+    cl AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    model AS MATERIALIZED (
+      SELECT c.cls, v.w,
+             ROUND(LN(CAST(COALESCE(x.cnt, 0) + 1 AS DOUBLE)
+                      / CAST(t.tot + vs.v AS DOUBLE)), 9) AS lp
+      FROM vocab v
+      CROSS JOIN (SELECT cls FROM cl) c
+      LEFT JOIN wc x ON x.cls = c.cls AND x.w = v.w
+      JOIN tot t ON t.cls = c.cls
+      CROSS JOIN vs),
+    priors AS (SELECT cl.cls,
+                      ROUND(LN(CAST(cl.n_docs AS DOUBLE)
+                               / CAST(nn.n AS DOUBLE)), 9) AS prior
+               FROM cl CROSS JOIN nn),
+    scored AS (
+      SELECT t.doc_id AS id, m.cls,
+             p.prior::DECIMAL(20,9)
+               + SUM(m.lp::DECIMAL(20,9)) AS total
+      FROM (SELECT doc_id, w FROM toks) t
+      JOIN model m ON m.w = t.w
+      JOIN priors p ON p.cls = m.cls
+      GROUP BY 1, 2, p.prior)
+    SELECT id, cls AS pred, CAST(total AS DOUBLE) AS score
+    FROM (SELECT id, cls, total,
+                 ROW_NUMBER() OVER (PARTITION BY id
+                                    ORDER BY total DESC, cls) AS rn
+          FROM scored) WHERE rn = 1"""
+
+
+@_q("lang_nb_classify", _NB_ORACLE)
+def lang_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAIN + CLASSIFY (operators/ml.py
+    nb_fit / nb_classify) — the token-level trainer next to the GD and
+    boosting fits: the classic lang-id / source-id filter, fit with
+    add-one smoothing in one corpus pass (class-word counts;
+    everything downstream is vocabulary-sized) and applied with one
+    explode + broadcast model join + (doc, class) partial agg.
+    Log-probabilities round at source and per-doc scores sum in
+    DECIMAL, so every prediction AND its exact score hash-match the
+    one-shot SQL oracle — trained-model inference with zero
+    tolerance."""
+    from faust_spark.operators.ml import nb_classify, nb_fit
+
+    d = _t(spark, sf_dir, "documents")
+    model, priors, _ = nb_fit(d, text_col="text", class_col="lang")
+    return nb_classify(
+        d, model, priors, text_col="text", id_col="doc_id"
+    ).select(
+        F.col("id"), F.col("pred"), F.col("score")
+    )
+
+
 def _adaboost_oracle_sql(rounds: int = 4, n_bins: int = 8) -> str:
     """DuckDB replica of the FULL AdaBoost trajectory
     (operators/ml.py adaboost_fit): per round the per-row weights are
@@ -6820,7 +6886,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-14 are the only queries without a
+# Round-6 window policy: positions 1-15 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
@@ -6828,9 +6894,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
 # learning + apply + label-propagation communities + seeded PPR +
-# AdaBoost stumps (supplier_pagerank / supplier_hits / kmeans_fit /
-# bpe_merges / bpe_segment_words / purchase_communities /
-# trusted_supplier_ppr / quality_adaboost_fit). Positions 15-31
+# AdaBoost stumps + Naive Bayes (supplier_pagerank / supplier_hits /
+# kmeans_fit / bpe_merges / bpe_segment_words / purchase_communities /
+# trusted_supplier_ppr / quality_adaboost_fit / lang_nb_classify).
+# Positions 16-32
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6847,7 +6914,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-14: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-15: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6864,7 +6931,8 @@ _PRIORITY: list[str] = [
     "purchase_communities",
     "trusted_supplier_ppr",
     "quality_adaboost_fit",
-    # ---- positions 15-31: implementation changed this round — DFS-
+    "lang_nb_classify",
+    # ---- positions 16-32: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6884,7 +6952,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 32-50: stalest driver evidence (hash-green only in
+    # ---- positions 33-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6907,16 +6975,16 @@ _PRIORITY: list[str] = [
     "stream_table_lookup",
     "semi_join",
     "anti_join",
-    "q1_pricing",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # word_count, sample_10pct, sample_3_per_user, scd2_history,
-    # pack_sequences, q3_shipping, q4_order_priority, q5_local_volume,
-    # q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-14 =
+    # q1_pricing, word_count, sample_10pct, sample_3_per_user,
+    # scd2_history, pack_sequences, q3_shipping, q4_order_priority,
+    # q5_local_volume, q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-15 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "q1_pricing",
     "word_count",
     "sample_10pct",
     "sample_3_per_user",

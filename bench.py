@@ -90,6 +90,7 @@ HEADLINE = [
     "quality_classifier",  # model apply: literal weights, one scan
     "quality_logreg_fit",  # r6: GD training, one agg pass per step
     "quality_adaboost_fit",  # r6: boosted stumps, one agg pass per round
+    "lang_nb_classify",  # r6: NB train + classify, model-sized joins
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass

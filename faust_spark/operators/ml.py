@@ -43,6 +43,8 @@ __all__ = [
     "adaboost_fit",
     "adaboost_predict",
     "feature_ranges",
+    "nb_fit",
+    "nb_classify",
 ]
 
 
@@ -320,3 +322,130 @@ def adaboost_predict(
     for s in stumps:
         fx = fx + F.lit(float(s[3])) * _stump_h(s, bins)
     return df.withColumn(out_col, fx)
+
+
+# ---------------------------------------------------------------------
+# Multinomial Naive Bayes over the token stream (round 6)
+# ---------------------------------------------------------------------
+
+def nb_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    class_col: str = "lang",
+    round_dp: int = 9,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit multinomial Naive Bayes with add-one smoothing over the
+    lowercase ``^[a-z]+$`` token stream; returns ``(model, priors,
+    vocab_size)`` where model = (class, w, lp) with lp =
+    ROUND(ln((count+1)/(class_total+V)), round_dp) over the FULL
+    vocab × class grid, and priors = (class, prior).
+
+    One corpus pass builds the (class, word) counts; everything else is
+    vocabulary-sized.  Log-probabilities are rounded AT SOURCE so
+    downstream decimal sums are order-independent and engine-exact —
+    the ``unigram_logprob`` verification trick applied to a trained
+    classifier.  The token-level sibling of :func:`logreg_fit` /
+    :func:`adaboost_fit`: the classic lang-id / source-id filter
+    trained on the corpus itself.
+    """
+    words = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    wc = words.groupBy("cls", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = wc.select("w").distinct()
+    v_size = vocab.count()
+    totals = wc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
+    classes = docs.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = docs.count()
+    model = (
+        vocab.crossJoin(F.broadcast(classes.select("cls")))
+        .join(wc, ["cls", "w"], "left")
+        .join(F.broadcast(totals), "cls")
+        .select(
+            "cls",
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                    .cast("double")
+                    / (F.col("tot") + F.lit(v_size)).cast("double")
+                ),
+                round_dp,
+            ).alias("lp"),
+        )
+    )
+    priors = classes.select(
+        "cls",
+        F.round(
+            F.log(
+                F.col("n_docs").cast("double")
+                / F.lit(float(n_total))
+            ),
+            round_dp,
+        ).alias("prior"),
+    )
+    return model, priors, v_size
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Score every document against every class and pick the argmax;
+    returns (id, pred, score).
+
+    Per-class score = prior + Σ lp(w, class) over the doc's tokens
+    (multinomial — duplicates count), summed in DECIMAL so the result
+    is exact and order-independent; argmax tie-breaks on class name.
+    The model joins broadcast (vocabulary-sized); tokens of unseen
+    words at apply time simply don't join (documented drop).  Shape:
+    one explode + one broadcast join + one (doc, class) partial agg.
+    """
+    from pyspark.sql import Window as W
+
+    # decimal(20,9): sum -> decimal(30,9), + prior -> decimal(31,9) —
+    # inside Spark's 38-digit cap, so the 9-digit SCALE IS PRESERVED.
+    # decimal(28,9) would make the final addition need precision 39 and
+    # Spark silently reduces scale to 8, truncating the score's last
+    # digit (found by the oracle hash mismatch).
+    dec = "decimal(20,9)"
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    scored = (
+        toks.join(F.broadcast(model), "w")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("lp").cast(dec)).alias("s"))
+        .join(F.broadcast(priors), "cls")
+        .select(
+            "id",
+            "cls",
+            (F.col("prior").cast(dec) + F.col("s")).alias("total"),
+        )
+    )
+    wd = W.partitionBy("id").orderBy(
+        F.desc("total"), F.col("cls")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id"),
+            F.col("cls").alias("pred"),
+            F.col("total").cast("double").alias("score"),
+        )
+    )

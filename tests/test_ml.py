@@ -216,3 +216,90 @@ def test_adaboost_constant_feature_safe(spark):
     st = adaboost_fit(df, ["z", "f"], "y", rounds=2)
     assert len(st) == 2
     assert all(np.isfinite(s[3]) for s in st)
+
+
+# ---- Naive Bayes (round 6)
+
+
+def test_nb_classifies_separable_vocab(spark):
+    """Two classes with disjoint dominant vocabularies: every doc
+    classified correctly; scores are exact decimals (trailing
+    1e-9-grid values)."""
+    from faust_spark.operators.ml import nb_classify, nb_fit
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "aa", "alpha beta beta gamma"))
+    for i in range(30, 60):
+        rows.append((i, "bb", "delta delta epsilon zeta"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    model, priors, v = nb_fit(docs)
+    assert v == 6
+    out = {
+        r["id"]: r["pred"]
+        for r in nb_classify(docs, model, priors).collect()
+    }
+    assert all(out[i] == "aa" for i in range(30))
+    assert all(out[i] == "bb" for i in range(30, 60))
+
+
+def test_nb_matches_python_reference(spark):
+    """Exact score parity with a pure-python replica (add-one
+    smoothing, rounded-at-source logprobs, decimal sums)."""
+    import decimal
+    import math
+    import random
+
+    from faust_spark.operators.ml import nb_classify, nb_fit, round_half_up
+
+    rng = random.Random(9)
+    vocab_a = ["cat", "dog", "fish"]
+    vocab_b = ["car", "bus", "dog"]
+    rows = []
+    for i in range(40):
+        cls = "a" if i % 2 == 0 else "b"
+        vs = vocab_a if cls == "a" else vocab_b
+        text = " ".join(rng.choice(vs) for _ in range(rng.randint(2, 8)))
+        rows.append((i, cls, text))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    model, priors, V = nb_fit(docs)
+    got = {
+        r["id"]: (r["pred"], r["score"])
+        for r in nb_classify(docs, model, priors).collect()
+    }
+
+    # python replica
+    cnt: dict = {}
+    totc: dict = {}
+    ndoc: dict = {}
+    for _i, cls, text in rows:
+        ndoc[cls] = ndoc.get(cls, 0) + 1
+        for w in text.split(" "):
+            cnt[(cls, w)] = cnt.get((cls, w), 0) + 1
+            totc[cls] = totc.get(cls, 0) + 1
+    vocab = sorted({w for _, w in cnt})
+    lp = {
+        (c, w): round_half_up(
+            math.log((cnt.get((c, w), 0) + 1) / (totc[c] + len(vocab))), 9
+        )
+        for c in ndoc
+        for w in vocab
+    }
+    pri = {
+        c: round_half_up(math.log(ndoc[c] / len(rows)), 9) for c in ndoc
+    }
+    D = decimal.Decimal
+    for i, _cls, text in rows:
+        scores = {}
+        for c in ndoc:
+            s = D(repr(pri[c])).quantize(D("1e-9"))
+            for w in text.split(" "):
+                s += D(repr(lp[(c, w)])).quantize(D("1e-9"))
+            scores[c] = s
+        best = min(scores, key=lambda c: (-scores[c], c))
+        assert got[i][0] == best, (i, got[i], scores)
+        assert abs(got[i][1] - float(scores[best])) < 1e-12

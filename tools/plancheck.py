@@ -142,6 +142,11 @@ ALLOW_NESTED_LOOP = {
     # test_cascade_adds_only_hash_joins
     "hard_negatives_ivf",
     "knn_label_ivf",
+    # r6: NB model grid = vocab x classes crossJoin (both model-sized;
+    # classes is a <10-row broadcast) plus the one-row doc-total
+    # broadcast into the priors — raw docs are scanned once, by the
+    # count pass; the score join itself is a broadcast HASH join
+    "lang_nb_classify",
 }
 
 

@@ -80,6 +80,7 @@ PROBES_DOCS = [
     # replicas but total window rows stay linear in corpus chars)
     "quality_logreg_fit",  # r6: 4 GD steps, one ungrouped agg pass each
     "quality_adaboost_fit",  # r6: 4 boosting rounds, one agg pass each
+    "lang_nb_classify",  # r6: one count pass + posting-shaped score join
     "bpe_merges",  # r6: one corpus pass, then dictionary-sized merges
 ]
 # TPC-H graph/relational ops probed against replicated orders+lineitem
