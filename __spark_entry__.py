@@ -4037,6 +4037,67 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "split_by_cluster",
+    f"""
+    WITH RECURSIVE {{shingle_cte}},
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2 FROM inter
+      JOIN sz s1 ON s1.doc_id = doc1
+      JOIN sz s2 ON s2.doc_id = doc2
+      WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    ),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION ALL SELECT doc2, doc1 FROM pairs),
+    reach(s, t) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON e.a = r.t
+    ),
+    comp AS (SELECT s AS doc_id, MIN(t) AS component FROM reach
+             GROUP BY 1)
+    SELECT doc_id, component,
+           CASE WHEN h < 0.8 THEN 'train'
+                WHEN h < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component,
+                 {{hash01}} AS h
+          FROM comp) t
+    """.format(
+        shingle_cte=_SHINGLE_CTE,
+        hash01=_duck_hash01("'split:' || CAST(component AS VARCHAR)"),
+    ),
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware train/val/test split — the leakage guard
+    plain per-doc splits miss: near-duplicate documents MUST land in
+    the same split, or test answers leak into train through their
+    near-copies (the Lee et al. 2022 decontamination argument applied
+    to split assignment). Composition of two verified operators:
+    connected components over jaccard>=0.5 pairs gives each doc its
+    cluster root, and assign_splits hashes the ROOT (not the doc id) —
+    so entire clusters move atomically between splits, deterministic
+    across runs/engines/partitionings. Singletons hash their own id:
+    identical to split_assign for unclustered docs."""
+    from faust_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from faust_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return assign_splits(
+        comp, "component", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "component", "split")
+
+
+@_q(
     "embedding_dup_pairs",
     """
     SELECT a.vec_id AS doc1, b.vec_id AS doc2
@@ -6886,7 +6947,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-15 are the only queries without a
+# Round-6 window policy: positions 1-16 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
@@ -6894,10 +6955,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
 # learning + apply + label-propagation communities + seeded PPR +
-# AdaBoost stumps + Naive Bayes (supplier_pagerank / supplier_hits /
-# kmeans_fit / bpe_merges / bpe_segment_words / purchase_communities /
-# trusted_supplier_ppr / quality_adaboost_fit / lang_nb_classify).
-# Positions 16-32
+# AdaBoost stumps + Naive Bayes + cluster-atomic splits
+# (supplier_pagerank / supplier_hits / kmeans_fit / bpe_merges /
+# bpe_segment_words / purchase_communities / trusted_supplier_ppr /
+# quality_adaboost_fit / lang_nb_classify / split_by_cluster).
+# Positions 17-33
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6914,7 +6976,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-15: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-16: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6932,7 +6994,8 @@ _PRIORITY: list[str] = [
     "trusted_supplier_ppr",
     "quality_adaboost_fit",
     "lang_nb_classify",
-    # ---- positions 16-32: implementation changed this round — DFS-
+    "split_by_cluster",
+    # ---- positions 17-33: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -6952,7 +7015,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 33-50: stalest driver evidence (hash-green only in
+    # ---- positions 34-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -6974,16 +7037,16 @@ _PRIORITY: list[str] = [
     "global_table_join",
     "stream_table_lookup",
     "semi_join",
-    "anti_join",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # q1_pricing, word_count, sample_10pct, sample_3_per_user,
-    # scd2_history, pack_sequences, q3_shipping, q4_order_priority,
-    # q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-15 =
+    # anti_join, q1_pricing, word_count, sample_10pct,
+    # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
+    # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
+    # by the late-round r6 trainer/ranker insertions (positions 1-16 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "anti_join",
     "q1_pricing",
     "word_count",
     "sample_10pct",

@@ -91,6 +91,7 @@ HEADLINE = [
     "quality_logreg_fit",  # r6: GD training, one agg pass per step
     "quality_adaboost_fit",  # r6: boosted stumps, one agg pass per round
     "lang_nb_classify",  # r6: NB train + classify, model-sized joins
+    "split_by_cluster",  # r6: leakage-proof cluster-atomic splits
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass

@@ -213,3 +213,37 @@ def test_weighted_sample_k_deterministic_and_weight_biased(spark):
     # global (per=None) top-k path
     g = weighted_sample_k(df, "w", 7, per=None)
     assert g.count() == 7
+
+
+def test_cluster_atomic_split(spark):
+    """Composing connected components with a root-keyed assign_splits
+    keeps every near-dup cluster in ONE split (the leakage guard), and
+    singletons match plain per-id split assignment exactly."""
+    from faust_spark.operators.dedup import connected_components
+    from faust_spark.operators.sampling import assign_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # clusters: {0,1,2}, {10,11}, rest singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc1 long, doc2 long"
+    )
+    comp = connected_components(docs, pairs)
+    out = assign_splits(
+        comp, "component", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values()), by_comp
+    # singleton doc's split == per-id split (component == own id)
+    solo = assign_splits(
+        docs.filter("doc_id = 20").withColumnRenamed(
+            "doc_id", "component"
+        ),
+        "component",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()[0]["split"]
+    got20 = [r["split"] for r in out if r["doc_id"] == 20][0]
+    assert got20 == solo

@@ -26,6 +26,7 @@ SKIP = {
     "stream_dedup",
     "stream_stream_join",
     "dedup_components",  # driver-side loop; terminal plan is trivial
+    "split_by_cluster",  # r6: embeds dedup_components (same loop)
     "quality_logreg_fit",  # r6: GD steps run eagerly inside logreg_fit
     "quality_adaboost_fit",  # r6: boosting rounds run eagerly (one
     # (feat,bin)-keyed agg pass each); terminal plan is the stump table
