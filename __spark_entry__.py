@@ -4037,6 +4037,48 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_budget_plan",
+    """
+    WITH c AS (SELECT source AS grp,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' ')))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+    w AS (SELECT SUM(POWER(CAST(n_tokens AS DOUBLE), 0.7)) AS w
+          FROM c)
+    SELECT grp, n_docs, n_tokens, share,
+           LEAST(n_tokens,
+                 CAST(FLOOR(100000.0 * share) AS BIGINT))
+             AS target_tokens,
+           ROUND(CAST(LEAST(n_tokens,
+                    CAST(FLOOR(100000.0 * share) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 9) AS fraction
+    FROM (SELECT grp, n_docs, n_tokens,
+                 ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.7) / w.w, 9)
+                   AS share
+          FROM c CROSS JOIN w) t
+    """,
+)
+def token_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch token-budget planning (operators/sampling.py
+    token_budget_plan): per-source sampling plan that fills a 100k-token
+    epoch under a temperature-0.7 mixture — the step a corpus release
+    runs before materializing training data (per-source share, capped
+    target tokens, and the sampling fraction mixture_sample consumes).
+    One group-keyed agg + a one-row total broadcast; the share is
+    quantized so pow/divide ulp drift is engine-invisible, and
+    everything downstream is exact arithmetic on identical operands —
+    the whole plan hash-matches."""
+    from faust_spark.operators.sampling import token_budget_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_plan(
+        d, budget_tokens=100_000, group_col="source", alpha=0.7
+    )
+
+
+@_q(
     "split_by_cluster",
     f"""
     WITH RECURSIVE {{shingle_cte}},
@@ -6947,7 +6989,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-16 are the only queries without a
+# Round-6 window policy: positions 1-17 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
@@ -6955,11 +6997,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-verified GD trainer (quality_logreg_fit), and the NEW
 # trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
 # learning + apply + label-propagation communities + seeded PPR +
-# AdaBoost stumps + Naive Bayes + cluster-atomic splits
-# (supplier_pagerank / supplier_hits / kmeans_fit / bpe_merges /
-# bpe_segment_words / purchase_communities / trusted_supplier_ppr /
-# quality_adaboost_fit / lang_nb_classify / split_by_cluster).
-# Positions 17-33
+# AdaBoost stumps + Naive Bayes + cluster-atomic splits + epoch
+# budget planning (supplier_pagerank / supplier_hits / kmeans_fit /
+# bpe_merges / bpe_segment_words / purchase_communities /
+# trusted_supplier_ppr / quality_adaboost_fit / lang_nb_classify /
+# split_by_cluster / token_budget_plan). Positions 18-34
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -6976,7 +7018,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-16: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-17: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -6995,7 +7037,8 @@ _PRIORITY: list[str] = [
     "quality_adaboost_fit",
     "lang_nb_classify",
     "split_by_cluster",
-    # ---- positions 17-33: implementation changed this round — DFS-
+    "token_budget_plan",
+    # ---- positions 18-34: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -7015,7 +7058,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 34-50: stalest driver evidence (hash-green only in
+    # ---- positions 35-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -7036,16 +7079,16 @@ _PRIORITY: list[str] = [
     "window_point_read",
     "global_table_join",
     "stream_table_lookup",
-    "semi_join",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # anti_join, q1_pricing, word_count, sample_10pct,
+    # semi_join, anti_join, q1_pricing, word_count, sample_10pct,
     # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
     # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-16 =
+    # by the late-round r6 trainer/ranker insertions (positions 1-17 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "semi_join",
     "anti_join",
     "q1_pricing",
     "word_count",

@@ -274,6 +274,7 @@ def weighted_sample_k(
 
 
 __all__ = [
+    "token_budget_plan",
     "hash_sample",
     "top_k_per_key",
     "mixture_sample",
@@ -283,3 +284,77 @@ __all__ = [
     "shuffle_shards",
     "weighted_sample_k",
 ]
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Epoch planning: per-group sampling plan that hits a global
+    TOKEN budget under a temperature-flattened mixture — the step a
+    corpus release runs before materializing an epoch (how much of
+    each source to draw so the epoch is ``budget_tokens`` big with the
+    desired n_g^alpha mixture).
+
+    Returns (group, n_docs, n_tokens, share, target_tokens, fraction):
+    share = ROUND(n_tokens^alpha / Σ n^alpha, round_digits); target =
+    min(n_tokens, FLOOR(budget·share)) — a group can't be oversampled
+    past its actual volume without replacement (the cap is reported,
+    not silently redistributed); fraction = target/n_tokens, the
+    number :func:`mixture_sample` then consumes.  One group-keyed
+    partial agg + a one-row total broadcast — model-sized; share is
+    quantized so pow/divide last-ulp drift is engine-invisible, and
+    everything after the quantized share is exact integer/double
+    arithmetic on identical operands.
+    """
+    counts = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.size(F.split(F.col(text_col), " ")).alias("nt"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+        .alias("w")
+    )
+    share = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+        / F.col("w"),
+        round_digits,
+    )
+    out = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_docs",
+            "n_tokens",
+            share.alias("share"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.least(
+                F.col("n_tokens"),
+                F.floor(
+                    F.lit(float(budget_tokens)) * F.col("share")
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "fraction",
+            F.round(
+                F.col("target_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                round_digits,
+            ),
+        )
+    )
+    return out

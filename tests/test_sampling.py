@@ -247,3 +247,31 @@ def test_cluster_atomic_split(spark):
     ).collect()[0]["split"]
     got20 = [r["split"] for r in out if r["doc_id"] == 20][0]
     assert got20 == solo
+
+
+def test_token_budget_plan_invariants(spark):
+    """Targets sum to <= budget, no group oversampled past its volume,
+    shares sum to ~1, fraction*n_tokens reproduces target."""
+    from faust_spark.operators.sampling import token_budget_plan
+
+    rows = []
+    did = 0
+    for src, n, words in [("a", 30, 50), ("b", 10, 20), ("c", 3, 400)]:
+        for _ in range(n):
+            rows.append((did, src, " ".join(["w"] * words)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        r["grp"]: r
+        for r in token_budget_plan(docs, 1000, alpha=0.7).collect()
+    }
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+    assert sum(r["target_tokens"] for r in out.values()) <= 1000
+    for r in out.values():
+        assert r["target_tokens"] <= r["n_tokens"]
+        assert (
+            abs(r["fraction"] * r["n_tokens"] - r["target_tokens"])
+            < 1e-3
+        )

@@ -143,6 +143,9 @@ ALLOW_NESTED_LOOP = {
     # test_cascade_adds_only_hash_joins
     "hard_negatives_ivf",
     "knn_label_ivf",
+    # r6: one-ROW Σn^alpha total broadcast into the per-group share —
+    # temperature_mix's exact shape
+    "token_budget_plan",
     # r6: NB model grid = vocab x classes crossJoin (both model-sized;
     # classes is a <10-row broadcast) plus the one-row doc-total
     # broadcast into the priors — raw docs are scanned once, by the
