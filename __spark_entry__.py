@@ -4037,6 +4037,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_datasheet",
+    """
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS tokens_total,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release datasheet (Datasheets-for-Datasets stats): per
+    (source, lang), per source, and grand-total doc/char/token counts
+    with char-length extrema and exact mean — the composition table
+    every corpus release ships. One GROUPING SETS pass (Catalyst
+    expands the sets over a single scan; three separate aggs would
+    scan three times); all-integer aggregates plus one exact division,
+    so the whole sheet hash-matches with zero tolerance."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return (
+        d.groupingSets([["source", "lang"], ["source"], []],
+                       "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(toks).cast("bigint").alias("tokens_total"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "docs",
+            "chars_total",
+            "tokens_total",
+            "avg_chars",
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
+@_q(
     "token_budget_plan",
     """
     WITH c AS (SELECT source AS grp,
@@ -6989,7 +7042,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-17 are the only queries without a
+# Round-6 window policy: positions 1-18 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
@@ -7001,7 +7054,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget planning (supplier_pagerank / supplier_hits / kmeans_fit /
 # bpe_merges / bpe_segment_words / purchase_communities /
 # trusted_supplier_ppr / quality_adaboost_fit / lang_nb_classify /
-# split_by_cluster / token_budget_plan). Positions 18-34
+# split_by_cluster / token_budget_plan / corpus_datasheet).
+# Positions 19-35
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -7018,7 +7072,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-17: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-18: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -7038,7 +7092,8 @@ _PRIORITY: list[str] = [
     "lang_nb_classify",
     "split_by_cluster",
     "token_budget_plan",
-    # ---- positions 18-34: implementation changed this round — DFS-
+    "corpus_datasheet",
+    # ---- positions 19-35: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -7058,7 +7113,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 35-50: stalest driver evidence (hash-green only in
+    # ---- positions 36-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -7078,16 +7133,17 @@ _PRIORITY: list[str] = [
     "hopping_30m_15m",
     "window_point_read",
     "global_table_join",
-    "stream_table_lookup",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # semi_join, anti_join, q1_pricing, word_count, sample_10pct,
+    # stream_table_lookup, semi_join, anti_join, q1_pricing,
+    # word_count, sample_10pct,
     # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
     # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-17 =
+    # by the late-round r6 trainer/ranker insertions (positions 1-18 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "stream_table_lookup",
     "semi_join",
     "anti_join",
     "q1_pricing",

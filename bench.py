@@ -93,6 +93,7 @@ HEADLINE = [
     "lang_nb_classify",  # r6: NB train + classify, model-sized joins
     "split_by_cluster",  # r6: leakage-proof cluster-atomic splits
     "token_budget_plan",  # r6: epoch planning, model-sized output
+    "corpus_datasheet",  # r6: one grouping-sets pass release stats
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass
