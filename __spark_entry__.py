@@ -6238,6 +6238,113 @@ _NB_ORACLE = """
           FROM scored) WHERE rn = 1"""
 
 
+@_q(
+    "nb_eval",
+    f"""
+    WITH nb AS ({_NB_ORACLE}),
+    truth AS (SELECT d.doc_id AS id, d.lang AS truth, nb.pred
+              FROM documents d JOIN nb ON nb.id = d.doc_id),
+    cls AS (SELECT truth AS cls FROM truth
+            UNION SELECT pred FROM truth),
+    m AS (SELECT c.cls,
+                 CAST(COUNT(*) FILTER (t.truth = c.cls
+                                       AND t.pred = c.cls) AS BIGINT)
+                   AS tp,
+                 CAST(COUNT(*) FILTER (t.pred = c.cls
+                                       AND t.truth <> c.cls) AS BIGINT)
+                   AS fp,
+                 CAST(COUNT(*) FILTER (t.truth = c.cls
+                                       AND t.pred <> c.cls) AS BIGINT)
+                   AS fn
+          FROM cls c CROSS JOIN truth t
+          GROUP BY 1)
+    SELECT cls, tp, fp, fn,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall,
+           2.0 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0))
+               * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
+             / NULLIF((CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0))
+                      + (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)),
+                      0) AS f1
+    FROM m
+    """,
+)
+def nb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation table (per-class precision / recall / F1
+    from integer confusion counts) for the trained Naive Bayes lang-id
+    — the eval sheet every shipped filter model needs. Counts are
+    exact integers and every metric is a division of identical
+    operands (NULL on empty denominators in both engines), so the
+    whole table hash-matches with zero tolerance. Train, classify, and
+    evaluate — all oracle-verified end to end."""
+    from faust_spark.operators.ml import nb_classify, nb_fit
+
+    d = _t(spark, sf_dir, "documents")
+    model, priors, _ = nb_fit(d, text_col="text", class_col="lang")
+    preds = nb_classify(
+        d, model, priors, text_col="text", id_col="doc_id"
+    ).select("id", "pred")
+    truth = d.select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("truth")
+    ).join(preds, "id")
+    cls = (
+        truth.select(F.col("truth").alias("cls"))
+        .unionByName(truth.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
+    m = (
+        cls.crossJoin(truth)
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("truth") == F.col("cls"))
+                    & (F.col("pred") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("pred") == F.col("cls"))
+                    & (F.col("truth") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("truth") == F.col("cls"))
+                    & (F.col("pred") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (
+            F.lit(2.0) * prec * rec
+            / F.nullif(prec + rec, F.lit(0.0))
+        ).alias("f1"),
+    )
+
+
 @_q("lang_nb_classify", _NB_ORACLE)
 def lang_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes TRAIN + CLASSIFY (operators/ml.py
@@ -7042,7 +7149,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-18 are the only queries without a
+# Round-6 window policy: positions 1-19 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
@@ -7054,8 +7161,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget planning (supplier_pagerank / supplier_hits / kmeans_fit /
 # bpe_merges / bpe_segment_words / purchase_communities /
 # trusted_supplier_ppr / quality_adaboost_fit / lang_nb_classify /
-# split_by_cluster / token_budget_plan / corpus_datasheet).
-# Positions 19-35
+# split_by_cluster / token_budget_plan / corpus_datasheet /
+# nb_eval). Positions 20-36
 # are every query whose implementation changed this round and must be
 # re-proven: the DFS-sharded streaming state backends
 # (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
@@ -7072,7 +7179,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_table) is queued first for the r7 window. Displaced rows keep
 # full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-18: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-19: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
     "mmr_rerank",
@@ -7093,7 +7200,8 @@ _PRIORITY: list[str] = [
     "split_by_cluster",
     "token_budget_plan",
     "corpus_datasheet",
-    # ---- positions 19-35: implementation changed this round — DFS-
+    "nb_eval",
+    # ---- positions 20-36: implementation changed this round — DFS-
     # sharded streaming state, fused DSIR, as-of NULL semantics,
     # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
     "stream_everseen_dedup",
@@ -7113,7 +7221,7 @@ _PRIORITY: list[str] = [
     "tokenize_ids",
     "perplexity_buckets",
     "unigram_logprob",
-    # ---- positions 36-50: stalest driver evidence (hash-green only in
+    # ---- positions 37-50: stalest driver evidence (hash-green only in
     # round 1) rotated back under the driver per VERDICT r5 item 6;
     # the remaining r1-only block (q7/q10/q14/q18, window_functions,
     # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
@@ -7132,17 +7240,18 @@ _PRIORITY: list[str] = [
     "tumbling_hourly",
     "hopping_30m_15m",
     "window_point_read",
-    "global_table_join",
     # ---- positions 51+: past the window; every row here has a prior
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # stream_table_lookup, semi_join, anti_join, q1_pricing,
+    # global_table_join, stream_table_lookup, semi_join, anti_join,
+    # q1_pricing,
     # word_count, sample_10pct,
     # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
     # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-18 =
+    # by the late-round r6 trainer/ranker insertions (positions 1-19 =
     # first-evidence rows) and
     # join the r1-only block queued for r7 -----------------------------
+    "global_table_join",
     "stream_table_lookup",
     "semi_join",
     "anti_join",

@@ -94,6 +94,7 @@ HEADLINE = [
     "split_by_cluster",  # r6: leakage-proof cluster-atomic splits
     "token_budget_plan",  # r6: epoch planning, model-sized output
     "corpus_datasheet",  # r6: one grouping-sets pass release stats
+    "nb_eval",  # r6: per-class P/R/F1 eval of the trained NB
     "supplier_pagerank",  # r6: iterative graph rank, O(|E|) per pass
     "kmeans_fit",  # r6: Lloyd trajectory, one corpus pass per iteration
     "supplier_hits",  # r6: HITS hubs/authorities, two joins per pass

@@ -151,6 +151,8 @@ ALLOW_NESTED_LOOP = {
     # broadcast into the priors — raw docs are scanned once, by the
     # count pass; the score join itself is a broadcast HASH join
     "lang_nb_classify",
+    "nb_eval",  # r6: inherits NB model-grid crossJoins + the tiny
+    # class-list x predictions broadcast for the confusion counts
 }
 
 
