@@ -7152,32 +7152,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 window policy: positions 1-19 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
-# the two ANN serve rows: recall-vs-pinned-exact-set), the two NEW r6
-# cascade gates (hard_negatives_ivf / knn_label_ivf), the NEW
-# oracle-verified GD trainer (quality_logreg_fit), and the NEW
-# trajectory-verified PageRank, HITS, Lloyd k-means, and BPE merge
-# learning + apply + label-propagation communities + seeded PPR +
-# AdaBoost stumps + Naive Bayes + cluster-atomic splits + epoch
-# budget planning (supplier_pagerank / supplier_hits / kmeans_fit /
-# bpe_merges / bpe_segment_words / purchase_communities /
-# trusted_supplier_ppr / quality_adaboost_fit / lang_nb_classify /
-# split_by_cluster / token_budget_plan / corpus_datasheet /
-# nb_eval). Positions 20-36
-# are every query whose implementation changed this round and must be
-# re-proven: the DFS-sharded streaming state backends
-# (stream_everseen_dedup / stream_heavy_hitters), the fused DSIR scan
-# (dsir_score), the as-of NULL-timestamp guard (asof_join /
+# the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
+# cascade gates (hard_negatives_ivf / knn_label_ivf), and the fourteen
+# NEW r6 operators: the oracle-verified trainers (quality_logreg_fit /
+# quality_adaboost_fit / kmeans_fit / lang_nb_classify + nb_eval), BPE
+# learn + apply (bpe_merges / bpe_segment_words), the graph family
+# (supplier_pagerank / supplier_hits / trusted_supplier_ppr /
+# purchase_communities), and the pipeline-planning ops
+# (split_by_cluster / token_budget_plan / corpus_datasheet).
+# Positions 20-36 are every query whose implementation changed this
+# round and must be re-proven: the DFS-sharded streaming state
+# backends (stream_everseen_dedup / stream_heavy_hitters), the fused
+# DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 25-50 rotate the
-# STALEST driver evidence back under the driver (VERDICT r5 item 6):
-# every row there was hash-green only in round 1; with r1-r5 unions,
-# after this round every registered query has driver-green evidence, and
-# the leftover r1-only block (q4/q7/q10/q14/q18, window_functions,
+# perplexity_buckets / unigram_logprob). Positions 37-50 rotate the
+# STALEST driver evidence back under the driver (VERDICT r5 item 6:
+# rows hash-green only in round 1). The 13 stale-rotation rows this
+# round's new-operator insertions displaced below 50 (listed at the
+# 51+ marker) all HAVE r1 driver-green evidence, so the
+# every-query-has-driver-evidence union still holds; together with the
+# remaining r1-only block (q7/q10/q14/q18, window_functions,
 # rolling/rank/profile/pivot/rollup, stream_tumbling/stateful/hopping/
-# set_table) is queued first for the r7 window. Displaced rows keep
-# full-gate coverage via tools/check.py -> artifacts/check_all_r6.json.
+# set_table) they are queued first for the r7 window. Displaced rows
+# keep full-gate coverage via tools/check.py ->
+# artifacts/check_all_r6.json (166/166).
 _PRIORITY: list[str] = [
     # ---- positions 1-19: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
