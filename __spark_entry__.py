@@ -7134,6 +7134,202 @@ def dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# LiveCheck batch audit (reference faust/livecheck/ — the scale path:
+# reconcile EVERY tracked execution against the resolved-signal log,
+# faust_spark/livecheck.py evaluate_executions/signal_latencies)
+# =====================================================================
+#
+# Fixture derived from the events table: each user's first signup
+# opens two tracked executions — case 'purchase_flow' (signals
+# order_sent=first later click, order_confirmed=first later purchase,
+# TTL 72 h, order-asserted) and case 'engagement' (signal seen=first
+# later view, TTL 24 h). Real PASS / FAIL (confirmed-before-sent) /
+# TIMEOUT (signal after TTL or never) mix at every SF.
+
+
+def _livecheck_fixture(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("exec_ts"))
+    )
+    test_id = F.col("user_id").cast("string").alias("test_id")
+    execs = base.select(
+        test_id,
+        F.lit("purchase_flow").alias("case_name"),
+        F.col("exec_ts").alias("ts"),
+        (F.col("exec_ts") + F.expr("INTERVAL 72 HOURS")).alias("expires"),
+    ).unionByName(
+        base.select(
+            test_id,
+            F.lit("engagement").alias("case_name"),
+            F.col("exec_ts").alias("ts"),
+            (F.col("exec_ts") + F.expr("INTERVAL 24 HOURS")).alias(
+                "expires"
+            ),
+        )
+    )
+    sigs = (
+        ev.filter(
+            F.col("event_type").isin("click", "purchase", "view")
+        )
+        .join(base, "user_id")
+        .filter(F.col("ts") > F.col("exec_ts"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("ts"))
+        .select(
+            test_id,
+            F.when(F.col("event_type") == "view", "engagement")
+            .otherwise("purchase_flow")
+            .alias("case_name"),
+            F.when(F.col("event_type") == "click", "order_sent")
+            .when(F.col("event_type") == "purchase", "order_confirmed")
+            .otherwise("seen")
+            .alias("signal_name"),
+            "ts",
+        )
+    )
+    specs = spark.createDataFrame(
+        [
+            ("purchase_flow", "order_sent", 0),
+            ("purchase_flow", "order_confirmed", 1),
+            ("engagement", "seen", 0),
+        ],
+        "case_name string, signal_name string, sig_index int",
+    )
+    return execs, sigs, specs
+
+
+_LIVECHECK_ORACLE_BASE = """
+    base AS (
+      SELECT user_id, MIN(ts) AS exec_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    execs AS (
+      SELECT CAST(user_id AS VARCHAR) AS test_id,
+             'purchase_flow' AS case_name, exec_ts AS ts,
+             exec_ts + INTERVAL 72 HOUR AS expires,
+             CAST(2 AS BIGINT) AS n_expected
+      FROM base
+      UNION ALL
+      SELECT CAST(user_id AS VARCHAR), 'engagement', exec_ts,
+             exec_ts + INTERVAL 24 HOUR, CAST(1 AS BIGINT)
+      FROM base
+    ),
+    sigs AS (
+      SELECT CAST(e.user_id AS VARCHAR) AS test_id,
+             CASE WHEN e.event_type = 'view' THEN 'engagement'
+                  ELSE 'purchase_flow' END AS case_name,
+             CASE e.event_type WHEN 'click' THEN 'order_sent'
+                  WHEN 'purchase' THEN 'order_confirmed'
+                  ELSE 'seen' END AS signal_name,
+             CASE e.event_type WHEN 'purchase' THEN 1
+                  ELSE 0 END AS sig_index,
+             MIN(e.ts) AS sig_ts
+      FROM events e JOIN base b ON b.user_id = e.user_id
+      WHERE e.event_type IN ('click', 'purchase', 'view')
+        AND e.ts > b.exec_ts
+      GROUP BY 1, 2, 3, 4
+    )
+"""
+
+
+@_q(
+    "livecheck_audit",
+    f"""
+    WITH {_LIVECHECK_ORACLE_BASE},
+    intime AS (
+      SELECT x.test_id, x.case_name, s.sig_index, s.sig_ts,
+             s.sig_ts >= COALESCE(LAG(s.sig_ts) OVER (
+                 PARTITION BY x.test_id, x.case_name
+                 ORDER BY s.sig_index), s.sig_ts) AS ok
+      FROM execs x JOIN sigs s USING (test_id, case_name)
+      WHERE s.sig_ts <= x.expires
+    ),
+    agg AS (
+      SELECT test_id, case_name, COUNT(*) AS n_seen,
+             MAX(sig_ts) AS last_sig, BOOL_AND(ok) AS order_ok
+      FROM intime GROUP BY 1, 2
+    )
+    SELECT x.test_id, x.case_name,
+           CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
+                     AND a.order_ok THEN 'PASS'
+                WHEN COALESCE(a.n_seen, 0) = x.n_expected THEN 'FAIL'
+                WHEN x.expires <= TIMESTAMP '2025-12-31 00:00:00'
+                     THEN 'TIMEOUT'
+                ELSE 'INIT' END AS state,
+           x.n_expected,
+           COALESCE(a.n_seen, 0) AS n_seen,
+           CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
+                THEN (epoch_us(a.last_sig) - epoch_us(x.ts))
+                     / 1000000.0 END AS runtime_secs
+    FROM execs x LEFT JOIN agg a USING (test_id, case_name)
+    """,
+)
+def livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LiveCheck batch audit — every tracked execution reconciled
+    against the resolved-signal log (faust_spark/livecheck.py
+    evaluate_executions; reference runner state machine
+    faust/livecheck/runners.py:77-108). One hash shuffle on
+    (test_id, case_name) shared by the signal group-by and the
+    executions join; case specs broadcast; verdict and runtime are
+    pure column expressions (runtime = exact integer-µs difference,
+    one division — bit-identical to the oracle)."""
+    from faust_spark.livecheck import evaluate_executions
+
+    execs, sigs, specs = _livecheck_fixture(spark, sf_dir)
+    out = evaluate_executions(
+        execs,
+        sigs,
+        specs,
+        as_of="2025-12-31 00:00:00",
+        require_order=True,
+    )
+    return out.withColumn("n_seen", F.col("n_seen").cast("long"))
+
+
+@_q(
+    "livecheck_latency",
+    f"""
+    WITH {_LIVECHECK_ORACLE_BASE}
+    SELECT s.case_name, s.signal_name,
+           COUNT(*) AS n,
+           MIN((epoch_us(s.sig_ts) - epoch_us(x.ts)) / 1000000.0)
+             AS min_latency,
+           MAX((epoch_us(s.sig_ts) - epoch_us(x.ts)) / 1000000.0)
+             AS max_latency,
+           CAST(SUM(CAST((epoch_us(s.sig_ts) - epoch_us(x.ts))
+                         / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_latency
+    FROM sigs s JOIN execs x USING (test_id, case_name)
+    GROUP BY 1, 2
+    """,
+)
+def livecheck_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal latency rollup (faust_spark/livecheck.py
+    signal_latencies; reference TestReport.signal_latency,
+    faust/livecheck/models.py:141): first-arrival latency per expected
+    signal, late arrivals included, rolled up per (case, signal).
+    Latencies are exact-µs-difference doubles, so min/max compare
+    bit-identically and the sum accumulates in DECIMAL(18,6) (each
+    latency is an exact multiple of 1 µs, so the decimal cast is
+    lossless) before one cast to double."""
+    from faust_spark.livecheck import signal_latencies
+
+    execs, sigs, specs = _livecheck_fixture(spark, sf_dir)
+    lat = signal_latencies(execs, sigs, specs)
+    return lat.groupBy("case_name", "signal_name").agg(
+        F.count("*").alias("n"),
+        F.min("latency_secs").alias("min_latency"),
+        F.max("latency_secs").alias("max_latency"),
+        F.sum(F.col("latency_secs").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_latency"),
+    )
+
+
+# =====================================================================
 # driver contract
 # =====================================================================
 
@@ -7149,27 +7345,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-19 are the only queries without a
+# Round-6 window policy: positions 1-21 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
-# cascade gates (hard_negatives_ivf / knn_label_ivf), and the fourteen
+# cascade gates (hard_negatives_ivf / knn_label_ivf), the fourteen
 # NEW r6 operators: the oracle-verified trainers (quality_logreg_fit /
 # quality_adaboost_fit / kmeans_fit / lang_nb_classify + nb_eval), BPE
 # learn + apply (bpe_merges / bpe_segment_words), the graph family
 # (supplier_pagerank / supplier_hits / trusted_supplier_ppr /
-# purchase_communities), and the pipeline-planning ops
-# (split_by_cluster / token_budget_plan / corpus_datasheet).
-# Positions 20-36 are every query whose implementation changed this
+# purchase_communities), the pipeline-planning ops
+# (split_by_cluster / token_budget_plan / corpus_datasheet), and the
+# LiveCheck batch-audit pair (livecheck_audit / livecheck_latency).
+# Positions 22-38 are every query whose implementation changed this
 # round and must be re-proven: the DFS-sharded streaming state
 # backends (stream_everseen_dedup / stream_heavy_hitters), the fused
 # DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 37-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 39-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6:
-# rows hash-green only in round 1). The 13 stale-rotation rows this
+# rows hash-green only in round 1). The stale-rotation rows this
 # round's new-operator insertions displaced below 50 (listed at the
 # 51+ marker) all HAVE r1 driver-green evidence, so the
 # every-query-has-driver-evidence union still holds; together with the
@@ -7177,11 +7374,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # rolling/rank/profile/pivot/rollup, stream_tumbling/stateful/hopping/
 # set_table) they are queued first for the r7 window. Displaced rows
 # keep full-gate coverage via tools/check.py ->
-# artifacts/check_all_r6.json (166/166).
+# artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-19: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-21: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
-    # the two NEW r6 cascade gates, and the NEW r6 trainers/rankers ----
+    # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, and
+    # the NEW LiveCheck batch-audit pair ----
+    "livecheck_audit",
+    "livecheck_latency",
     "mmr_rerank",
     "ivf_topk_serve",
     "ivfpq_topk_serve",

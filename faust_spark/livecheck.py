@@ -329,3 +329,200 @@ class LiveCheck:
             "case string, status string, runs long, total_failures long, "
             "consecutive_failures long, last_error string",
         )
+
+# ---------------------------------------------------------------------
+# Batch audit: the scale path
+# ---------------------------------------------------------------------
+#
+# The driver-loop runner above is the reference-parity CONTROL PLANE:
+# one canary at a time, wall-clock waits (reference runners.py:77-108,
+# one asyncio task per in-flight test). At 100 TB the interesting
+# question flips from "does one canary pass right now" to "did EVERY
+# tracked order of the last N hours see all its signals in time" —
+# millions of executions, which no polling loop can audit. That is a
+# set-reconciliation JOIN, so it is expressed declaratively below and
+# Catalyst gets to pick the physical plan:
+#
+#   executions  (test_id, case_name, ts, expires)   — TestExecution log
+#   signals     (test_id, case_name, signal_name, ts) — SignalEvent log
+#   case_specs  (case_name, signal_name, sig_index) — declaration order
+#
+# Shuffle budget: case_specs is model-sized (cases x signals) and is
+# broadcast; signals pre-aggregate to first-arrival per
+# (test_id, case_name, signal_name) with map-side partial aggs, then
+# ONE hash shuffle on (test_id, case_name) shared by the group-by and
+# the executions join (AQE coalesces the co-partitioned sides). No
+# window functions, no per-row Python.
+
+
+def case_specs_df(spark, cases):
+    """Expected-signal table for :func:`evaluate_executions` from
+    registered :class:`Case` instances — declaration order of the
+    ``Signal`` class attributes is the await order of ``run()``
+    (reference case.py binds signals in class-body order)."""
+    rows = []
+    for case in cases:
+        idx = 0
+        for attr in vars(type(case)):  # class-body declaration order
+            v = getattr(case, attr, None)
+            if isinstance(v, Signal):
+                rows.append((case.name, v.name, idx))
+                idx += 1
+    return spark.createDataFrame(
+        rows, "case_name string, signal_name string, sig_index int"
+    )
+
+
+def evaluate_executions(
+    executions,
+    signals,
+    case_specs,
+    as_of=None,
+    require_order: bool = False,
+):
+    """Audit every tracked execution against the resolved-signal log.
+
+    Verdict per execution, mirroring the runner state machine
+    (reference runners.py:77-108 + signals.py:120-143):
+
+    - a signal counts iff it resolved by the execution's ``expires``
+      deadline (``Signal.wait`` past the deadline raises TestTimeout →
+      State.TIMEOUT); duplicate resolutions keep the FIRST arrival
+      (``wait`` returns as soon as the key is present);
+    - ``PASS``    — every expected signal of the case resolved in time;
+    - ``TIMEOUT`` — at least one expected signal missing or late, and
+      the deadline has passed (relative to ``as_of``);
+    - ``INIT``    — incomplete but ``expires`` is still in the future
+      at ``as_of`` (audit ran before the deadline — still pending);
+    - ``FAIL``    — only with ``require_order=True``: all signals in
+      time but arrival order contradicts declaration order. The
+      reference runner itself tolerates early arrivals (an
+      already-resolved ``wait`` returns immediately); order assertions
+      live in ``run()`` bodies, so ordering is opt-in here.
+
+    ``runtime_secs`` is last-in-time-signal minus execution timestamp
+    (runner.runtime analogue) for complete executions, else NULL.
+    Returns (test_id, case_name, state, n_expected, n_seen,
+    runtime_secs).
+    """
+    from pyspark.sql import functions as F
+
+    if as_of is None:
+        raise ValueError("pass as_of (audit horizon) explicitly")
+    as_of = F.lit(as_of).cast("timestamp")
+
+    n_expected = case_specs.groupBy("case_name").agg(
+        F.count("*").alias("n_expected")
+    )
+
+    # first arrival per expected signal; unknown signal names drop out
+    # (the reference ignores SignalEvents for unregistered signals)
+    first_sig = (
+        signals.join(
+            F.broadcast(case_specs), ["case_name", "signal_name"]
+        )
+        .groupBy("test_id", "case_name", "signal_name", "sig_index")
+        .agg(F.min("ts").alias("sig_ts"))
+    )
+    per_test = first_sig.groupBy("test_id", "case_name").agg(
+        F.sort_array(
+            F.collect_list(F.struct("sig_index", "sig_ts"))
+        ).alias("sigs")
+    )
+
+    e = (
+        executions.join(per_test, ["test_id", "case_name"], "left")
+        .join(F.broadcast(n_expected), "case_name")
+        .withColumn(
+            "in_time",
+            F.coalesce(
+                F.filter(
+                    "sigs", lambda s: s["sig_ts"] <= F.col("expires")
+                ),
+                F.array().cast(
+                    "array<struct<sig_index:int,sig_ts:timestamp>>"
+                ),
+            ),
+        )
+        .withColumn("n_seen", F.size("in_time"))
+        .withColumn("complete", F.col("n_seen") == F.col("n_expected"))
+    )
+    if require_order:
+        # sigs is sorted by sig_index; monotone sig_ts == arrival order
+        # matches declaration order
+        order_ok = F.aggregate(
+            F.expr(
+                "zip_with(slice(in_time, 1, size(in_time) - 1),"
+                "         slice(in_time, 2, size(in_time) - 1),"
+                "         (a, b) -> a.sig_ts <= b.sig_ts)"
+            ),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        )
+        state = (
+            F.when(F.col("complete") & order_ok, "PASS")
+            .when(F.col("complete"), "FAIL")
+            .when(F.col("expires") <= as_of, "TIMEOUT")
+            .otherwise("INIT")
+        )
+    else:
+        state = (
+            F.when(F.col("complete"), "PASS")
+            .when(F.col("expires") <= as_of, "TIMEOUT")
+            .otherwise("INIT")
+        )
+    return e.select(
+        "test_id",
+        "case_name",
+        state.alias("state"),
+        "n_expected",
+        "n_seen",
+        # exact integer-microsecond difference, ONE correctly-rounded
+        # division — bit-identical across engines (casting each
+        # timestamp to double first would round twice at epoch
+        # magnitude, where a double is down to ~0.1 µs of precision)
+        F.when(
+            F.col("complete"),
+            (
+                F.unix_micros(
+                    F.array_max(
+                        F.transform("in_time", lambda s: s["sig_ts"])
+                    )
+                )
+                - F.unix_micros("ts")
+            )
+            / F.lit(1000000.0),
+        ).alias("runtime_secs"),
+    )
+
+
+def signal_latencies(executions, signals, case_specs):
+    """Per-signal latency rows (reference TestReport.signal_latency,
+    models.py:141): first arrival of each expected signal minus the
+    execution timestamp, late arrivals included (latency > TTL is
+    exactly what you want on the dashboard). Returns (test_id,
+    case_name, signal_name, sig_index, latency_secs). Same one-shuffle
+    shape as :func:`evaluate_executions`."""
+    from pyspark.sql import functions as F
+
+    first_sig = (
+        signals.join(
+            F.broadcast(case_specs), ["case_name", "signal_name"]
+        )
+        .groupBy("test_id", "case_name", "signal_name", "sig_index")
+        .agg(F.min("ts").alias("sig_ts"))
+    )
+    return first_sig.join(
+        executions.select("test_id", "case_name", "ts"),
+        ["test_id", "case_name"],
+    ).select(
+        "test_id",
+        "case_name",
+        "signal_name",
+        "sig_index",
+        # exact µs difference, one rounding (see evaluate_executions)
+        (
+            (F.unix_micros("sig_ts") - F.unix_micros("ts"))
+            / F.lit(1000000.0)
+        ).alias("latency_secs"),
+    )

@@ -153,3 +153,95 @@ def test_stall_detection_and_report_df(spark, tmp_path):
         "consecutive_failures", "last_error",
     ]
     assert df.filter(F.col("case") == "quiet").first().status == "STALL"
+
+
+def test_evaluate_executions_verdicts(spark):
+    """Batch audit path: PASS / FAIL(order) / TIMEOUT(late) / INIT
+    (pending), duplicate signals keep first arrival, unregistered
+    signal names ignored (reference runner state machine,
+    faust/livecheck/runners.py:77-108)."""
+    import datetime as dt
+
+    from faust_spark.livecheck import (
+        evaluate_executions,
+        signal_latencies,
+    )
+
+    T = dt.datetime
+    ex = spark.createDataFrame(
+        [
+            ("t1", "flow", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 2, 0)),
+            ("t2", "flow", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 2, 0)),
+            ("t3", "flow", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 2, 0)),
+            ("t4", "flow", T(2024, 1, 1, 0, 0), T(2024, 1, 2, 23, 0)),
+        ],
+        "test_id string, case_name string, ts timestamp, "
+        "expires timestamp",
+    )
+    sig = spark.createDataFrame(
+        [
+            ("t1", "flow", "a", T(2024, 1, 1, 0, 10)),
+            ("t1", "flow", "b", T(2024, 1, 1, 0, 20)),
+            ("t1", "flow", "a", T(2024, 1, 1, 0, 50)),  # dup: ignored
+            ("t2", "flow", "b", T(2024, 1, 1, 0, 10)),  # order
+            ("t2", "flow", "a", T(2024, 1, 1, 0, 20)),  # inverted
+            ("t3", "flow", "a", T(2024, 1, 1, 0, 10)),
+            ("t3", "flow", "b", T(2024, 1, 1, 3, 0)),  # past expires
+            ("t1", "flow", "zzz", T(2024, 1, 1, 0, 1)),  # unregistered
+        ],
+        "test_id string, case_name string, signal_name string, "
+        "ts timestamp",
+    )
+    specs = spark.createDataFrame(
+        [("flow", "a", 0), ("flow", "b", 1)],
+        "case_name string, signal_name string, sig_index int",
+    )
+    out = {
+        r.test_id: r
+        for r in evaluate_executions(
+            ex, sig, specs, as_of=T(2024, 1, 2), require_order=True
+        ).collect()
+    }
+    assert out["t1"].state == "PASS"
+    assert out["t1"].runtime_secs == 1200.0  # first 'a', not the dup
+    assert out["t2"].state == "FAIL"
+    assert out["t2"].runtime_secs == 1200.0  # complete, just disordered
+    assert out["t3"].state == "TIMEOUT" and out["t3"].n_seen == 1
+    assert out["t4"].state == "INIT"  # expires after as_of
+
+    # without the order assertion t2 is a PASS (reference wait()
+    # tolerates early arrivals)
+    no_order = {
+        r.test_id: r.state
+        for r in evaluate_executions(
+            ex, sig, specs, as_of=T(2024, 1, 2)
+        ).collect()
+    }
+    assert no_order["t2"] == "PASS"
+
+    lat = {
+        (r.test_id, r.signal_name): r.latency_secs
+        for r in signal_latencies(ex, sig, specs).collect()
+    }
+    assert lat[("t1", "a")] == 600.0
+    assert lat[("t3", "b")] == 10800.0  # late arrivals included
+    assert ("t1", "zzz") not in lat
+
+
+def test_case_specs_df_declaration_order(spark, tmp_path):
+    from faust_spark.livecheck import case_specs_df
+
+    lc = LiveCheck("lc", str(tmp_path / "state"))
+
+    @lc.case(name="ordered")
+    class Ordered(Case):
+        third_alphabetically = Signal()
+        a_first_declared = Signal()
+
+        def run(self, test):
+            pass
+
+    rows = case_specs_df(spark, [Ordered]).collect()
+    by_name = {r.signal_name: r.sig_index for r in rows}
+    # declaration order, not alphabetical (await order of run())
+    assert by_name == {"third_alphabetically": 0, "a_first_declared": 1}
