@@ -7329,6 +7329,129 @@ def livecheck_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_livecheck_audit",
+    f"""
+    WITH {_LIVECHECK_ORACLE_BASE},
+    intime AS (
+      SELECT x.test_id, x.case_name, s.sig_index, s.sig_ts,
+             s.sig_ts >= COALESCE(LAG(s.sig_ts) OVER (
+                 PARTITION BY x.test_id, x.case_name
+                 ORDER BY s.sig_index), s.sig_ts) AS ok
+      FROM execs x JOIN sigs s USING (test_id, case_name)
+      WHERE s.sig_ts <= x.expires
+    ),
+    agg AS (
+      SELECT test_id, case_name, COUNT(*) AS n_seen,
+             MAX(sig_ts) AS last_sig, BOOL_AND(ok) AS order_ok
+      FROM intime GROUP BY 1, 2
+    )
+    SELECT x.test_id, x.case_name,
+           CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
+                     AND a.order_ok THEN 'PASS'
+                WHEN COALESCE(a.n_seen, 0) = x.n_expected THEN 'FAIL'
+                ELSE 'TIMEOUT' END AS state,
+           x.n_expected,
+           COALESCE(a.n_seen, 0) AS n_seen,
+           CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
+                THEN (epoch_us(a.last_sig) - epoch_us(x.ts))
+                     / 1000000.0 END AS runtime_secs
+    FROM execs x LEFT JOIN agg a USING (test_id, case_name)
+    """,
+)
+def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """livecheck_audit executed INCREMENTALLY by the streaming engine
+    (streaming/livecheck_audit.py audit_updates): executions and
+    signals replay time-ordered across micro-batches; each tracked
+    execution is decided exactly once — PASS/FAIL the batch it
+    completes, TIMEOUT when the event-time timer at its deadline fires
+    — and a far-future sentinel advances the final watermark past
+    every deadline so the decided set covers all executions. The
+    result must hash-match the BATCH evaluator's oracle: in-time
+    signals always precede the watermark passing their deadline under
+    time-ordered replay, so per-execution verdicts, n_seen, and exact
+    integer-µs runtimes are batching-invariant."""
+    import tempfile
+
+    from faust_spark.streaming.livecheck_audit import audit_updates
+    from faust_spark.streaming.runner import stream_parquet
+
+    execs, sigs, specs = _livecheck_fixture(spark, sf_dir)
+    unified = execs.select(
+        "test_id",
+        "case_name",
+        F.lit("exec").alias("kind"),
+        F.lit(None).cast("string").alias("signal_name"),
+        "ts",
+        "expires",
+    ).unionByName(
+        sigs.select(
+            "test_id",
+            "case_name",
+            F.lit("sig").alias("kind"),
+            "signal_name",
+            "ts",
+            F.lit(None).cast("timestamp").alias("expires"),
+        )
+    )
+    lo, hi = unified.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    work = tempfile.mkdtemp(prefix="lc_stream_")
+    src = os.path.join(work, "src")
+    # time-ordered replay: early half, late half, then the sentinel —
+    # every batch's rows postdate the previous batch's watermark, so
+    # nothing is late-dropped and in-time signals beat their deadline's
+    # timer (file source replays oldest-modified first)
+    unified.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    import time as _time
+
+    _time.sleep(1.2)
+    unified.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.2)
+    from datetime import datetime as _dt
+
+    spark.createDataFrame(
+        [("__wm__", "__none__", "sig", None, _dt(2025, 6, 1), None)],
+        unified.schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    case_signals = {}
+    for r in specs.orderBy("case_name", "sig_index").collect():
+        case_signals.setdefault(r.case_name, []).append(r.signal_name)
+
+    s = stream_parquet(spark, src, max_files_per_trigger=1).withWatermark(
+        "ts", "1 second"
+    )
+    decided = audit_updates(
+        s.groupBy("test_id", "case_name"),
+        case_signals,
+        require_order=True,
+    )
+    emitted: list = []
+    # GATE-HARNESS ONLY collect; production writes decided verdicts to
+    # a sink (the operator itself never collects)
+    q = (
+        decided.writeStream.foreachBatch(
+            lambda b, i: emitted.extend(b.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.createDataFrame(
+        emitted,
+        "test_id string, case_name string, state string, "
+        "n_expected long, n_seen long, runtime_secs double",
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -7345,7 +7468,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-21 are the only queries without a
+# Round-6 window policy: positions 1-22 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
@@ -7356,15 +7479,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (supplier_pagerank / supplier_hits / trusted_supplier_ppr /
 # purchase_communities), the pipeline-planning ops
 # (split_by_cluster / token_budget_plan / corpus_datasheet), and the
-# LiveCheck batch-audit pair (livecheck_audit / livecheck_latency).
-# Positions 22-38 are every query whose implementation changed this
+# LiveCheck audit trio (livecheck_audit / livecheck_latency /
+# stream_livecheck_audit — the last is the incremental keyed-state
+# form, hash-matched against the same batch oracle).
+# Positions 23-39 are every query whose implementation changed this
 # round and must be re-proven: the DFS-sharded streaming state
 # backends (stream_everseen_dedup / stream_heavy_hitters), the fused
 # DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 39-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 40-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6:
 # rows hash-green only in round 1). The stale-rotation rows this
 # round's new-operator insertions displaced below 50 (listed at the
@@ -7376,12 +7501,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # keep full-gate coverage via tools/check.py ->
 # artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-21: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-22: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, and
-    # the NEW LiveCheck batch-audit pair ----
+    # the NEW LiveCheck audit trio (batch pair + streaming form) ----
     "livecheck_audit",
     "livecheck_latency",
+    "stream_livecheck_audit",
     "mmr_rerank",
     "ivf_topk_serve",
     "ivfpq_topk_serve",

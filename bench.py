@@ -114,10 +114,12 @@ HEADLINE = [
     "multimodal_features",  # Arrow-batched media feature extraction
     "multimodal_resize",  # payload->payload media transform
     "user_anomaly",  # per-user z-score outlier screen
+    "livecheck_audit",  # r6: e2e-check reconciliation, one keyed shuffle
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",
     "stream_session_windows",
+    "stream_livecheck_audit",  # r6: keyed-state audit w/ event timers
 ]
 
 # gate rows for these keys are oracle contracts (recall vs exact, which

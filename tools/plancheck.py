@@ -25,6 +25,8 @@ SKIP = {
     "stream_stateful_counter",
     "stream_dedup",
     "stream_stream_join",
+    "stream_livecheck_audit",  # r6: streaming harness (keyed-state
+    # audit; the batch form's plan is audited via livecheck_audit)
     "dedup_components",  # driver-side loop; terminal plan is trivial
     "split_by_cluster",  # r6: embeds dedup_components (same loop)
     "quality_logreg_fit",  # r6: GD steps run eagerly inside logreg_fit

@@ -35,6 +35,8 @@ PROBES_EVENTS = [
     "scd2_lookup",  # r5: backward as-of, one user-keyed shuffle
     "audience_overlap_theta",  # r5: sketch agg + G^2 sketch pairs
     "value_quantiles_kll",  # r5: daily KLL + merged quantile contract
+    "livecheck_audit",  # r6: one (test_id,case)-keyed shuffle, specs
+    # broadcast; state per pending execution only
 ]
 # pairwise doc ops: candidate sets grow super-linearly under replication
 # (every replica pair is a planted near-dup), so the probe stays bounded
