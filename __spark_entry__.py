@@ -2919,6 +2919,43 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) AS jaccard
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = doc1
+    JOIN sz s2 ON s2.doc_id = doc2
+    WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 near-dup join via prefix filtering
+    (operators/dedup.py jaccard_pairs_prefix — PPJoin prefix + length
+    filters, Xiao et al. WWW 2008). Where ``dedup_jaccard`` tames hub
+    shingles with an approximating frequency cap (mirrored by its
+    oracle), this form needs NO cap: under the df-ascending canonical
+    order any J ≥ t pair must collide within its first
+    ``s - ceil(t*s) + 1`` shingles, so only those prefixes — each doc's
+    RAREST tokens, hub keys structurally excluded — feed the self-join,
+    and candidates are verified with an exact intersection count. The
+    oracle is therefore the plain capless co-occurrence computation:
+    the operator must reproduce the exact answer while shuffling only
+    the prefix fraction."""
+    from faust_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@_q(
     "dedup_containment",
     f"""
     WITH {_SHINGLE_CTE},
@@ -7468,7 +7505,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-22 are the only queries without a
+# Round-6 window policy: positions 1-23 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
@@ -7481,15 +7518,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # (split_by_cluster / token_budget_plan / corpus_datasheet), and the
 # LiveCheck audit trio (livecheck_audit / livecheck_latency /
 # stream_livecheck_audit — the last is the incremental keyed-state
-# form, hash-matched against the same batch oracle).
-# Positions 23-39 are every query whose implementation changed this
+# form, hash-matched against the same batch oracle), and the exact
+# prefix-filtered Jaccard join (dedup_jaccard_prefix — capless oracle).
+# Positions 24-40 are every query whose implementation changed this
 # round and must be re-proven: the DFS-sharded streaming state
 # backends (stream_everseen_dedup / stream_heavy_hitters), the fused
 # DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 40-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 41-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6:
 # rows hash-green only in round 1). The stale-rotation rows this
 # round's new-operator insertions displaced below 50 (listed at the
@@ -7501,13 +7539,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # keep full-gate coverage via tools/check.py ->
 # artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-22: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-23: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
-    # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, and
-    # the NEW LiveCheck audit trio (batch pair + streaming form) ----
+    # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, the
+    # NEW LiveCheck audit trio (batch pair + streaming form), and the
+    # NEW exact prefix-filtered Jaccard join ----
     "livecheck_audit",
     "livecheck_latency",
     "stream_livecheck_audit",
+    "dedup_jaccard_prefix",
     "mmr_rerank",
     "ivf_topk_serve",
     "ivfpq_topk_serve",

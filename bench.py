@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_features",  # Arrow-batched media feature extraction
     "multimodal_resize",  # payload->payload media transform
     "user_anomaly",  # per-user z-score outlier screen
+    "dedup_jaccard_prefix",  # r6: exact PPJoin-style prefix-filtered join
     "livecheck_audit",  # r6: e2e-check reconciliation, one keyed shuffle
     # streaming engine path
     "stream_tumbling_hourly",

@@ -157,6 +157,105 @@ def jaccard_pairs(
     return out.select("doc1", "doc2", "jaccard")
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (PPJoin family,
+    Xiao, Wang, Lin, Yu, "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008 — prefix + length filters only; implemented
+    from the published description).
+
+    Returns exactly :func:`jaccard_pairs` with NO ``max_shingle_freq``
+    cap — same pairs, same jaccard values — but never joins full
+    shingle sets against each other. Under a global canonical order
+    (ascending document frequency, shingle string as tie-break), two
+    sets with ``J >= t`` MUST share a shingle within their first
+    ``|x| - ceil(t*|x|) + 1`` shingles, so only those prefixes feed the
+    candidate self-join. This kills the hub-key blowup structurally
+    rather than approximately: a stop-shingle has maximal df, sorts
+    LAST in every document's order, and enters a prefix only when it is
+    among that document's rarest ~(1-t) fraction — so the join's key
+    histogram holds the rare tail, not the hubs, and the shuffle volume
+    is the prefix fraction of the shingle table. Candidates then pass a
+    length filter (``min >= t * max``) and are verified with an exact
+    intersection count over the full sets.
+
+    Shuffle budget: df-count (shingle-keyed agg) + df join back +
+    per-doc prefix window (doc-keyed) + prefix self-join (prefix-
+    shingle-keyed) + candidate verification join — each keyed on a
+    column whose cardinality grows with the data, nothing quadratic.
+    """
+    sh = materialize(shingles(df, n, text_col, id_col))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+
+    from pyspark.sql import Window as W
+
+    # prefix length p = s - ceil(t*s) + 1; the epsilon biases ceil DOWN
+    # so float fuzz can only LENGTHEN the prefix (more candidates, same
+    # verified result) — shortening it would break exactness
+    w = W.partitionBy(id_col).orderBy("sdf", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+            + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+        )
+        .distinct()
+    )
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    cand = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|);
+        # epsilon again only ADMITS borderline candidates
+        .filter(
+            F.least("n1", "n2")
+            >= F.lit(threshold) * F.greatest("n1", "n2") - F.lit(1e-9)
+        )
+    )
+    # exact verification: count the full-set intersection per candidate
+    sa = sh.select(F.col(id_col).alias("doc1"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc2"), "shingle")
+    inter = (
+        cand.select("doc1", "doc2")
+        .join(sa, "doc1")
+        .join(sb, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc1", "doc2", "jaccard")
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 0.8,

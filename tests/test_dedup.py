@@ -418,3 +418,83 @@ def test_remove_dup_spans_known_values(spark):
     assert out[2].clean_md5 == hashlib.md5(b"ZZ").hexdigest()
     assert out[3].n_kept == 6
     assert out[3].clean_md5 == hashlib.md5(b"qrstuv").hexdigest()
+
+
+def test_jaccard_prefix_equals_exact_property(spark):
+    """Prefix-filtered Jaccard join (PPJoin prefix + length filters) is
+    EXACT: identical pairs and values to the capless co-occurrence form
+    on random corpora, across thresholds — including hub-heavy corpora
+    where every doc shares a stop-shingle."""
+    import random
+
+    from faust_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = random.Random(23)
+    for trial, thr in [(0, 0.3), (1, 0.5), (2, 0.8)]:
+        docs = [
+            (
+                i,
+                # shared stop-phrase prefix on most docs → hub shingles
+                ("the quick brown " if rng.random() < 0.7 else "")
+                + " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(2, 12))
+                ),
+            )
+            for i in range(14)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        exact = {
+            (r.doc1, r.doc2): round(r.jaccard, 9)
+            for r in jaccard_pairs(df, threshold=thr).collect()
+        }
+        pref = {
+            (r.doc1, r.doc2): round(r.jaccard, 9)
+            for r in jaccard_pairs_prefix(df, threshold=thr).collect()
+        }
+        assert pref == exact, f"trial {trial} thr {thr}"
+
+
+def test_jaccard_prefix_joins_only_prefix_tokens(spark):
+    """The candidate join's input is the prefix fraction of the shingle
+    table, with hub shingles absent from prefixes unless a doc has
+    almost nothing rarer — the structural (non-approximating) hub
+    guard."""
+    from faust_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common phrase one two three four"),
+            (2, "common common phrase five six seven eight"),
+            (3, "common common phrase nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs, 3)
+    # 'common common phrase' appears in all 3 docs (max df); with
+    # t=0.5 each doc's prefix holds its ~rarest half — the hub shingle
+    # must not be in any prefix
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = W.partitionBy("doc_id").orderBy("sdf", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(0.5) * F.col("n_sh") - F.lit(1e-9))
+            + 1
+        )
+    )
+    assert (
+        pref.filter(F.col("shingle") == "common common phrase").count()
+        == 0
+    )

@@ -48,6 +48,7 @@ PROBES_DOCS_PAIRWISE = [
     "dedup_incremental",  # batch x corpus join (replicas inflate overlap)
     "dedup_containment",  # r5: same equi-join shape, min-denominator
     "split_by_cluster",  # r6: jaccard pairs + components + hash split
+    "dedup_jaccard_prefix",  # r6: PPJoin prefix filter — exact, capless
 ]
 # linear doc ops probe at the FULL multiplier (r3 verdict item 5: these
 # previously probed at 4x or not at all)
