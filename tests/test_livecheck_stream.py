@@ -142,3 +142,85 @@ def test_signal_before_execution_and_late_deadline(spark, tmp_path):
     _run(spark, src, ckpt, emitted)
     got = {r.test_id: r.state for r in emitted}
     assert got == {"t1": "PASS", "t9": "TIMEOUT"}
+
+
+def test_streaming_equals_batch_evaluator_random(spark, tmp_path):
+    """Property: on a random execution/signal log replayed time-ordered
+    in random batch splits, the streaming auditor's decided set equals
+    the batch evaluator at an as_of past every deadline (INIT rows
+    excluded — pending IS the streaming state)."""
+    import random
+
+    from faust_spark.livecheck import evaluate_executions
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 1, 1)
+    execs, sigs, rows = [], [], []
+    for i in range(40):
+        tid = f"t{i}"
+        ts = base + dt.timedelta(minutes=rng.randint(0, 600))
+        ttl = dt.timedelta(minutes=rng.randint(10, 120))
+        execs.append((tid, "flow", ts, ts + ttl))
+        rows.append((tid, "flow", "exec", None, ts, ts + ttl))
+        for name in ("a", "b"):
+            if rng.random() < 0.8:  # some signals never arrive
+                # some arrive in time, some past the deadline
+                sts = ts + dt.timedelta(
+                    minutes=rng.randint(1, 180)
+                )
+                sigs.append((tid, "flow", name, sts))
+                rows.append((tid, "flow", "sig", name, sts, None))
+
+    specs = spark.createDataFrame(
+        [("flow", "a", 0), ("flow", "b", 1)],
+        "case_name string, signal_name string, sig_index int",
+    )
+    batch = {
+        (r.test_id, r.case_name): (
+            r.state,
+            r.n_seen,
+            r.runtime_secs,
+        )
+        for r in evaluate_executions(
+            spark.createDataFrame(
+                execs,
+                "test_id string, case_name string, ts timestamp, "
+                "expires timestamp",
+            ),
+            spark.createDataFrame(
+                sigs,
+                "test_id string, case_name string, "
+                "signal_name string, ts timestamp",
+            ),
+            specs,
+            as_of=dt.datetime(2026, 1, 1),
+            require_order=True,
+        ).collect()
+    }
+
+    # time-ordered replay in random contiguous splits + sentinel
+    rows.sort(key=lambda r: r[4])
+    cuts = sorted(rng.sample(range(1, len(rows)), 3))
+    parts = [
+        rows[a:b]
+        for a, b in zip([0] + cuts, cuts + [len(rows)])
+    ]
+    src = str(tmp_path / "prop_src")
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    spark.createDataFrame(
+        [("__wm__", "__none__", "sig", None, dt.datetime(2025, 6, 1), None)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    emitted = []
+    _run(spark, src, str(tmp_path / "prop_ckpt"), emitted)
+    streamed = {
+        (r.test_id, r.case_name): (r.state, r.n_seen, r.runtime_secs)
+        for r in emitted
+    }
+    assert len(emitted) == len(streamed)  # decided exactly once
+    assert streamed == batch
