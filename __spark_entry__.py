@@ -7124,6 +7124,49 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kn_logprob",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    big AS (SELECT doc_id, ws[i - 1] AS v, ws[i] AS w
+            FROM d, unnest(generate_series(2, len(ws))) t(i)),
+    bg AS (SELECT v, w, COUNT(*) AS cvw FROM big GROUP BY 1, 2),
+    ctx AS (SELECT v, SUM(cvw) AS cv, COUNT(*) AS n1f
+            FROM bg GROUP BY 1),
+    cont AS (SELECT w, COUNT(*) AS n1b FROM bg GROUP BY 1),
+    typ AS (SELECT COUNT(*) AS t FROM bg),
+    nll AS (SELECT v, w,
+                   CAST(round(-ln(
+                       GREATEST(cvw - 0.75, 0.0) / cv
+                       + 0.75 * n1f / cv * n1b / t), 9)
+                        AS DECIMAL(28,9)) AS nll
+            FROM bg JOIN ctx USING (v) JOIN cont USING (w), typ),
+    per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+            FROM big JOIN nll USING (v, w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           avg_nll
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/text.py
+    kn_bigram_logprob — the KenLM/CCNet-standard smoothing): absolute
+    discount D=0.75 with the freed mass weighted by the context's
+    distinct continuation count, backing off to CONTINUATION
+    probability N1+(·,w)/N1+(·,·) rather than raw frequency. Everything
+    derives from the (v,w,count) relation — no second corpus pass; the
+    per-(v,w) NLL is one fixed operand-order expression of integer
+    counts, rounded at source and decimal-summed — engine bit-exact."""
+    from faust_spark.operators.text import kn_bigram_logprob
+
+    return kn_bigram_logprob(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@_q(
     "dsir_score",
     """
     WITH d AS (SELECT doc_id, lang = 'en' AS is_t,
@@ -7505,7 +7548,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-23 are the only queries without a
+# Round-6 window policy: positions 1-24 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
@@ -7518,16 +7561,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (split_by_cluster / token_budget_plan / corpus_datasheet), and the
 # LiveCheck audit trio (livecheck_audit / livecheck_latency /
 # stream_livecheck_audit — the last is the incremental keyed-state
-# form, hash-matched against the same batch oracle), and the exact
-# prefix-filtered Jaccard join (dedup_jaccard_prefix — capless oracle).
-# Positions 24-40 are every query whose implementation changed this
+# form, hash-matched against the same batch oracle), the exact
+# prefix-filtered Jaccard join (dedup_jaccard_prefix — capless oracle),
+# and the Kneser-Ney LM tier (kn_logprob).
+# Positions 25-41 are every query whose implementation changed this
 # round and must be re-proven: the DFS-sharded streaming state
 # backends (stream_everseen_dedup / stream_heavy_hitters), the fused
 # DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 41-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 42-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6:
 # rows hash-green only in round 1). The stale-rotation rows this
 # round's new-operator insertions displaced below 50 (listed at the
@@ -7539,7 +7583,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # keep full-gate coverage via tools/check.py ->
 # artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-23: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-24: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, the
     # NEW LiveCheck audit trio (batch pair + streaming form), and the
@@ -7548,6 +7592,7 @@ _PRIORITY: list[str] = [
     "livecheck_latency",
     "stream_livecheck_audit",
     "dedup_jaccard_prefix",
+    "kn_logprob",
     "mmr_rerank",
     "ivf_topk_serve",
     "ivfpq_topk_serve",

@@ -109,6 +109,7 @@ HEADLINE = [
     "perplexity_buckets",  # CCNet head/middle/tail tiers
     "zorder_layout",  # Morton-key two-dimensional clustering
     "bigram_logprob",  # interpolated bigram LM (Jelinek-Mercer)
+    "kn_logprob",  # r6: Kneser-Ney tier (absolute discount + continuation)
     "dsir_score",  # DSIR hashed-ngram importance log-ratio
     "gopher_rules",  # heuristic rule battery, one scan
     "multimodal_features",  # Arrow-batched media feature extraction

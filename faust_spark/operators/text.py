@@ -896,6 +896,98 @@ def bigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the KenLM/CCNet-standard
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1998), completing the
+    LM-tier ladder above :func:`bigram_logprob`'s Jelinek-Mercer:
+
+        p(w | v) = max(c(v,w) - D, 0) / c(v)
+                 + D * N1+(v,·)/c(v) * N1+(·,w)/N1+(·,·)
+
+    Absolute discounting frees mass proportional to the context's
+    DISTINCT continuation count, and the unigram backoff is the
+    continuation probability (in how many contexts does ``w`` appear),
+    not raw frequency — the correction that scores "San Francisco"
+    boilerplate correctly where JM overweights bare "Francisco".
+
+    Scale shape: everything derives from the (v, w, count) bigram
+    relation — c(v) and N1+(v,·) by one v-keyed re-agg, N1+(·,w) by one
+    w-keyed re-agg, N1+(·,·) as a one-row broadcast — no second corpus
+    pass; scoring joins the exploded bigram stream back on (v, w).
+    Determinism: per distinct (v, w) the NLL is ONE fixed operand-order
+    double expression of integer counts, rounded to 9 decimals at
+    source and summed exactly as decimals, so engines agree
+    bit-for-bit. Returns (id, n_bigrams, avg_nll).
+    """
+    ws = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            f"transform(sequence(2, size(split({text_col}, ' '))), i ->"
+            f" named_struct("
+            f"  'v', element_at(split({text_col}, ' '), i - 1),"
+            f"  'w', element_at(split({text_col}, ' '), i)))"
+        ),
+    )
+    big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.v", "p.w"
+    )
+    bg = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    # bg rows ARE the distinct (v,w) types: count(*) per v is N1+(v,·),
+    # per w is N1+(·,w), and the relation size is N1+(·,·)
+    ctx = bg.groupBy("v").agg(
+        F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bg.groupBy("w").agg(F.count(F.lit(1)).alias("n1b"))
+    types = bg.agg(F.count(F.lit(1)).alias("t"))
+    d = F.lit(discount)
+    nll = (
+        bg.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "v",
+            "w",
+            F.round(
+                -F.log(
+                    F.greatest(F.col("cvw") - d, F.lit(0.0))
+                    / F.col("cv")
+                    + d * F.col("n1f") / F.col("cv") * F.col("n1b")
+                    / F.col("t")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("nll"),
+        )
+    )
+    per = (
+        big.join(nll, ["v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll").alias("__s"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("__s").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     target_col: str = "is_target",

@@ -437,3 +437,48 @@ def test_dsir_logratio_prefers_target_like_docs(spark):
     assert {k: v.dsir_logratio for k, v in out.items()} == out2
     # feature count = unigrams + bigrams
     assert out[100].n_feats == 3 + 2
+
+
+def test_kn_bigram_logprob_known_values(spark):
+    import math
+
+    from faust_spark.operators.text import kn_bigram_logprob
+
+    # corpus: "a b" x2, "b a", "b c", "d" (no bigrams)
+    # bg types: (a,b) cvw=2, (b,a) 1, (b,c) 1; T_types=3
+    # ctx: a cv=2 n1f=1; b cv=2 n1f=2
+    # cont: b n1b=1, a n1b=1, c n1b=1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b a"), (4, "b c"), (5, "d")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in kn_bigram_logprob(df).collect()}
+    d = 0.75
+    p_ab = max(2 - d, 0) / 2 + d * 1 / 2 * 1 / 3
+    p_ba = max(1 - d, 0) / 2 + d * 2 / 2 * 1 / 3
+    assert out[1].n_bigrams == 1
+    assert abs(out[1].avg_nll - round(-math.log(p_ab), 9)) < 1e-9
+    assert abs(out[3].avg_nll - round(-math.log(p_ba), 9)) < 1e-9
+    assert out[5].n_bigrams == 0 and out[5].avg_nll is None
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The Kneser-Ney correction: 'francisco' is frequent but occurs in
+    ONE context, so its continuation probability — and with it the
+    smoothed score of an unseen-ish transition — is low, where raw
+    unigram backoff (JM) overweights it. Compare two equal-count words:
+    one glued to a single context, one appearing after many contexts."""
+    from faust_spark.operators.text import kn_bigram_logprob
+
+    rows = [(i, "san francisco") for i in range(6)]
+    # 'the' appears 6 times total, after 6 different contexts
+    ctxs = ["red", "blue", "green", "old", "new", "big"]
+    rows += [(10 + i, f"{c} the") for i, c in enumerate(ctxs)]
+    # probes: a single transition into each target word from a context
+    # with two continuations (so the discount mass is equal)
+    rows += [(100, "probe francisco"), (101, "probe the")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.avg_nll for r in kn_bigram_logprob(df).collect()}
+    # same cvw/cv and n1f for both probe bigrams; only the continuation
+    # count differs: n1b(francisco)=2 (san, probe) vs n1b(the)=7
+    assert out[100] > out[101]

@@ -116,6 +116,7 @@ ALLOW_NESTED_LOOP = {
     "perplexity_buckets",
     "retrieval_eval",
     "bigram_logprob",  # one-ROW corpus-total crossJoin into per-(v,w) NLL
+    "kn_logprob",  # r6: one-ROW bigram-type-total crossJoin, same shape
     "dsir_score",  # one-ROW (ts, tt) totals crossJoin into bucket weights
     # broadcast centroid TABLE × corpus scan (assign_cells_join): the
     # FAISS coarse-quantizer shape — k-row broadcast, partial-agg argmin
