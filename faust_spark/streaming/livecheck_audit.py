@@ -165,9 +165,13 @@ def audit_updates(
                     if name not in seen or t < seen[name]:
                         seen[name] = t
             if "expires" in pdf.columns and x >= 0 and e < 0:
-                exp = pd.to_datetime(
-                    pdf.loc[pdf["kind"] == "exec", "expires"]
-                ).astype("datetime64[ns]")
+                exp = (
+                    pd.to_datetime(
+                        pdf.loc[pdf["kind"] == "exec", "expires"]
+                    )
+                    .dropna()  # a NULL deadline must not become NaT→garbage µs
+                    .astype("datetime64[ns]")
+                )
                 if len(exp):
                     e = int(exp.astype("int64").iloc[0] // 1000)
 
