@@ -7655,12 +7655,15 @@ _PRIORITY: list[str] = [
     # driver-green round AND stays covered by the per-round full local
     # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
     # global_table_join, stream_table_lookup, semi_join, anti_join,
-    # q1_pricing,
-    # word_count, sample_10pct,
+    # q1_pricing, word_count, sample_10pct,
     # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
-    # q4_order_priority, q5_local_volume, q6_forecast displaced below 50
-    # by the late-round r6 trainer/ranker insertions (positions 1-19 =
-    # first-evidence rows) and
+    # q4_order_priority, q5_local_volume, q6_forecast — and then
+    # distinct_types, topk_users, tumbling_hourly, hopping_30m_15m,
+    # window_point_read — were displaced below 50
+    # by the late-round r6 insertions (positions 1-24 =
+    # first-evidence rows, five of them added after the first rotation:
+    # the LiveCheck trio, the prefix Jaccard join, the KN tier); all
+    # displaced rows have r1 driver-green evidence and
     # join the r1-only block queued for r7 -----------------------------
     "global_table_join",
     "stream_table_lookup",
