@@ -402,8 +402,10 @@ def evaluate_executions(
 
     ``runtime_secs`` is last-in-time-signal minus execution timestamp
     (runner.runtime analogue) for complete executions, else NULL.
-    Returns (test_id, case_name, state, n_expected, n_seen,
-    runtime_secs).
+    Executions whose ``case_name`` has no row in ``case_specs`` are
+    dropped (unregistered case — the reference ignores traffic for
+    cases it doesn't know). Returns (test_id, case_name, state,
+    n_expected, n_seen, runtime_secs).
     """
     from pyspark.sql import functions as F
 
