@@ -64,6 +64,8 @@ class TestTimeout(AssertionError):
     """Signal did not resolve within the deadline (reference
     ``livecheck/exceptions.py:TestTimeout``)."""
 
+    __test__ = False  # reference-parity name; not a pytest class
+
 
 class SuiteFailed(Exception):
     """A case exceeded ``max_consecutive_failures`` (reference
@@ -75,6 +77,8 @@ class TestExecution:
     """One tracked test order (reference ``models.py:TestExecution``):
     the id travels with the canary so stages can resolve signals
     against it."""
+
+    __test__ = False  # reference-parity name; not a pytest class
 
     id: str
     case_name: str
