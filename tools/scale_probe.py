@@ -56,6 +56,7 @@ PROBES_DOCS = [
     "simhash_fp",
     "repetition_stats",
     "ngram_contamination",
+    "kn_logprob",  # r6: bigram-relation re-aggs, posting-shaped score join
     "doc_chunking",  # linear fan-out, no shuffle
     "shard_shuffle",  # per-shard parallel sorts
     "distinctive_terms",  # single shared term exchange
