@@ -7315,9 +7315,14 @@ _LIVECHECK_ORACLE_BASE = """
 """
 
 
-@_q(
-    "livecheck_audit",
-    f"""
+def _livecheck_oracle_recon(timeout_tail: str) -> str:
+    """The shared execution/signal reconciliation SQL (intime window,
+    per-test agg, verdict select). ``timeout_tail`` is the verdict
+    branch for incomplete executions — the batch gate distinguishes
+    TIMEOUT from still-pending INIT by its audit horizon; the streaming
+    gate's sentinel guarantees every deadline has passed, so everything
+    incomplete IS a timeout."""
+    return f"""
     WITH {_LIVECHECK_ORACLE_BASE},
     intime AS (
       SELECT x.test_id, x.case_name, s.sig_index, s.sig_ts,
@@ -7336,16 +7341,23 @@ _LIVECHECK_ORACLE_BASE = """
            CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
                      AND a.order_ok THEN 'PASS'
                 WHEN COALESCE(a.n_seen, 0) = x.n_expected THEN 'FAIL'
-                WHEN x.expires <= TIMESTAMP '2025-12-31 00:00:00'
-                     THEN 'TIMEOUT'
-                ELSE 'INIT' END AS state,
+                {timeout_tail} END AS state,
            x.n_expected,
            COALESCE(a.n_seen, 0) AS n_seen,
            CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
                 THEN (epoch_us(a.last_sig) - epoch_us(x.ts))
                      / 1000000.0 END AS runtime_secs
     FROM execs x LEFT JOIN agg a USING (test_id, case_name)
-    """,
+    """
+
+
+@_q(
+    "livecheck_audit",
+    _livecheck_oracle_recon(
+        """WHEN x.expires <= TIMESTAMP '2025-12-31 00:00:00'
+                     THEN 'TIMEOUT'
+                ELSE 'INIT'"""
+    ),
 )
 def livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LiveCheck batch audit — every tracked execution reconciled
@@ -7411,33 +7423,7 @@ def livecheck_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "stream_livecheck_audit",
-    f"""
-    WITH {_LIVECHECK_ORACLE_BASE},
-    intime AS (
-      SELECT x.test_id, x.case_name, s.sig_index, s.sig_ts,
-             s.sig_ts >= COALESCE(LAG(s.sig_ts) OVER (
-                 PARTITION BY x.test_id, x.case_name
-                 ORDER BY s.sig_index), s.sig_ts) AS ok
-      FROM execs x JOIN sigs s USING (test_id, case_name)
-      WHERE s.sig_ts <= x.expires
-    ),
-    agg AS (
-      SELECT test_id, case_name, COUNT(*) AS n_seen,
-             MAX(sig_ts) AS last_sig, BOOL_AND(ok) AS order_ok
-      FROM intime GROUP BY 1, 2
-    )
-    SELECT x.test_id, x.case_name,
-           CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
-                     AND a.order_ok THEN 'PASS'
-                WHEN COALESCE(a.n_seen, 0) = x.n_expected THEN 'FAIL'
-                ELSE 'TIMEOUT' END AS state,
-           x.n_expected,
-           COALESCE(a.n_seen, 0) AS n_seen,
-           CASE WHEN COALESCE(a.n_seen, 0) = x.n_expected
-                THEN (epoch_us(a.last_sig) - epoch_us(x.ts))
-                     / 1000000.0 END AS runtime_secs
-    FROM execs x LEFT JOIN agg a USING (test_id, case_name)
-    """,
+    _livecheck_oracle_recon("ELSE 'TIMEOUT'"),
 )
 def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """livecheck_audit executed INCREMENTALLY by the streaming engine
@@ -7493,10 +7479,15 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(src)
     _time.sleep(1.2)
-    from datetime import datetime as _dt
+    from datetime import timedelta as _td
 
+    # sentinel = max fixture time + 80h: strictly past every deadline
+    # (TTLs are <= 72h) at ANY scale factor, so the oracle's
+    # everything-incomplete-is-TIMEOUT tail holds by construction — a
+    # fixed far-future date would silently stop deciding executions
+    # whose data outgrew it
     spark.createDataFrame(
-        [("__wm__", "__none__", "sig", None, _dt(2025, 6, 1), None)],
+        [("__wm__", "__none__", "sig", None, hi + _td(hours=80), None)],
         unified.schema,
     ).coalesce(1).write.mode("append").parquet(src)
 

@@ -366,12 +366,19 @@ def case_specs_df(spark, cases):
     (reference case.py binds signals in class-body order)."""
     rows = []
     for case in cases:
-        idx = 0
-        for attr in vars(type(case)):  # class-body declaration order
-            v = getattr(case, attr, None)
-            if isinstance(v, Signal):
-                rows.append((case.name, v.name, idx))
-                idx += 1
+        # walk the MRO base-first so signals INHERITED from a shared
+        # base Case keep their position before the subclass's own
+        # (vars() alone reads only the leaf class dict and would
+        # undercount n_expected); an override re-declares the name in
+        # place — first occurrence wins the index
+        names: list[str] = []
+        for klass in reversed(type(case).__mro__):
+            for attr, v in vars(klass).items():
+                if isinstance(v, Signal) and attr not in names:
+                    names.append(attr)
+        for idx, attr in enumerate(names):
+            v = getattr(case, attr)  # the instance-bound signal
+            rows.append((case.name, v.name, idx))
     return spark.createDataFrame(
         rows, "case_name string, signal_name string, sig_index int"
     )

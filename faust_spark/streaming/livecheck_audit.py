@@ -31,6 +31,17 @@ use. Signals arriving before their execution row are held in the same
 state slot. Orphan signals whose execution never arrives hold state
 until ``orphan_ttl_seconds`` past their newest signal (GC timer), so a
 misrouted firehose cannot grow state unboundedly.
+
+Two deliberate edges:
+
+- an execution with a NULL deadline is kept PENDING forever (the batch
+  evaluator's INIT), never decided — its state is GC'd on the orphan
+  TTL without a verdict;
+- decided keys leave a TOMBSTONE for ``orphan_ttl_seconds``: an
+  at-least-once source redelivering the exec row after the verdict
+  would otherwise re-create empty state past the deadline and emit a
+  contradictory second TIMEOUT. One tombstone row per decided
+  execution, GC'd on its own timer.
 """
 
 from __future__ import annotations
@@ -117,13 +128,30 @@ def audit_updates(
             return
         expected = case_signals[case]
 
+        orphan_ttl_ms = orphan_ttl_us // 1000
+
+        def _tombstone() -> None:
+            # remember the decided key for the redelivery horizon: an
+            # at-least-once source may redeliver the exec row AFTER the
+            # verdict; without the tombstone that re-creates empty state
+            # and (deadline now behind the watermark) emits a spurious
+            # second TIMEOUT. Bounded: one row per decided execution,
+            # GC'd orphan_ttl past decision time.
+            state.update((-2, -1, "{}"))
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + orphan_ttl_ms
+            )
+
         if state.hasTimedOut:
             x, e, seen_json = state.get
-            state.remove()
-            if x < 0:
-                return  # orphan-signal GC: nothing to report
+            if x < 0 or e < 0:
+                # tombstone expiry / orphan-signal GC / no-deadline GC:
+                # nothing to report
+                state.remove()
+                return
             seen = json.loads(seen_json)
             n_seen = sum(1 for us in seen.values() if us <= e)
+            _tombstone()
             yield pd.DataFrame(
                 [
                     {
@@ -140,6 +168,11 @@ def audit_updates(
 
         if state.exists:
             x, e, seen_json = state.get
+            if x == -2:  # already decided: swallow redeliveries
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + orphan_ttl_ms
+                )
+                return
             seen = json.loads(seen_json)
         else:
             x, e, seen = -1, -1, {}
@@ -175,10 +208,10 @@ def audit_updates(
                 if len(exp):
                     e = int(exp.astype("int64").iloc[0] // 1000)
 
-        if x >= 0:
+        if x >= 0 and e >= 0:
             decided = _decide(key, x, e, seen)
             if decided is not None:
-                state.remove()
+                _tombstone()
                 verdict, n_exp, n_seen, runtime = decided
                 yield pd.DataFrame(
                     [
@@ -194,12 +227,15 @@ def audit_updates(
                 )
                 return
             # pending with a known deadline: arm the timer AT the
-            # deadline — or decide now if the watermark already passed
-            # it (setTimeoutTimestamp below the watermark throws)
+            # deadline — CEILED to ms so the timer can never fire while
+            # the µs-precise deadline is still ahead of the watermark —
+            # or decide now if the watermark already passed it
+            # (setTimeoutTimestamp below the watermark throws)
+            ems = -(-e // 1000)
             wm_ms = state.getCurrentWatermarkMs()
-            if e // 1000 <= wm_ms:
-                state.remove()
+            if ems <= wm_ms:
                 n_seen = sum(1 for us in seen.values() if us <= e)
+                _tombstone()
                 yield pd.DataFrame(
                     [
                         {
@@ -214,11 +250,14 @@ def audit_updates(
                 )
                 return
             state.update((x, e, json.dumps(seen)))
-            state.setTimeoutTimestamp(e // 1000)
+            state.setTimeoutTimestamp(ems)
         else:
-            # orphan signals: hold for the execution row, GC past TTL
+            # orphan signals held for their execution row — or an
+            # execution with a NULL deadline, which the batch evaluator
+            # keeps pending forever (INIT): never decide it here either,
+            # just bound its state with the GC timer (fires silently)
             state.update((x, e, json.dumps(seen)))
-            newest = max(seen.values()) if seen else 0
+            newest = max([x] + list(seen.values())) if (seen or x >= 0) else 0
             gc_ms = (newest + orphan_ttl_us) // 1000
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(gc_ms, wm_ms + 1))

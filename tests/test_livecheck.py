@@ -245,3 +245,24 @@ def test_case_specs_df_declaration_order(spark, tmp_path):
     by_name = {r.signal_name: r.sig_index for r in rows}
     # declaration order, not alphabetical (await order of run())
     assert by_name == {"third_alphabetically": 0, "a_first_declared": 1}
+
+
+def test_case_specs_df_includes_inherited_signals(spark, tmp_path):
+    from faust_spark.livecheck import case_specs_df
+
+    lc = LiveCheck("lc", str(tmp_path / "state"))
+
+    class BaseFlow(Case):
+        order_sent = Signal()
+
+        def run(self, test):
+            pass
+
+    @lc.case(name="checkout")
+    class Checkout(BaseFlow):
+        order_confirmed = Signal()
+
+    rows = case_specs_df(spark, [Checkout]).collect()
+    got = {(r.signal_name, r.sig_index) for r in rows}
+    # base signal keeps position 0, subclass signal follows
+    assert got == {("order_sent", 0), ("order_confirmed", 1)}

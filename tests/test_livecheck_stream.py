@@ -224,3 +224,59 @@ def test_streaming_equals_batch_evaluator_random(spark, tmp_path):
     }
     assert len(emitted) == len(streamed)  # decided exactly once
     assert streamed == batch
+
+
+def test_redelivered_exec_after_decision_is_swallowed(spark, tmp_path):
+    """At-least-once redelivery: an exec row redelivered AFTER its
+    verdict must hit the tombstone, not re-create state and emit a
+    contradictory second TIMEOUT."""
+    src = str(tmp_path / "tsrc")
+    ckpt = str(tmp_path / "tckpt")
+
+    spark.createDataFrame(
+        [
+            ("t1", "flow", "exec", None, T(10), T(12)),
+            ("t1", "flow", "sig", "a", T(10, 5), None),
+            ("t1", "flow", "sig", "b", T(10, 10), None),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.2)
+    # redelivery: same exec row again, carried on a fresh event time
+    # (a late-replayed copy below the watermark would be dropped anyway)
+    spark.createDataFrame(
+        [("t1", "flow", "exec", None, T(13), T(12))], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    spark.createDataFrame(
+        [("__wm__", "__none__", "sig", None, T(23), None)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    emitted = []
+    _run(spark, src, ckpt, emitted)
+    assert [(r.test_id, r.state) for r in emitted] == [("t1", "PASS")]
+
+
+def test_null_deadline_stays_pending_like_batch(spark, tmp_path):
+    """An execution with a NULL expires is INIT forever in the batch
+    evaluator — the stream must not decide it either (state is GC'd
+    silently on the orphan TTL)."""
+    src = str(tmp_path / "nsrc")
+    ckpt = str(tmp_path / "nckpt")
+
+    spark.createDataFrame(
+        [
+            ("t1", "flow", "exec", None, T(10), None),  # no deadline
+            ("t1", "flow", "sig", "a", T(10, 5), None),
+            ("t1", "flow", "sig", "b", T(10, 10), None),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.2)
+    spark.createDataFrame(
+        [("__wm__", "__none__", "sig", None, T(23), None)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    emitted = []
+    _run(spark, src, ckpt, emitted)
+    assert emitted == []  # never decided, never a spurious TIMEOUT
