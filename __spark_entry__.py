@@ -6267,12 +6267,21 @@ _NB_ORACLE = """
       FROM (SELECT doc_id, w FROM toks) t
       JOIN model m ON m.w = t.w
       JOIN priors p ON p.cls = m.cls
-      GROUP BY 1, 2, p.prior)
-    SELECT id, cls AS pred, CAST(total AS DOUBLE) AS score
-    FROM (SELECT id, cls, total,
-                 ROW_NUMBER() OVER (PARTITION BY id
-                                    ORDER BY total DESC, cls) AS rn
-          FROM scored) WHERE rn = 1"""
+      GROUP BY 1, 2, p.prior),
+    winner AS (
+      SELECT id, cls, total
+      FROM (SELECT id, cls, total,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY total DESC, cls) AS rn
+            FROM scored) WHERE rn = 1),
+    fb AS (SELECT cls AS fb_pred, prior::DECIMAL(20,9) AS fb_prior
+           FROM priors ORDER BY prior DESC, cls LIMIT 1)
+    SELECT d.doc_id AS id,
+           COALESCE(w.cls, fb.fb_pred) AS pred,
+           CAST(COALESCE(w.total, fb.fb_prior) AS DOUBLE) AS score
+    FROM documents d
+    LEFT JOIN winner w ON w.id = d.doc_id
+    CROSS JOIN fb"""
 
 
 @_q(

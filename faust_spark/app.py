@@ -234,6 +234,7 @@ class App:
         self.agents: dict[str, Agent] = {}
         self.pages: list = []
         self._app_tasks: list = []
+        self._tasks_run: set = set()
         self._started = False
 
     @property
@@ -393,16 +394,20 @@ class App:
     def start(self) -> list:
         """Start the app: run every ``@app.task`` hook exactly once (in
         registration order — the reference starts them with the worker).
-        Idempotent: a second ``start()`` is a no-op, matching run-once
-        semantics across driver-side restarts of the same App object.
-        Returns the task results (first start only)."""
+        Idempotent PER TASK, not per call: each hook runs on the first
+        ``start()`` after its registration, so a task registered after
+        an early stream build (which triggers start()) still runs on
+        the next entry point instead of being silently skipped.
+        Returns the results of the tasks run by THIS call."""
         import inspect
 
-        if self._started:
-            return []
         self._started = True
         results = []
-        for f, on_leader in self._app_tasks:
+        for entry_ in self._app_tasks:
+            f, on_leader = entry_[0], entry_[1]
+            if f in self._tasks_run:
+                continue
+            self._tasks_run.add(f)
             if on_leader and not self.is_leader():
                 continue
             if inspect.signature(f).parameters:

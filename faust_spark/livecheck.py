@@ -13,11 +13,18 @@ Spark-shaped mapping (micro-batch world, no asyncio):
 
 - **Signal transport**: the reference uses a Kafka bus topic
   (``signals.py:91-150``); here a signal is resolved by appending an
-  atomic one-event JSON file under the LiveCheck state directory (put
-  it next to the pipeline's checkpoint — DFS-durable, visible across
-  driver restarts). ``Signal.send`` is callable from anywhere that has
-  the test key — typically a ``foreachBatch`` stage after it commits.
-  ``Signal.wait`` polls the directory with a wall-clock deadline.
+  atomic one-event JSON file under the LiveCheck state directory via
+  ordinary file I/O. That is sufficient for the canary runner because
+  both ends execute ON THE DRIVER: ``Signal.send`` is typically called
+  from a ``foreachBatch`` sink (driver-side by contract) and
+  ``Signal.wait`` from the case body. Point ``state_dir`` at a local
+  or mounted path; URI-scheme paths (``hdfs://``, ``s3a://``) are
+  REJECTED at construction — ``os.makedirs`` would silently create a
+  literal local ``hdfs:`` directory. Cluster-wide, many-machine signal
+  reconciliation is not this polling loop's job: that is the batch /
+  streaming audit below (``evaluate_executions`` /
+  ``streaming/livecheck_audit.py``), which reads execution/signal LOGS
+  as DataFrames from any DFS.
 - **Cases** subclass :class:`Case`, declare signals as class attributes
   (``__set_name__`` binds names, as in the reference), implement
   ``run(test)`` with ordinary assertions, and optionally
@@ -131,9 +138,21 @@ class Signal:
             json.dump({"key": key, "value": value, "ts": time.time()}, f)
         os.replace(tmp, os.path.join(d, f"{key}.json"))
 
-    def wait(self, key: str, timeout: float = 30.0, poll: float = 0.05):
+    def wait(
+        self,
+        key: str,
+        timeout: Optional[float] = None,
+        poll: float = 0.05,
+    ):
         """Block until the signal resolves for ``key``; returns the sent
-        value. Raises :class:`TestTimeout` past the deadline."""
+        value. Raises :class:`TestTimeout` past the deadline. The
+        default deadline is the owning case's ``test_timeout`` knob —
+        this is what makes ``@lc.case(test_timeout=...)`` effective for
+        wait-based cases (an explicit ``timeout=`` still overrides)."""
+        if timeout is None:
+            timeout = (
+                self.case.test_timeout if self.case is not None else 30.0
+            )
         path = os.path.join(self._dir(), f"{key}.json")
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
@@ -151,9 +170,18 @@ class Signal:
 class _CaseState:
     status: str = "INIT"  # INIT/PASS/FAIL/ERROR/TIMEOUT/STALL
     last_test_received: Optional[float] = None
+    # registration time: the stall clock starts HERE for a case that
+    # has never run (reference case.py measures from timer start, not
+    # from epoch — a just-registered case must get the full
+    # warn_stalled_after grace, not an instant STALL)
+    registered_at: float = field(default_factory=time.time)
     consecutive_failures: int = 0
     total_failures: int = 0
     runs: int = 0
+    # live-traffic ticks SEEN (run or skipped) — the probability draw
+    # hashes this, so it advances every tick; hashing `runs` would
+    # freeze the draw after the first skip
+    ticks: int = 0
     last_error: Optional[str] = None
 
 
@@ -205,6 +233,17 @@ class LiveCheck:
     """
 
     def __init__(self, name: str, state_dir: str) -> None:
+        import re
+
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", state_dir):
+            raise ValueError(
+                f"state_dir {state_dir!r} has a URI scheme: signal "
+                "transport uses ordinary file I/O (driver-local "
+                "rendezvous — see module docstring). Use a local or "
+                "mounted path; for cluster-wide reconciliation use "
+                "evaluate_executions / streaming.livecheck_audit over "
+                "signal logs instead."
+            )
         self.name = name
         self.state_dir = state_dir
         self.cases: Dict[str, Case] = {}
@@ -291,8 +330,10 @@ class LiveCheck:
                 continue
             if live_traffic:
                 st = self._state[case.name]
+                tick = st.ticks
+                st.ticks += 1
                 h = hashlib.md5(
-                    f"{case.name}:{st.runs}".encode()
+                    f"{case.name}:{tick}".encode()
                 ).digest()
                 if (int.from_bytes(h[:6], "big") / float(1 << 48)
                         >= case.probability):
@@ -305,8 +346,10 @@ class LiveCheck:
         now = time.time()
         for case in self.cases.values():
             st = self._state[case.name]
-            last = st.last_test_received
-            if last is None or now - last > case.warn_stalled_after:
+            # never-run cases measure the stall clock from registration
+            # — full warn_stalled_after grace, not an instant STALL
+            last = st.last_test_received or st.registered_at
+            if now - last > case.warn_stalled_after:
                 if st.status in ("INIT", "PASS"):
                     st.status = "STALL"
 

@@ -185,7 +185,7 @@ def bpe_fit(
             break
         a, b, f = top[0]["a"], top[0]["b"], int(top[0]["f"])
         merges.append((a, b, f))
-        sym = materialize(_merge_pair(sym, a, b), eager=True)
+        sym = materialize(_merge_pair(sym, a, b), eager=True, iterative=True)
     return merges, sym
 
 
@@ -207,5 +207,5 @@ def bpe_segment(
         eager=True,
     )
     for a, b, *_ in merges:
-        sym = materialize(_merge_pair(sym, a, b), eager=True)
+        sym = materialize(_merge_pair(sym, a, b), eager=True, iterative=True)
     return sym

@@ -754,7 +754,7 @@ def connected_components(
     # would otherwise evaluate the (expensive) pair-generation pipeline
     # twice; eager localCheckpoint both forces the materialization and
     # lets the blocks free on GC (a persist here was never unpersisted)
-    pairs = materialize(pairs, eager=True)
+    pairs = materialize(pairs, eager=True)  # once, not per-round
     edges = (
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .unionByName(
@@ -822,7 +822,7 @@ def connected_components(
         # planning time alone dominates. localCheckpoint materializes the
         # current labels and cuts the chain.
         if it > 0 and it % 5 == 0:
-            labels = materialize(labels, eager=True)
+            labels = materialize(labels, eager=True, iterative=True)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")

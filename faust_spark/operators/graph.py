@@ -98,7 +98,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = materialize(
+        ranks = materialize(  # iterative: see mat.py
             nodes.join(
                 contrib, nodes["node"] == contrib["dst"], "left"
             )
@@ -116,6 +116,7 @@ def pagerank(
                 ).alias("rank"),
             ),
             eager=True,
+            iterative=True,
         )
     return ranks
 
@@ -194,7 +195,7 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = materialize(
+        ranks = materialize(  # iterative: see mat.py
             wnodes.join(
                 contrib, wnodes["node"] == contrib["dst"], "left"
             )
@@ -212,6 +213,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             ),
             eager=True,
+            iterative=True,
         )
     return ranks
 
@@ -275,6 +277,7 @@ def hits(
                 ).alias("auth"),
             ),
             eager=True,
+            iterative=True,
         )
         hraw = (
             e.join(
@@ -299,6 +302,7 @@ def hits(
                 ).alias("hub"),
             ),
             eager=True,
+            iterative=True,
         )
     return hubs.join(auths, "node").select("node", "hub", "auth")
 
@@ -359,5 +363,6 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", "label"),
             eager=True,
+            iterative=True,
         )
     return labels

@@ -45,10 +45,33 @@ def _strategy(df: DataFrame) -> str:
     return s
 
 
-def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+def materialize(
+    df: DataFrame, eager: bool = False, iterative: bool = False
+) -> DataFrame:
     """Cut ``df``'s lineage / pin its result per the session's
-    materialization strategy (see module docstring)."""
+    materialization strategy (see module docstring).
+
+    ``iterative=True`` marks a call INSIDE an iteration loop (pagerank
+    rounds, BPE merges, CC label propagation): each round re-calls it
+    on a new relation, so the plain ``persist`` strategy would pin one
+    never-unpersisted cache per round while leaving lineage untruncated
+    — super-linear memory AND replan growth, the exact misuse the
+    strategy doc warns about. Loop-internal calls therefore never use
+    raw persist: under the ``persist`` strategy they upgrade to a
+    reliable checkpoint when a checkpoint dir is configured (the
+    dynamic-allocation-safe option) and otherwise fall back to
+    ``localCheckpoint`` (bounded memory, truncated lineage — the
+    documented single-tenant trade)."""
     s = _strategy(df)
+    if s == "persist" and iterative:
+        try:
+            has_ckpt_dir = (
+                df.sparkSession.sparkContext.getCheckpointDir()
+                is not None
+            )
+        except Exception:
+            has_ckpt_dir = False
+        s = "reliable" if has_ckpt_dir else "local"
     if s == "local":
         return df.localCheckpoint(eager=eager)
     if s == "reliable":

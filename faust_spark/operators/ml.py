@@ -409,8 +409,13 @@ def nb_classify(
     (multinomial — duplicates count), summed in DECIMAL so the result
     is exact and order-independent; argmax tie-breaks on class name.
     The model joins broadcast (vocabulary-sized); tokens of unseen
-    words at apply time simply don't join (documented drop).  Shape:
-    one explode + one broadcast join + one (doc, class) partial agg.
+    words at apply time simply don't join (documented drop). A document
+    with NO in-vocab tokens (all-OOV / all-non-alpha) still gets a row:
+    the likelihood term is empty, so its score is the bare prior and
+    the prediction is the prior-argmax class — documents never silently
+    vanish from the output (downstream routing and eval populations
+    stay complete). Shape: one explode + one broadcast join + one
+    (doc, class) partial agg.
     """
     from pyspark.sql import Window as W
 
@@ -440,12 +445,30 @@ def nb_classify(
     wd = W.partitionBy("id").orderBy(
         F.desc("total"), F.col("cls")
     )
-    return (
+    winner = (
         scored.withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") == 1)
+        .select("id", "cls", "total")
+    )
+    # all-OOV fallback: empty likelihood ⇒ score = prior; prior-argmax
+    # class, same tie-break — a one-row broadcast
+    fb = (
+        priors.orderBy(F.desc("prior"), "cls")
+        .limit(1)
+        .select(
+            F.col("cls").alias("__fb_cls"),
+            F.col("prior").cast(dec).alias("__fb_prior"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(winner, "id", "left")
+        .crossJoin(F.broadcast(fb))
         .select(
             F.col("id"),
-            F.col("cls").alias("pred"),
-            F.col("total").cast("double").alias("score"),
+            F.coalesce("cls", "__fb_cls").alias("pred"),
+            F.coalesce("total", "__fb_prior")
+            .cast("double")
+            .alias("score"),
         )
     )

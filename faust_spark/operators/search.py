@@ -305,7 +305,16 @@ def mmr_rerank(
             if round_dp is None:
                 i = int(np.argmax(mmr))
             else:
-                key = np.round(mmr, round_dp)
+                # HALF-AWAY-FROM-ZERO like F.round / DuckDB ROUND —
+                # np.round is banker's (half-to-even), so a tie at the
+                # round_dp boundary would pick a different argmax than
+                # the oracle and derail the whole greedy chain
+                scale = 10.0**round_dp
+                key = (
+                    np.sign(mmr)
+                    * np.floor(np.abs(mmr) * scale + 0.5)
+                    / scale
+                )
                 key[chosen] = -np.inf
                 # argmax under (rounded score DESC, id ASC): lexsort is
                 # last-key-primary, -key ascending == score descending

@@ -266,3 +266,62 @@ def test_case_specs_df_includes_inherited_signals(spark, tmp_path):
     got = {(r.signal_name, r.sig_index) for r in rows}
     # base signal keeps position 0, subclass signal follows
     assert got == {("order_sent", 0), ("order_confirmed", 1)}
+
+
+def test_probability_gate_advances_past_skips(tmp_path):
+    """The live-traffic draw hashes the TICK counter (every run_once
+    call), not the run counter — a case whose draw fails once must not
+    be frozen out forever (the draw input must change every tick)."""
+    lc = LiveCheck("lc", str(tmp_path / "state"))
+    calls = {"n": 0}
+
+    @lc.case(name="coinflip", probability=0.5)
+    class Coinflip(Case):
+        def run(self, test):
+            calls["n"] += 1
+
+    for _ in range(40):
+        lc.run_once(live_traffic=True)
+    # deterministic md5 draws: some ticks skip, some run — but never
+    # all-skip-after-first-failure (the frozen-gate bug) and never all
+    assert 5 < calls["n"] < 40
+
+
+def test_new_case_gets_stall_grace_period(tmp_path):
+    """A just-registered case that hasn't run yet measures the stall
+    clock from registration — no instant STALL."""
+    lc = LiveCheck("lc", str(tmp_path / "state"))
+
+    @lc.case(name="gated", probability=0.0, warn_stalled_after=3600)
+    class Gated(Case):
+        def run(self, test):
+            pass
+
+    lc.run_once(live_traffic=True)  # probability gates it off
+    rows = {r[0]: r[1] for r in lc.report_rows()}
+    assert rows["gated"] == "INIT"  # not STALL: grace period active
+
+
+def test_case_test_timeout_knob_bounds_wait(tmp_path):
+    """@lc.case(test_timeout=...) is the default Signal.wait deadline."""
+    import time as _time
+
+    lc = LiveCheck("lc", str(tmp_path / "state"))
+
+    @lc.case(name="short", test_timeout=0.3)
+    class Short(Case):
+        done = Signal()
+
+        def run(self, test):
+            self.done.wait(test.id)  # no explicit timeout
+
+    t0 = _time.monotonic()
+    assert lc.run_case(Short) == "TIMEOUT"
+    assert _time.monotonic() - t0 < 5  # bounded by the knob, not 30s
+
+
+def test_state_dir_uri_scheme_rejected(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="URI scheme"):
+        LiveCheck("lc", "hdfs://nn/ckpt/livecheck")

@@ -303,3 +303,30 @@ def test_nb_matches_python_reference(spark):
         best = min(scores, key=lambda c: (-scores[c], c))
         assert got[i][0] == best, (i, got[i], scores)
         assert abs(got[i][1] - float(scores[best])) < 1e-12
+
+
+def test_nb_classify_all_oov_doc_gets_prior_argmax(spark):
+    """A doc with zero in-vocab tokens must still get a row: pred =
+    prior-argmax class, score = bare prior — not silently vanish."""
+    from faust_spark.operators.ml import nb_classify, nb_fit
+
+    train = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "en"),
+            (2, "aa bb cc", "en"),
+            (3, "xx yy", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    model, priors, _ = nb_fit(train, text_col="text", class_col="lang")
+    apply_df = spark.createDataFrame(
+        [(10, "aa bb"), (11, "123 456"), (12, "zz qq")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in nb_classify(apply_df, model, priors).collect()}
+    assert set(out) == {10, 11, 12}  # nothing dropped
+    assert out[10].pred == "en"
+    # en has 2/3 of training docs -> the prior-argmax fallback
+    pri = {r.cls: r.prior for r in priors.collect()}
+    assert out[11].pred == "en" and abs(out[11].score - pri["en"]) < 1e-9
+    assert out[12].pred == "en"

@@ -264,3 +264,30 @@ def test_app_task_fires_on_first_stream(spark):
     assert calls == ["hook"]
     app.stream(spark.range(3))  # idempotent across streams
     assert calls == ["hook"]
+
+
+def test_task_registered_after_first_stream_still_runs(spark):
+    """App.start() is idempotent PER TASK: a @app.task registered after
+    an early stream build (which triggers start) must run on the next
+    entry point, not be silently skipped."""
+    from faust_spark.app import App
+
+    app = App("late-task", spark=spark)
+    ran = []
+
+    @app.task
+    def first():
+        ran.append("first")
+
+    t = app.topic(path="/root/testdata/sf0.001/events.parquet")
+    app.stream(t.batch_df())  # triggers start(): runs `first`
+    assert ran == ["first"]
+
+    @app.task
+    def late():
+        ran.append("late")
+
+    app.start()  # next entry point picks up the late registration
+    assert ran == ["first", "late"]
+    app.start()  # still idempotent per task
+    assert ran == ["first", "late"]

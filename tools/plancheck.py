@@ -50,8 +50,10 @@ SKIP = {
     "supplier_pagerank",  # r6: iterations materialize eagerly inside
     # pagerank (lineage truncated per round, plan depth constant); the
     # per-iteration shape (hash joins + hash aggs, one-row dangling
-    # broadcast, zero Python evals) is pinned by tests/test_graph.py
-    # test_pagerank_iteration_plan_shape under the persist strategy
+    # broadcast, zero Python evals) is pinned by the trajectory oracle
+    # + tests/test_graph.py test_pagerank_iteration_plan_shape (plan
+    # bounded under every strategy; loop materializations are
+    # iterative=True so persist can no longer grow plans per round)
 }
 
 

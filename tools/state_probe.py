@@ -122,11 +122,20 @@ def main() -> int:
     fresh(reprobe, 99)
     summary["driver_loss_reemitted_seen_keys"] = survived["emitted"]
     summary["driver_loss_survived"] = survived["emitted"] == 0
-    committed = os.path.exists(
-        os.path.join(dfs_row["state_dir"], "delta_v99", "_SUCCESS")
-    ) or any(
-        d.startswith(("base_v", "delta_v"))
+    # committed = the NEWEST state version carries its _SUCCESS marker
+    # (a bare existence fallback would be vacuously true after any run
+    # and could never catch a crashed half-written final version)
+    vers = [
+        d
         for d in os.listdir(dfs_row["state_dir"])
+        if d.startswith(("base_v", "delta_v"))
+    ]
+    committed = bool(vers) and os.path.exists(
+        os.path.join(
+            dfs_row["state_dir"],
+            max(vers, key=lambda d: int(d.rsplit("_v", 1)[1])),
+            "_SUCCESS",
+        )
     )
     summary["state_under_ckpt_root_committed"] = committed
 
