@@ -7431,6 +7431,81 @@ def livecheck_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "livecheck_case_stats",
+    f"""
+    WITH rep AS ({_livecheck_oracle_recon(
+        '''WHEN x.expires <= TIMESTAMP '2025-12-31 00:00:00'
+                     THEN 'TIMEOUT'
+                ELSE 'INIT' '''
+    )}),
+    bt AS (SELECT user_id, MIN(ts) AS exec_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    wt AS (SELECT r.case_name, r.test_id, r.state, b.exec_ts AS ts,
+                  r.runtime_secs
+           FROM rep r JOIN bt b
+             ON CAST(b.user_id AS VARCHAR) = r.test_id),
+    g AS (SELECT *,
+                 (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY case_name
+                      ORDER BY ts, test_id))) / 1000000.0 AS gap_secs
+          FROM wt),
+    lastpass AS (
+      SELECT case_name, ts AS lts, test_id AS ltid
+      FROM (SELECT case_name, ts, test_id,
+                   ROW_NUMBER() OVER (PARTITION BY case_name
+                                      ORDER BY ts DESC,
+                                               test_id DESC) AS rn
+            FROM wt WHERE state = 'PASS') WHERE rn = 1)
+    SELECT g.case_name,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (g.state = 'PASS') AS n_pass,
+           COUNT(*) FILTER (g.state = 'FAIL') AS n_fail,
+           COUNT(*) FILTER (g.state = 'TIMEOUT') AS n_timeout,
+           CAST(COUNT(*) FILTER (g.state = 'PASS') AS DOUBLE)
+             / COUNT(*) AS pass_rate,
+           COUNT(*) FILTER (l.lts IS NULL
+                            OR (g.ts, g.test_id) > (l.lts, l.ltid))
+             AS consecutive_failures,
+           MAX(g.gap_secs) AS max_gap_secs,
+           MAX(g.gap_secs) > 604800.0 AS stalled,
+           MIN(g.runtime_secs) AS min_runtime,
+           MAX(g.runtime_secs) AS max_runtime,
+           CAST(SUM(CAST(g.runtime_secs AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_runtime
+    FROM g LEFT JOIN lastpass l USING (case_name)
+    GROUP BY 1
+    """,
+)
+def livecheck_case_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite-level health rollup (faust_spark/livecheck.py case_stats;
+    reference Case state machine counters — total_by_state,
+    consecutive_failures, stall detection, runtime history,
+    faust/livecheck/case.py:115-358) over the batch audit's decided
+    reports: verdict counts with exact pass_rate, the trailing
+    non-PASS run in execution-time order (struct comparison against
+    the per-case last PASS — mirrored by the oracle's row-value
+    comparison), max inter-execution gap as exact integer-µs
+    differences with a one-week stall threshold, and
+    DECIMAL-accumulated runtime rollups. One case_name shuffle shared
+    by the window and the group-by."""
+    from faust_spark.livecheck import case_stats, evaluate_executions
+
+    execs, sigs, specs = _livecheck_fixture(spark, sf_dir)
+    reports = evaluate_executions(
+        execs,
+        sigs,
+        specs,
+        as_of="2025-12-31 00:00:00",
+        require_order=True,
+    )
+    with_ts = reports.join(
+        execs.select("test_id", "case_name", "ts"),
+        ["test_id", "case_name"],
+    )
+    return case_stats(with_ts, warn_stalled_after=604800.0)
+
+
+@_q(
     "stream_livecheck_audit",
     _livecheck_oracle_recon("ELSE 'TIMEOUT'"),
 )
@@ -7548,7 +7623,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-24 are the only queries without a
+# Round-6 window policy: positions 1-25 are the only queries without a
 # prior driver-green hash row — the three r5 no_oracle rows, which now
 # carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
 # the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
@@ -7563,15 +7638,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_livecheck_audit — the last is the incremental keyed-state
 # form, hash-matched against the same batch oracle), the exact
 # prefix-filtered Jaccard join (dedup_jaccard_prefix — capless oracle),
-# and the Kneser-Ney LM tier (kn_logprob).
-# Positions 25-41 are every query whose implementation changed this
+# the Kneser-Ney LM tier (kn_logprob), and the suite-health rollup
+# (livecheck_case_stats).
+# Positions 26-42 are every query whose implementation changed this
 # round and must be re-proven: the DFS-sharded streaming state
 # backends (stream_everseen_dedup / stream_heavy_hitters), the fused
 # DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
 # asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
 # (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
 # through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 42-50 rotate the
+# perplexity_buckets / unigram_logprob). Positions 43-50 rotate the
 # STALEST driver evidence back under the driver (VERDICT r5 item 6:
 # rows hash-green only in round 1). The stale-rotation rows this
 # round's new-operator insertions displaced below 50 (listed at the
@@ -7583,7 +7659,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # keep full-gate coverage via tools/check.py ->
 # artifacts/check_all_r6.json.
 _PRIORITY: list[str] = [
-    # ---- positions 1-24: first driver evidence — the r5 no_oracle rows
+    # ---- positions 1-25: first driver evidence — the r5 no_oracle rows
     # now carrying real contracts (mmr full-chain SQL, serve recall),
     # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, the
     # NEW LiveCheck audit trio (batch pair + streaming form), and the
@@ -7593,6 +7669,7 @@ _PRIORITY: list[str] = [
     "stream_livecheck_audit",
     "dedup_jaccard_prefix",
     "kn_logprob",
+    "livecheck_case_stats",
     "mmr_rerank",
     "ivf_topk_serve",
     "ivfpq_topk_serve",

@@ -117,6 +117,7 @@ HEADLINE = [
     "user_anomaly",  # per-user z-score outlier screen
     "dedup_jaccard_prefix",  # r6: exact PPJoin-style prefix-filtered join
     "livecheck_audit",  # r6: e2e-check reconciliation, one keyed shuffle
+    "livecheck_case_stats",  # r6: suite-health rollup over the reports
     # streaming engine path
     "stream_tumbling_hourly",
     "stream_stateful_counter",

@@ -582,3 +582,93 @@ def signal_latencies(executions, signals, case_specs):
             / F.lit(1000000.0)
         ).alias("latency_secs"),
     )
+
+
+def case_stats(reports, warn_stalled_after: float = 1800.0):
+    """Suite-level health rollup over an audited-reports log — the
+    batch analogue of the reference Case state machine's counters
+    (``case.py``: ``total_by_state``, ``consecutive_failures``,
+    ``warn_stalled_after`` stall detection, runtime history).
+
+    ``reports`` carries one decided row per execution with its
+    execution timestamp: (test_id, case_name, state, ts,
+    runtime_secs) — the :func:`evaluate_executions` output joined back
+    to the execution log's ``ts``. Per case:
+
+    - verdict counts (``n_pass``/``n_fail``/``n_timeout``/``n_total``)
+      and exact ``pass_rate`` (decimal division, one cast to double);
+    - ``consecutive_failures`` = the trailing run of non-PASS verdicts
+      in execution-time order (the reference's counter at
+      suite-evaluation time; a PASS resets it, case.py:305-310);
+    - ``max_gap_secs`` = the largest gap between consecutive
+      executions (exact integer-µs difference, one division) and
+      ``stalled`` = that gap exceeded ``warn_stalled_after``
+      (case.py:337-358's SuiteStalled, evaluated over the log);
+    - runtime rollup over complete executions: min/max and a
+      DECIMAL(18,6)-accumulated sum (runtimes are exact multiples of
+      1 µs, so the decimal cast is lossless).
+
+    One shuffle on case_name (the window and the final group-by share
+    it); ties in execution time order deterministically by test_id.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("case_name").orderBy("ts", "test_id")
+    r = reports.select(
+        "case_name",
+        "test_id",
+        "state",
+        "ts",
+        "runtime_secs",
+    ).withColumn(
+        "gap_secs",
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(F.lag("ts").over(w))
+        )
+        / F.lit(1000000.0),
+    )
+    # trailing non-PASS run = rows strictly after the case's last PASS
+    # (no PASS at all → every row); the last-PASS position comes from an
+    # unordered window max over the same case partition (shares the one
+    # case_name shuffle with the final group-by)
+    wpc = W.partitionBy("case_name")
+    r = r.withColumn(
+        "__last_pass",
+        F.max(
+            F.when(
+                F.col("state") == "PASS", F.struct("ts", "test_id")
+            )
+        ).over(wpc),
+    )
+    return r.groupBy("case_name").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("state") == "PASS", 1)).alias("n_pass"),
+        F.count(F.when(F.col("state") == "FAIL", 1)).alias("n_fail"),
+        F.count(F.when(F.col("state") == "TIMEOUT", 1)).alias(
+            "n_timeout"
+        ),
+        # exact integer operands, ONE correctly-rounded double division
+        # (decimal division would hit engine-specific scale rules)
+        (
+            F.count(F.when(F.col("state") == "PASS", 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pass_rate"),
+        F.count(
+            F.when(
+                F.col("__last_pass").isNull()
+                | (F.struct("ts", "test_id") > F.col("__last_pass")),
+                1,
+            )
+        ).alias("consecutive_failures"),
+        F.max("gap_secs").alias("max_gap_secs"),
+        (F.max("gap_secs") > F.lit(warn_stalled_after)).alias(
+            "stalled"
+        ),
+        F.min("runtime_secs").alias("min_runtime"),
+        F.max("runtime_secs").alias("max_runtime"),
+        F.sum(F.col("runtime_secs").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_runtime"),
+    )

@@ -325,3 +325,42 @@ def test_state_dir_uri_scheme_rejected(tmp_path):
 
     with _pytest.raises(ValueError, match="URI scheme"):
         LiveCheck("lc", "hdfs://nn/ckpt/livecheck")
+
+
+def test_case_stats_rollup_semantics(spark):
+    """Suite rollup: verdict counts, trailing-failure run (reset by the
+    last PASS in execution-time order), max inter-execution gap with
+    the stall threshold, and exact runtime accumulation."""
+    import datetime as dt
+
+    from faust_spark.livecheck import case_stats
+
+    T = dt.datetime
+    rep = spark.createDataFrame(
+        [
+            ("t1", "flow", "PASS", T(2024, 1, 1, 0), 10.0),
+            ("t2", "flow", "FAIL", T(2024, 1, 1, 1), 12.0),
+            ("t3", "flow", "TIMEOUT", T(2024, 1, 1, 2), None),
+            ("t4", "flow", "PASS", T(2024, 1, 1, 3), 8.5),
+            ("t5", "flow", "FAIL", T(2024, 1, 1, 10), 11.0),
+            ("t6", "flow", "TIMEOUT", T(2024, 1, 1, 11), None),
+            ("a1", "eng", "FAIL", T(2024, 1, 1, 0), 1.0),
+            ("a2", "eng", "FAIL", T(2024, 1, 1, 1), 2.0),
+        ],
+        "test_id string, case_name string, state string, "
+        "ts timestamp, runtime_secs double",
+    )
+    out = {
+        r.case_name: r
+        for r in case_stats(rep, warn_stalled_after=5 * 3600).collect()
+    }
+    f = out["flow"]
+    assert (f.n_total, f.n_pass, f.n_fail, f.n_timeout) == (6, 2, 2, 2)
+    assert f.pass_rate == 2 / 6
+    assert f.consecutive_failures == 2  # t5, t6 after the t4 PASS
+    assert f.max_gap_secs == 25200.0  # 03:00 -> 10:00
+    assert f.stalled  # 7h > 5h threshold
+    assert f.sum_runtime == 41.5
+    e = out["eng"]
+    assert e.consecutive_failures == 2  # never passed
+    assert not e.stalled

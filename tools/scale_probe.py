@@ -37,6 +37,7 @@ PROBES_EVENTS = [
     "value_quantiles_kll",  # r5: daily KLL + merged quantile contract
     "livecheck_audit",  # r6: one (test_id,case)-keyed shuffle, specs
     # broadcast; state per pending execution only
+    "livecheck_case_stats",  # r6: reports rollup, one case-keyed shuffle
 ]
 # pairwise doc ops: candidate sets grow super-linearly under replication
 # (every replica pair is a planted near-dup), so the probe stays bounded
