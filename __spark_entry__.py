@@ -7735,11 +7735,13 @@ _PRIORITY: list[str] = [
     # q1_pricing, word_count, sample_10pct,
     # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
     # q4_order_priority, q5_local_volume, q6_forecast — and then
-    # distinct_types, topk_users, tumbling_hourly, hopping_30m_15m,
+    # distinct_users_per_type, distinct_types, topk_users,
+    # tumbling_hourly, hopping_30m_15m,
     # window_point_read — were displaced below 50
-    # by the late-round r6 insertions (positions 1-24 =
-    # first-evidence rows, five of them added after the first rotation:
-    # the LiveCheck trio, the prefix Jaccard join, the KN tier); all
+    # by the late-round r6 insertions (positions 1-25 =
+    # first-evidence rows, six of them added after the first rotation:
+    # the LiveCheck audit trio + case stats, the prefix Jaccard join,
+    # the KN tier); all
     # displaced rows have r1 driver-green evidence and
     # join the r1-only block queued for r7 -----------------------------
     "global_table_join",
