@@ -2167,15 +2167,17 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences",
     """
     WITH t AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
     ),
     c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t
     )
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, shard, n_tokens,
            CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id
     FROM c
     """,
@@ -2183,17 +2185,28 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: assign docs to ~2048-token context
     chunks by running token total (the sequential-packer semantics).
-    The global running sum is a single-partition window here; at corpus
-    scale pack per shard (partitionBy a shard key) — the global order is
-    an arbitrary choice anyway."""
+    Packing is SHARDED — running sum within a deterministic shard key
+    (doc_id % 16), which is how real sequence packers work at corpus
+    scale (each writer task packs its own shard independently; global
+    document order is an arbitrary choice anyway). The window is
+    partitioned, so the plan has no single-partition exchange and
+    scales with the shard count; (shard, chunk_id) is the globally
+    unique chunk key."""
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     return d.select(
         "doc_id",
+        "shard",
         "n_tokens",
         F.floor(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
@@ -6045,7 +6058,14 @@ def _bpe_oracle_sql(n_merges: int = 10, final: str = "merges") -> str:
             for t in range(1, n_merges + 1)
         )
     else:
-        selects = f"SELECT word, cnt, syms FROM s{n_merges}"
+        # Space-joined string, not array<string>: the driver's
+        # canonicalizer sorts columns with pandas and an array column
+        # is unhashable there; the join is lossless (symbols are
+        # [a-z]+ or '</w>', never containing spaces).
+        selects = (
+            f"SELECT word, cnt, array_to_string(syms, ' ') AS syms "
+            f"FROM s{n_merges}"
+        )
     return ",".join(parts) + f"""
     {selects}"""
 
@@ -6080,12 +6100,17 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     this model-sized relation, so verifying the dictionary
     segmentation verifies the apply path. Every word's full subword
     sequence hash-matches the DuckDB oracle's s10 relation (same
-    zero-tolerance integer semantics as bpe_merges)."""
+    zero-tolerance integer semantics as bpe_merges). The subword
+    sequence is emitted space-joined (symbols never contain spaces)
+    so every result column is scalar-sortable by the driver's
+    canonicalizer."""
     from faust_spark.operators.bpe import bpe_fit, word_counts
 
     d = _t(spark, sf_dir, "documents")
     _, sym = bpe_fit(word_counts(d), n_merges=10)
-    return sym.select("word", "cnt", "syms")
+    return sym.select(
+        "word", "cnt", F.array_join("syms", " ").alias("syms")
+    )
 
 
 def _lpa_oracle_sql(iters: int = 3) -> str:

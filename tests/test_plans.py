@@ -172,6 +172,18 @@ def test_shard_shuffle_no_global_sort(spark, sf_dir):
     assert "Exchange hashpartitioning" in plan  # the one shard exchange
 
 
+def test_pack_sequences_sharded_window(spark, sf_dir):
+    """Sequence packing runs per shard: the running-sum window must be
+    hash-partitioned on the shard key, never a global single-partition
+    sort (the r6 weak spot, pinned fixed)."""
+    df = entry.queries()["pack_sequences"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+    assert "Window" in plan
+
+
 def test_q2_partition_min_single_window_shuffle(spark, sf_dir):
     """Q2's correlated-min decorrelates to an unordered partition-min
     window: one partkey exchange, no single-partition sort, no
