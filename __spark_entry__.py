@@ -4584,32 +4584,35 @@ def _ann_recall_contract(approx: DataFrame, exact: DataFrame,
     exact and approximate paths now breaks ``exact_pairs_md5`` instead
     of passing silently).  ``recall_ok`` then asserts the approximate
     result's containment in that verified exact set stays above
-    ``min_recall`` — an index whose recall drifts turns the row red."""
+    ``min_recall`` — an index whose recall drifts turns the row red.
+
+    Physical shape: the exact relation appears ONCE — hit marking is a
+    left join of the exact pairs against the (model-sized, broadcast)
+    approximate pairs, and every output column folds into a single
+    aggregation. The previous two-reference form (separate agg +
+    inner-join count + 1-row crossJoin) planned the brute-force
+    subtree twice; at corpus scale that doubles the most expensive
+    scan in the gate."""
     pair = F.concat_ws(
         ":", F.col("qid").cast("string"), F.col("nid").cast("string")
     )
-    ex = exact.select("qid", "nid")
-    hits = approx.select("qid", "nid").join(ex, ["qid", "nid"])
-    return (
-        ex.agg(
-            F.count_distinct("qid").cast("long").alias("n_queries"),
-            F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
-            F.md5(
-                F.concat_ws(
-                    ",", F.array_sort(F.collect_list(pair))
-                ).cast("binary")
-            ).alias("exact_pairs_md5"),
-        )
-        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("__h"))))
-        .select(
-            "n_queries",
-            "n_exact_pairs",
-            "exact_pairs_md5",
-            (
-                F.col("__h")
-                >= F.lit(min_recall) * F.col("n_exact_pairs")
-            ).alias("recall_ok"),
-        )
+    ap = approx.select("qid", "nid").withColumn("__hit", F.lit(1))
+    j = exact.select("qid", "nid").join(
+        F.broadcast(ap), ["qid", "nid"], "left"
+    )
+    n_exact = F.count(F.lit(1)).cast("long")
+    return j.agg(
+        F.count_distinct("qid").cast("long").alias("n_queries"),
+        n_exact.alias("n_exact_pairs"),
+        F.md5(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(pair))
+            ).cast("binary")
+        ).alias("exact_pairs_md5"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= F.lit(min_recall) * n_exact
+        ).alias("recall_ok"),
     )
 
 
@@ -6358,42 +6361,38 @@ def nb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = d.select(
         F.col("doc_id").alias("id"), F.col("lang").alias("truth")
     ).join(preds, "id")
-    cls = (
-        truth.select(F.col("truth").alias("cls"))
-        .unionByName(truth.select(F.col("pred").alias("cls")))
-        .distinct()
+    # Confusion counts WITHOUT the |classes| x |docs| cross join: one
+    # corpus-side agg to (truth, pred) pair counts (a class-squared
+    # relation), then each pair contributes tp/fn to its truth class
+    # and fp to its pred class — everything after the first agg is
+    # model-sized, and every class appearing in truth or pred gets a
+    # row (same population as the old cls relation).
+    pc = truth.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from_truth = pc.select(
+        F.col("truth").alias("cls"),
+        F.when(F.col("truth") == F.col("pred"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("tp"),
+        F.lit(0).alias("fp"),
+        F.when(F.col("truth") != F.col("pred"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("fn"),
+    )
+    from_pred = pc.filter(F.col("truth") != F.col("pred")).select(
+        F.col("pred").alias("cls"),
+        F.lit(0).alias("tp"),
+        F.col("n").alias("fp"),
+        F.lit(0).alias("fn"),
     )
     m = (
-        cls.crossJoin(truth)
+        from_truth.unionByName(from_pred)
         .groupBy("cls")
         .agg(
-            F.sum(
-                F.when(
-                    (F.col("truth") == F.col("cls"))
-                    & (F.col("pred") == F.col("cls")),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("tp"),
-            F.sum(
-                F.when(
-                    (F.col("pred") == F.col("cls"))
-                    & (F.col("truth") != F.col("cls")),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("fp"),
-            F.sum(
-                F.when(
-                    (F.col("truth") == F.col("cls"))
-                    & (F.col("pred") != F.col("cls")),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("fn"),
+            F.sum("tp").cast("bigint").alias("tp"),
+            F.sum("fp").cast("bigint").alias("fp"),
+            F.sum("fn").cast("bigint").alias("fn"),
         )
     )
     prec = F.col("tp").cast("double") / F.nullif(

@@ -451,23 +451,25 @@ def nb_classify(
         .select("id", "cls", "total")
     )
     # all-OOV fallback: empty likelihood ⇒ score = prior; prior-argmax
-    # class, same tie-break — a one-row broadcast
+    # class, same tie-break. priors is class-count-sized, so the
+    # argmax row is a model-sized driver value — folding it into
+    # literals keeps the relational plan free of the one-row
+    # nested-loop join the broadcast-crossJoin form needed.
     fb = (
         priors.orderBy(F.desc("prior"), "cls")
         .limit(1)
-        .select(
-            F.col("cls").alias("__fb_cls"),
-            F.col("prior").cast(dec).alias("__fb_prior"),
-        )
+        .select("cls", "prior")
+        .collect()[0]
     )
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(winner, "id", "left")
-        .crossJoin(F.broadcast(fb))
         .select(
             F.col("id"),
-            F.coalesce("cls", "__fb_cls").alias("pred"),
-            F.coalesce("total", "__fb_prior")
+            F.coalesce("cls", F.lit(fb["cls"])).alias("pred"),
+            F.coalesce(
+                "total", F.lit(fb["prior"]).cast(dec)
+            )
             .cast("double")
             .alias("score"),
         )
