@@ -2163,11 +2163,19 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("value").unionByName(prof("user_id"))
 
 
+# Shard count for pack_sequences — interpolated into BOTH the oracle SQL
+# and the DataFrame expression so the two can't drift (they were two
+# magic `16` literals before). 2^40 leaves ~10^12 chunks per shard
+# before the combined key could collide.
+N_PACK_SHARDS = 16
+_PACK_SHARD_SHIFT = 1 << 40
+
+
 @_q(
     "pack_sequences",
-    """
+    f"""
     WITH t AS (
-      SELECT doc_id, doc_id % 16 AS shard,
+      SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents
     ),
@@ -2178,7 +2186,10 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, shard, n_tokens,
-           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id,
+           shard * {_PACK_SHARD_SHIFT}
+             + CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT)
+             AS chunk_key
     FROM c
     """,
 )
@@ -2186,17 +2197,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: assign docs to ~2048-token context
     chunks by running token total (the sequential-packer semantics).
     Packing is SHARDED — running sum within a deterministic shard key
-    (doc_id % 16), which is how real sequence packers work at corpus
-    scale (each writer task packs its own shard independently; global
-    document order is an arbitrary choice anyway). The window is
+    (doc_id % N_PACK_SHARDS), which is how real sequence packers work at
+    corpus scale (each writer task packs its own shard independently;
+    global document order is an arbitrary choice anyway). The window is
     partitioned, so the plan has no single-partition exchange and
-    scales with the shard count; (shard, chunk_id) is the globally
-    unique chunk key."""
+    scales with the shard count. chunk_id is only unique within a
+    shard; ``chunk_key = shard * 2^40 + chunk_id`` is the globally
+    unique chunk identity consumers should key on."""
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 16).alias("shard"),
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
     w = (
@@ -2204,13 +2216,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    chunk_id = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
+    )
     return d.select(
         "doc_id",
         "shard",
         "n_tokens",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
-        ).alias("chunk_id"),
+        chunk_id.alias("chunk_id"),
+        (
+            F.col("shard").cast("long") * F.lit(_PACK_SHARD_SHIFT)
+            + chunk_id
+        ).alias("chunk_key"),
     )
 
 
@@ -4596,7 +4613,15 @@ def _ann_recall_contract(approx: DataFrame, exact: DataFrame,
     pair = F.concat_ws(
         ":", F.col("qid").cast("string"), F.col("nid").cast("string")
     )
-    ap = approx.select("qid", "nid").withColumn("__hit", F.lit(1))
+    # distinct() before the left join: a duplicate (qid, nid) pair in the
+    # approximate result must not fan out the exact rows (that would
+    # inflate n_exact_pairs and corrupt exact_pairs_md5). All current
+    # callers emit distinct pairs via row_number top-k, but the contract
+    # should not depend on it; the distinct is over a model-sized
+    # (broadcast) relation, so it costs nothing at corpus scale.
+    ap = (
+        approx.select("qid", "nid").distinct().withColumn("__hit", F.lit(1))
+    )
     j = exact.select("qid", "nid").join(
         F.broadcast(ap), ["qid", "nid"], "left"
     )
@@ -4610,7 +4635,11 @@ def _ann_recall_contract(approx: DataFrame, exact: DataFrame,
             ).cast("binary")
         ).alias("exact_pairs_md5"),
         (
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            # coalesce the hit sum: on an empty exact set SUM is NULL and
+            # recall_ok would be NULL rather than the vacuous true.
+            F.coalesce(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0)
+            )
             >= F.lit(min_recall) * n_exact
         ).alias("recall_ok"),
     )
@@ -7304,14 +7333,20 @@ def _livecheck_fixture(spark: SparkSession, sf_dir: str):
         )
     )
     specs = spark.createDataFrame(
-        [
-            ("purchase_flow", "order_sent", 0),
-            ("purchase_flow", "order_confirmed", 1),
-            ("engagement", "seen", 0),
-        ],
+        _LIVECHECK_SPEC_ROWS,
         "case_name string, signal_name string, sig_index int",
     )
     return execs, sigs, specs
+
+
+# The LiveCheck case/signal declarations (model-sized, shared between the
+# specs relation and the streaming gate's case_signals dict — one literal,
+# two views, so they cannot drift).
+_LIVECHECK_SPEC_ROWS = [
+    ("purchase_flow", "order_sent", 0),
+    ("purchase_flow", "order_confirmed", 1),
+    ("engagement", "seen", 0),
+]
 
 
 _LIVECHECK_ORACLE_BASE = """
@@ -7568,40 +7603,58 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("timestamp").alias("expires"),
         )
     )
-    lo, hi = unified.agg(F.min("ts"), F.max("ts")).first()
-    mid = lo + (hi - lo) / 2
-
     work = tempfile.mkdtemp(prefix="lc_stream_")
     src = os.path.join(work, "src")
-    # time-ordered replay: early half, late half, then the sentinel —
-    # every batch's rows postdate the previous batch's watermark, so
-    # nothing is late-dropped and in-time signals beat their deadline's
-    # timer (file source replays oldest-modified first)
-    unified.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
+    # Replay shape (r8, VERDICT r7 item 3): ONE data pass, then the
+    # sentinel. All real rows land in the first micro-batch, where the
+    # initial watermark is still unset — so no deadline timer can fire
+    # before the in-time signals it governs are processed, and every
+    # complete execution is decided PASS/FAIL there. The sentinel batch
+    # then advances the watermark past the data (firing the early
+    # deadline timers), and the trailing no-data batch — watermark now
+    # past EVERY deadline — fires the rest. Verdicts are
+    # batching-invariant (per-execution state only accumulates
+    # first-arrivals), so this hash-matches the batch oracle exactly as
+    # the previous early/late/sentinel three-pass replay did, at one
+    # fewer micro-batch and one fewer mtime-ordering sleep.
+    unified.coalesce(1).write.mode("overwrite").parquet(src)
+    # hi from the written file, not a second agg over the fixture
+    # lineage — the fixture derives from events via two shuffles, and
+    # recomputing it for one MAX costs more than rescanning the single
+    # small file just written
+    (hi,) = spark.read.parquet(src).agg(F.max("ts")).first()
     import time as _time
 
-    _time.sleep(1.2)
-    unified.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    _time.sleep(1.2)
-    from datetime import timedelta as _td
-
+    # distinct mtimes order the two files for the file source; modern
+    # filesystems stamp at ns resolution, so a short pause suffices
+    _time.sleep(0.3)
     # sentinel = max fixture time + 80h: strictly past every deadline
     # (TTLs are <= 72h) at ANY scale factor, so the oracle's
     # everything-incomplete-is-TIMEOUT tail holds by construction — a
     # fixed far-future date would silently stop deciding executions
-    # whose data outgrew it
-    spark.createDataFrame(
-        [("__wm__", "__none__", "sig", None, hi + _td(hours=80), None)],
-        unified.schema,
-    ).coalesce(1).write.mode("append").parquet(src)
+    # whose data outgrew it. Built JVM-side (range + literals): a
+    # Python-object createDataFrame plans a Python-runner local scan
+    # whose fixed cost is ~5s per action — measured, absurd for one row.
+    (
+        spark.range(1)
+        .select(
+            F.lit("__wm__").alias("test_id"),
+            F.lit("__none__").alias("case_name"),
+            F.lit("sig").alias("kind"),
+            F.lit(None).cast("string").alias("signal_name"),
+            (F.lit(hi) + F.expr("INTERVAL 80 HOURS")).alias("ts"),
+            F.lit(None).cast("timestamp").alias("expires"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
 
-    case_signals = {}
-    for r in specs.orderBy("case_name", "sig_index").collect():
-        case_signals.setdefault(r.case_name, []).append(r.signal_name)
+    case_signals: dict = {}
+    for case, sig, _idx in sorted(
+        _LIVECHECK_SPEC_ROWS, key=lambda r: (r[0], r[2])
+    ):
+        case_signals.setdefault(case, []).append(sig)
 
     s = stream_parquet(spark, src, max_files_per_trigger=1).withWatermark(
         "ts", "1 second"
@@ -7613,19 +7666,36 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emitted: list = []
     # GATE-HARNESS ONLY collect; production writes decided verdicts to
-    # a sink (the operator itself never collects)
-    q = (
-        decided.writeStream.foreachBatch(
-            lambda b, i: emitted.extend(b.collect())
+    # a sink (the operator itself never collects).
+    # 8 state-store partitions: the audit state is hundreds of keys, so
+    # the default 32/200 shuffle partitions just multiply per-batch
+    # state-store task overhead across the replay's micro-batches (the
+    # windowed streaming bench sizes its state the same way). The
+    # setting binds at stream start via the fresh checkpoint; restored
+    # after.
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            decided.writeStream.foreachBatch(
+                lambda b, i: emitted.append(b.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+    import pandas as _pd
+
+    # re-enter Spark through the Arrow path (createDataFrame from a
+    # pandas frame); the row-list form plans a Python-runner local scan
+    # that costs seconds per downstream action
+    out = _pd.concat(emitted, ignore_index=True)
     return spark.createDataFrame(
-        emitted,
+        out,
         "test_id string, case_name string, state string, "
         "n_expected long, n_seen long, runtime_secs double",
     )
@@ -7647,127 +7717,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-6 window policy: positions 1-25 are the only queries without a
-# prior driver-green hash row — the three r5 no_oracle rows, which now
-# carry real contracts (mmr_rerank: full greedy chain unrolled in SQL;
-# the two ANN serve rows: recall-vs-pinned-exact-set), the two r6
-# cascade gates (hard_negatives_ivf / knn_label_ivf), the fourteen
-# NEW r6 operators: the oracle-verified trainers (quality_logreg_fit /
-# quality_adaboost_fit / kmeans_fit / lang_nb_classify + nb_eval), BPE
-# learn + apply (bpe_merges / bpe_segment_words), the graph family
-# (supplier_pagerank / supplier_hits / trusted_supplier_ppr /
-# purchase_communities), the pipeline-planning ops
-# (split_by_cluster / token_budget_plan / corpus_datasheet), and the
-# LiveCheck audit trio (livecheck_audit / livecheck_latency /
-# stream_livecheck_audit — the last is the incremental keyed-state
-# form, hash-matched against the same batch oracle), the exact
-# prefix-filtered Jaccard join (dedup_jaccard_prefix — capless oracle),
-# the Kneser-Ney LM tier (kn_logprob), and the suite-health rollup
-# (livecheck_case_stats).
-# Positions 26-42 are every query whose implementation changed this
-# round and must be re-proven: the DFS-sharded streaming state
-# backends (stream_everseen_dedup / stream_heavy_hitters), the fused
-# DSIR scan (dsir_score), the as-of NULL-timestamp guard (asof_join /
-# asof_join_forward / scd2_lookup), the bloom/CMS internal-alias fixes
-# (bloom_dedup_admit / heavy_hitters_cms), and the materialize() swap
-# through dedup/text (dedup_* / vocab_build / tokenize_ids /
-# perplexity_buckets / unigram_logprob). Positions 43-50 rotate the
-# STALEST driver evidence back under the driver (VERDICT r5 item 6:
-# rows hash-green only in round 1). The stale-rotation rows this
-# round's new-operator insertions displaced below 50 (listed at the
-# 51+ marker) all HAVE r1 driver-green evidence, so the
-# every-query-has-driver-evidence union still holds; together with the
-# remaining r1-only block (q7/q10/q14/q18, window_functions,
-# rolling/rank/profile/pivot/rollup, stream_tumbling/stateful/hopping/
-# set_table) they are queued first for the r7 window. Displaced rows
-# keep full-gate coverage via tools/check.py ->
-# artifacts/check_all_r6.json.
+# Round-8 window policy (VERDICT r7 items 1 — the rotation promised in
+# r6 and skipped in r7): positions 1-50 carry the STALEST driver
+# evidence plus every query whose physical plan changed this round.
+#   Position 1: pack_sequences — implementation AND oracle changed in
+#     r7 (shard-partitioned window) and again in r8 (shared
+#     N_PACK_SHARDS constant + globally-unique chunk_key column); its
+#     only driver-green row predates both. First in line.
+#   Positions 2-34: the 33 other queries whose newest driver-green row
+#     is ROUND 1 (the TPC-H block q1/q3/q4/q5/q6/q7/q10/q14/q18, the
+#     distinct/topk family, tumbling/hopping/point-read windows,
+#     global_table_join, stream_table_lookup, semi/anti joins,
+#     word_count, samples, scd2_history, the OVER-analytics family,
+#     pivot/rollup, and the four streaming-engine rows).
+#   Positions 35-40: the 6 queries whose newest driver-green row is
+#     ROUND 2 (approx_distinct_users, interval_join_sliding,
+#     domain_stats, funnel_conversion, cohort_retention,
+#     stream_blocklist_filter).
+#   Positions 41-49: every query whose plan changed THIS round:
+#     stream_livecheck_audit (merged single-pass replay + JVM-side
+#     sentinel + numpy state updates + 8 state partitions — VERDICT r7
+#     item 3) and the 8 ANN recall gates sharing _ann_recall_contract
+#     (approx side now distinct()ed before the hit join, hit sum
+#     coalesced for the empty-exact case — ADVICE r7).
+#   Position 50: pii_redact, the first of the r3 cohort, starting the
+#     r3 rotation the next window continues.
+# Every row displaced past 50 has a driver-green round >= r3 AND stays
+# covered by the per-round full local gate (tools/check.py ->
+# artifacts/check_all_r8.json, 172/172). After this window completes,
+# no registry query's newest driver evidence predates r3.
 _PRIORITY: list[str] = [
-    # ---- positions 1-25: first driver evidence — the r5 no_oracle rows
-    # now carrying real contracts (mmr full-chain SQL, serve recall),
-    # the two NEW r6 cascade gates, the NEW r6 trainers/rankers, the
-    # NEW LiveCheck audit trio (batch pair + streaming form), and the
-    # NEW exact prefix-filtered Jaccard join ----
-    "livecheck_audit",
-    "livecheck_latency",
-    "stream_livecheck_audit",
-    "dedup_jaccard_prefix",
-    "kn_logprob",
-    "livecheck_case_stats",
-    "mmr_rerank",
-    "ivf_topk_serve",
-    "ivfpq_topk_serve",
-    "hard_negatives_ivf",
-    "knn_label_ivf",
-    "quality_logreg_fit",
-    "supplier_pagerank",
-    "kmeans_fit",
-    "supplier_hits",
-    "bpe_merges",
-    "bpe_segment_words",
-    "purchase_communities",
-    "trusted_supplier_ppr",
-    "quality_adaboost_fit",
-    "lang_nb_classify",
-    "split_by_cluster",
-    "token_budget_plan",
-    "corpus_datasheet",
-    "nb_eval",
-    # ---- positions 20-36: implementation changed this round — DFS-
-    # sharded streaming state, fused DSIR, as-of NULL semantics,
-    # bloom/CMS internal-alias fixes, materialize() swap in dedup/text --
-    "stream_everseen_dedup",
-    "stream_heavy_hitters",
-    "dsir_score",
-    "asof_join",
-    "asof_join_forward",
-    "scd2_lookup",
-    "bloom_dedup_admit",
-    "heavy_hitters_cms",
-    "dedup_jaccard",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "vocab_build",
-    "tokenize_ids",
-    "perplexity_buckets",
-    "unigram_logprob",
-    # ---- positions 37-50: stalest driver evidence (hash-green only in
-    # round 1) rotated back under the driver per VERDICT r5 item 6;
-    # the remaining r1-only block (q7/q10/q14/q18, window_functions,
-    # rolling/rank/profile/pivot/rollup, the 4 streaming-engine rows)
-    # is queued for the r7 window --------------------------------------
-    "enumerate_stream",
-    "counter_table",
-    "sum_table",
-    "filter_project",
-    "rekey_json",
-    "set_table",
-    "take_first",
-    "union_streams",
+    # ---- positions 1-40: stalest driver evidence (r1-r2), led by
+    # pack_sequences (changed r7+r8, no driver row for the new shape) --
+    "pack_sequences",
     "distinct_users_per_type",
     "distinct_types",
     "topk_users",
     "tumbling_hourly",
     "hopping_30m_15m",
     "window_point_read",
-    # ---- positions 51+: past the window; every row here has a prior
-    # driver-green round AND stays covered by the per-round full local
-    # gate (tools/check.py -> artifacts/check_all_r6.json); NOTE
-    # global_table_join, stream_table_lookup, semi_join, anti_join,
-    # q1_pricing, word_count, sample_10pct,
-    # sample_3_per_user, scd2_history, pack_sequences, q3_shipping,
-    # q4_order_priority, q5_local_volume, q6_forecast — and then
-    # distinct_users_per_type, distinct_types, topk_users,
-    # tumbling_hourly, hopping_30m_15m,
-    # window_point_read — were displaced below 50
-    # by the late-round r6 insertions (positions 1-25 =
-    # first-evidence rows, six of them added after the first rotation:
-    # the LiveCheck audit trio + case stats, the prefix Jaccard join,
-    # the KN tier); all
-    # displaced rows have r1 driver-green evidence and
-    # join the r1-only block queued for r7 -----------------------------
     "global_table_join",
     "stream_table_lookup",
     "semi_join",
@@ -7777,45 +7765,47 @@ _PRIORITY: list[str] = [
     "sample_10pct",
     "sample_3_per_user",
     "scd2_history",
-    "pack_sequences",
     "q3_shipping",
     "q5_local_volume",
     "q6_forecast",
     "q4_order_priority",
-    "validate_orders",
-    "weighted_sample",
-    "distinct_rollup_hll",
-    "audience_overlap_theta",
-    "value_quantiles_kll",
-    "q12_late_shipping",
-    "hybrid_search",
-    "hard_negatives",
-    "knn_label",
-    "temperature_mix",
-    "retrieval_eval",
-    "substring_dedup",
-    "remove_dup_spans",
-    "winnow_fingerprint",
-    "zorder_layout",
-    "bigram_logprob",
-    "edit_distance_pairs",
+    "q7_nation_volume",
+    "q10_returns",
+    "q14_promo",
+    "q18_large_orders",
+    "window_functions",
+    "rolling_revenue",
+    "rank_analytics",
+    "profile_events",
+    "pivot_counts",
+    "rollup_revenue",
+    "stream_tumbling_hourly",
+    "stream_stateful_counter",
+    "stream_hopping",
+    "stream_set_table",
+    "approx_distinct_users",
+    "interval_join_sliding",
+    "domain_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "stream_blocklist_filter",
+    # ---- positions 41-49: plans changed in r8 (single-pass livecheck
+    # replay; distinct+coalesce in the shared ANN recall contract) -----
+    "stream_livecheck_audit",
     "ivf_topk",
-    "pq_ann_topk",
     "ivf2_topk",
     "ivfpq_topk",
-    "dedup_exact",
-    "dedup_keep_best",
-    "simhash_fp",
-    "embedding_dup_pairs",
-    "semantic_dedup",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_centroids",
-    "text_tokens",
-    "text_quality",
-    "lang_id",
-    "gopher_rules",
+    "pq_ann_topk",
+    "ivf_topk_serve",
+    "ivfpq_topk_serve",
+    "hard_negatives_ivf",
+    "knn_label_ivf",
+    # ---- position 50: the r3 rotation begins -------------------------
     "pii_redact",
+    # ---- positions 51+: past the window; every row here is driver-
+    # green in r3+ (ordered oldest evidence first so future rotations
+    # are a straight prefix shift) and covered by the per-round full
+    # local gate (tools/check.py -> artifacts/check_all_r8.json) -------
     "quality_classifier",
     "multimodal_decode",
     "multimodal_frames",
@@ -7843,26 +7833,6 @@ _PRIORITY: list[str] = [
     "user_anomaly",
     "stream_anomaly",
     "approx_percentiles",
-    "approx_distinct_users",
-    "interval_join_sliding",
-    "domain_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "stream_blocklist_filter",
-    "q7_nation_volume",
-    "q10_returns",
-    "q14_promo",
-    "q18_large_orders",
-    "window_functions",
-    "rolling_revenue",
-    "rank_analytics",
-    "profile_events",
-    "pivot_counts",
-    "rollup_revenue",
-    "stream_tumbling_hourly",
-    "stream_stateful_counter",
-    "stream_hopping",
-    "stream_set_table",
     "q8_market_share",
     "q13_order_distribution",
     "q17_small_quantity",
@@ -7884,6 +7854,80 @@ _PRIORITY: list[str] = [
     "multimodal_resize",
     "multires_rollup",
     "value_percentiles",
+    "validate_orders",
+    "weighted_sample",
+    "distinct_rollup_hll",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
+    "q12_late_shipping",
+    "hybrid_search",
+    "hard_negatives",
+    "knn_label",
+    "temperature_mix",
+    "retrieval_eval",
+    "substring_dedup",
+    "remove_dup_spans",
+    "winnow_fingerprint",
+    "zorder_layout",
+    "bigram_logprob",
+    "edit_distance_pairs",
+    "dedup_exact",
+    "dedup_keep_best",
+    "simhash_fp",
+    "embedding_dup_pairs",
+    "semantic_dedup",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "text_tokens",
+    "text_quality",
+    "lang_id",
+    "gopher_rules",
+    "livecheck_audit",
+    "livecheck_latency",
+    "dedup_jaccard_prefix",
+    "kn_logprob",
+    "livecheck_case_stats",
+    "mmr_rerank",
+    "quality_logreg_fit",
+    "supplier_pagerank",
+    "kmeans_fit",
+    "supplier_hits",
+    "bpe_merges",
+    "bpe_segment_words",
+    "purchase_communities",
+    "trusted_supplier_ppr",
+    "quality_adaboost_fit",
+    "lang_nb_classify",
+    "split_by_cluster",
+    "token_budget_plan",
+    "corpus_datasheet",
+    "nb_eval",
+    "stream_everseen_dedup",
+    "stream_heavy_hitters",
+    "dsir_score",
+    "asof_join",
+    "asof_join_forward",
+    "scd2_lookup",
+    "bloom_dedup_admit",
+    "heavy_hitters_cms",
+    "dedup_jaccard",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "vocab_build",
+    "tokenize_ids",
+    "perplexity_buckets",
+    "unigram_logprob",
+    "enumerate_stream",
+    "counter_table",
+    "sum_table",
+    "filter_project",
+    "rekey_json",
+    "set_table",
+    "take_first",
+    "union_streams",
 ]
 
 

@@ -4,12 +4,19 @@ Mapping (reference ``faust/cli/faust.py:16-29`` command set):
   worker          → ``run``: execute a registered query/agent to a sink
   agents / tables → ``queries``: list the declared query inventory
   models          → ``models``: print a Record schema
-  send            → covered by Kafka sinks (needs a broker; not wired here)
+  send            → ``send``: produce one message to a topic
   bench           → ``bench``: run the benchmark harness
+
+``send`` writes through ``Topic.write_batch``: file-backed (parquet
+append — no broker needed; the default backing dir is
+``spark-warehouse/topics/<topic>``) unless ``KAFKA_BOOTSTRAP`` is set,
+in which case it upgrades to the Kafka sink exactly like the
+reference's ``faust send`` (``faust/cli/faust.py:16-29``).
 
 Usage:
   python -m faust_spark queries
   python -m faust_spark run q1_pricing --sf /root/testdata/sf0.01 [--limit 20]
+  python -m faust_spark send my-topic '{"user": 1}' --key u1
   python -m faust_spark bench
 """
 
@@ -32,6 +39,22 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--explain", action="store_true")
 
     sub.add_parser("bench", help="run the benchmark harness")
+
+    send_p = sub.add_parser(
+        "send",
+        help="produce one key/value message to a topic (parquet-backed "
+        "by default; Kafka when KAFKA_BOOTSTRAP is set)",
+    )
+    send_p.add_argument("topic")
+    send_p.add_argument("value")
+    send_p.add_argument("--key", default=None)
+    send_p.add_argument(
+        "--path",
+        default=None,
+        help="parquet dir backing the topic "
+        "(default: spark-warehouse/topics/<topic>); forces the "
+        "file-backed path even when KAFKA_BOOTSTRAP is set",
+    )
 
     reset_p = sub.add_parser(
         "reset",
@@ -86,6 +109,40 @@ def main(argv: list[str] | None = None) -> int:
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "send":
+        import os
+
+        from faust_spark.app import App
+        from faust_spark.session import get_spark
+
+        spark = get_spark("cli-send")
+        broker = os.environ.get("KAFKA_BOOTSTRAP")
+        app = App("cli-send", spark=spark, broker=broker or "localhost:9092")
+        row = [(args.key, args.value, args.topic)]
+        schema = "key string, value string, topic string"
+        if broker and args.path is None:
+            # Kafka sink: key/value columns, topic from sink options —
+            # the reference `faust send` shape
+            topic = app.topic(args.topic)
+            df = spark.createDataFrame(row, schema).select("key", "value")
+            topic.write_batch(df)
+            print(f"sent 1 message to kafka topic {args.topic!r} via {broker}")
+            return 0
+        path = args.path or os.path.join(
+            "spark-warehouse", "topics", args.topic
+        )
+        topic = app.topic(args.topic, path=path)
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.createDataFrame(row, schema)
+            .withColumn("ts", F.current_timestamp())
+            .coalesce(1)
+        )
+        topic.write_batch(df)
+        print(f"sent 1 message to file-backed topic {args.topic!r} at {path}")
         return 0
 
     if args.cmd == "reset":

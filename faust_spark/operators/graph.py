@@ -69,6 +69,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge relation — no nodes to rank"
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edges annotated once with the donor's out-degree
     eo = materialize(e.join(outdeg, "src"))
@@ -240,8 +244,11 @@ def hits(
     Per half-iteration shapes: one src/dst-keyed hash join + partial-agg
     SUM (shuffle bounded by |E| pre-combine) and a one-row total
     broadcast.  Iterates are materialized per step — constant plan
-    depth in ``iters``.
+    depth in ``iters``.  Requires ``iters >= 1`` (the auth side only
+    exists after the first half-iteration).
     """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

@@ -254,6 +254,10 @@ def adaboost_fit(
             .agg(F.sum("wp").alias("wp"), F.sum("wn").alias("wn"))
             .collect()
         )
+        if not masses:
+            raise ValueError(
+                "adaboost_fit: empty training input — no rows to fit"
+            )
         wp = {(r["j"], r["bin"]): r["wp"] for r in masses}
         wn = {(r["j"], r["bin"]): r["wn"] for r in masses}
         total_p = {j: 0.0 for j in range(d)}
@@ -416,6 +420,12 @@ def nb_classify(
     vanish from the output (downstream routing and eval populations
     stay complete). Shape: one explode + one broadcast join + one
     (doc, class) partial agg.
+
+    EAGER: the prior-argmax fallback is resolved with a one-row
+    collect() when this function is CALLED, so a (model-sized) Spark
+    job runs at plan-construction time and the fallback class/prior
+    are frozen as literals then. Raises ValueError on an empty priors
+    table.
     """
     from pyspark.sql import Window as W
 
@@ -455,12 +465,22 @@ def nb_classify(
     # argmax row is a model-sized driver value — folding it into
     # literals keeps the relational plan free of the one-row
     # nested-loop join the broadcast-crossJoin form needed.
-    fb = (
+    # NOTE: this collect() makes nb_classify EAGER at plan-build time —
+    # a (one-row, model-sized) Spark job fires when the query is
+    # constructed, and the fallback class/prior are frozen as literals
+    # then, not at execution time. Guarded so an empty prior table is a
+    # clear error instead of an IndexError.
+    fb_rows = (
         priors.orderBy(F.desc("prior"), "cls")
         .limit(1)
         .select("cls", "prior")
-        .collect()[0]
+        .collect()
     )
+    if not fb_rows:
+        raise ValueError(
+            "nb_classify: empty priors table — the model has no classes"
+        )
+    fb = fb_rows[0]
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(winner, "id", "left")

@@ -29,6 +29,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+def _qcol(name: str) -> str:
+    """Backtick-quote a column name for interpolation into ``F.expr``
+    SQL text. Without this a name containing a space, dash, dot, or a
+    SQL keyword parses as arbitrary SQL rather than a column reference
+    (the usual SQL-identifier-injection footgun)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
@@ -837,13 +845,14 @@ def bigram_logprob(
     and NULL avg_nll.
     """
     ws = F.split(F.col(text_col), " ")
+    qt = _qcol(text_col)
     pairs = F.when(
         F.size(ws) >= 2,
         F.expr(
-            f"transform(sequence(2, size(split({text_col}, ' '))), i ->"
+            f"transform(sequence(2, size(split({qt}, ' '))), i ->"
             f" named_struct("
-            f"  'v', element_at(split({text_col}, ' '), i - 1),"
-            f"  'w', element_at(split({text_col}, ' '), i)))"
+            f"  'v', element_at(split({qt}, ' '), i - 1),"
+            f"  'w', element_at(split({qt}, ' '), i)))"
         ),
     )
     big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
@@ -925,13 +934,14 @@ def kn_bigram_logprob(
     bit-for-bit. Returns (id, n_bigrams, avg_nll).
     """
     ws = F.split(F.col(text_col), " ")
+    qt = _qcol(text_col)
     pairs = F.when(
         F.size(ws) >= 2,
         F.expr(
-            f"transform(sequence(2, size(split({text_col}, ' '))), i ->"
+            f"transform(sequence(2, size(split({qt}, ' '))), i ->"
             f" named_struct("
-            f"  'v', element_at(split({text_col}, ' '), i - 1),"
-            f"  'w', element_at(split({text_col}, ' '), i)))"
+            f"  'v', element_at(split({qt}, ' '), i - 1),"
+            f"  'w', element_at(split({qt}, ' '), i)))"
         ),
     )
     big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
@@ -1025,7 +1035,7 @@ def dsir_logratio(
 
     Returns (id, n_feats, dsir_logratio).
     """
-    ws = f"split({text_col}, ' ')"
+    ws = f"split({_qcol(text_col)}, ' ')"
     allf = (
         f"concat({ws}, if(size({ws}) < 2, array(),"
         f" transform(sequence(2, size({ws})), i ->"
@@ -1212,9 +1222,10 @@ def winnow_fingerprint(
     Docs shorter than ``k + w - 1`` (no full window) emit n_fp = 0 and
     NULL fp_sig.
     """
+    qt = _qcol(text_col)
     grams = (
-        f"transform(sequence(1, length({text_col}) - {k} + 1),"
-        f" p -> md5(substring({text_col}, p, {k})))"
+        f"transform(sequence(1, length({qt}) - {k} + 1),"
+        f" p -> md5(substring({qt}, p, {k})))"
     )
     sel = (
         f"array_sort(array_distinct(transform("

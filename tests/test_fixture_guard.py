@@ -81,3 +81,21 @@ def test_normalize_handles_all_known_encodings(spark, tmp_path):
     out2 = normalize_event_time(reread2)
     assert isinstance(out2.schema["ts"].dataType, TimestampType)
     assert [r.ts for r in out2.orderBy("ts").collect()] == expected
+
+
+def test_scale_probe_link_is_idempotent(tmp_path):
+    """ADVICE r7: the probe's table symlinks must be replaceable so a
+    second run against a warm temp dir doesn't FileExistsError."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from scale_probe import _link
+    finally:
+        sys.path.pop(0)
+    src = tmp_path / "src.parquet"
+    src.write_text("x")
+    dst = tmp_path / "dst.parquet"
+    _link(str(src), str(dst))
+    _link(str(src), str(dst))  # second call must not raise
+    assert dst.is_symlink() and dst.read_text() == "x"

@@ -297,3 +297,23 @@ def test_personalized_pagerank_requires_in_graph_seeds(spark):
     sdf = spark.createDataFrame([("nope",)], "node string")
     with pytest.raises(ValueError):
         personalized_pagerank(df, sdf)
+
+
+def test_pagerank_empty_edges_raises(spark):
+    """Degenerate input contract: an empty edge relation is a clear
+    ValueError, not a ZeroDivisionError from 1/N (VERDICT r7 item 5)."""
+    import pytest
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge relation"):
+        pagerank(df)
+
+
+def test_hits_requires_at_least_one_iteration(spark):
+    """hits(iters=0) used to join None (the auth side only exists after
+    the first half-iteration) — now a clear ValueError."""
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iters"):
+        hits(df, iters=0)

@@ -330,3 +330,31 @@ def test_nb_classify_all_oov_doc_gets_prior_argmax(spark):
     pri = {r.cls: r.prior for r in priors.collect()}
     assert out[11].pred == "en" and abs(out[11].score - pri["en"]) < 1e-9
     assert out[12].pred == "en"
+
+
+def test_adaboost_fit_empty_input_raises(spark):
+    """Empty training input is a clear ValueError, not a tuple-unpack
+    TypeError / ZeroDivisionError (VERDICT r7 item 5)."""
+    import pytest
+
+    from faust_spark.operators.ml import adaboost_fit
+
+    df = spark.createDataFrame(
+        [], "f0 double, f1 double, label int"
+    )
+    with pytest.raises(ValueError, match="empty training input"):
+        adaboost_fit(df, ["f0", "f1"], "label", ranges=[(0, 1), (0, 1)])
+
+
+def test_nb_classify_empty_priors_raises(spark):
+    """Empty priors table is a clear ValueError, not an IndexError from
+    the fallback-argmax collect (ADVICE r7)."""
+    import pytest
+
+    from faust_spark.operators.ml import nb_classify
+
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    model = spark.createDataFrame([], "w string, cls string, lp double")
+    priors = spark.createDataFrame([], "cls string, prior double")
+    with pytest.raises(ValueError, match="empty priors"):
+        nb_classify(docs, model, priors)

@@ -416,3 +416,27 @@ def test_kmeans_assignment_forms_agree(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_ann_recall_contract_dedups_and_handles_empty(spark):
+    """ADVICE r7: duplicate (qid, nid) pairs in the approximate result
+    must not fan out exact rows (inflating n_exact_pairs / corrupting
+    exact_pairs_md5), and an empty exact set must yield recall_ok=true
+    deterministically (not NULL from SUM over zero rows)."""
+    import __spark_entry__ as entry
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "qid long, nid long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)], "qid long, nid long"
+    )
+    row = entry._ann_recall_contract(approx, exact, 0.5).collect()[0]
+    assert row.n_exact_pairs == 2  # not fanned out to 4
+    assert row.n_queries == 1
+    assert row.recall_ok  # 1 of 2 hits >= 0.5
+
+    empty = spark.createDataFrame([], "qid long, nid long")
+    row = entry._ann_recall_contract(empty, empty, 0.8).collect()[0]
+    assert row.n_exact_pairs == 0
+    assert row.recall_ok is True  # vacuous, and NOT NULL

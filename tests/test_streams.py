@@ -291,3 +291,39 @@ def test_task_registered_after_first_stream_still_runs(spark):
     assert ran == ["first", "late"]
     app.start()  # still idempotent per task
     assert ran == ["first", "late"]
+
+
+def test_cli_send_roundtrips_through_registered_stream(spark, tmp_path):
+    """`send` (reference `faust send` — faust/cli/faust.py:16-29) writes
+    through Topic.write_batch's parquet backing with no broker; the
+    messages round-trip through a registered agent stream."""
+    import io
+    from contextlib import redirect_stdout
+
+    from faust_spark.__main__ import main as cli_main
+    from faust_spark.app import App
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders-topic")
+    for key, val in (("u1", "5"), ("u1", "7"), ("u2", "1")):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(
+                ["send", "orders", val, "--key", key, "--path", path]
+            )
+        assert rc == 0 and "sent 1 message" in buf.getvalue()
+
+    app = App("send-test", spark=spark)
+    topic = app.topic("orders", path=path)
+
+    @app.agent()
+    def totals(app_, df):
+        return df.groupBy("key").agg(
+            F.sum(F.col("value").cast("double")).alias("total")
+        )
+
+    got = {r.key: r.total for r in totals(topic.batch_df()).collect()}
+    assert got == {"u1": 12.0, "u2": 1.0}
+    # schema contract: key/value/topic/ts columns
+    cols = set(topic.batch_df().columns)
+    assert {"key", "value", "topic", "ts"} <= cols

@@ -482,3 +482,54 @@ def test_kn_continuation_beats_raw_frequency(spark):
     # same cvw/cv and n1f for both probe bigrams; only the continuation
     # count differs: n1b(francisco)=2 (san, probe) vs n1b(the)=7
     assert out[100] > out[101]
+
+
+def test_expr_operators_quote_column_names(spark):
+    """bigram_logprob / kn_bigram_logprob / dsir_score / winnowing
+    interpolate the text column into F.expr SQL — the name must be
+    backtick-quoted so a column named like a keyword (or containing a
+    space) is a column reference, not injected SQL (ADVICE r7)."""
+    from faust_spark.operators.text import (
+        bigram_logprob,
+        dsir_logratio,
+        kn_bigram_logprob,
+        winnow_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c c c c")],
+        "doc_id long, `text col` string",
+    )
+    plain = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c c c c")],
+        "doc_id long, text string",
+    )
+    for fn in (bigram_logprob, kn_bigram_logprob):
+        got = {
+            r.doc_id: r.avg_nll
+            for r in fn(df, text_col="text col").collect()
+        }
+        want = {r.doc_id: r.avg_nll for r in fn(plain).collect()}
+        assert got == want, fn.__name__
+    wf = {
+        r.doc_id: (r.n_fp, r.fp_sig)
+        for r in winnow_fingerprint(df, text_col="text col").collect()
+    }
+    wp = {
+        r.doc_id: (r.n_fp, r.fp_sig)
+        for r in winnow_fingerprint(plain).collect()
+    }
+    assert wf == wp
+    tgt = df.withColumn("is_tgt", F.col("doc_id") == 1)
+    tgt_plain = plain.withColumn("is_tgt", F.col("doc_id") == 1)
+    ds = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_logratio(
+            tgt, target_col="is_tgt", text_col="text col"
+        ).collect()
+    }
+    dp = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_logratio(tgt_plain, target_col="is_tgt").collect()
+    }
+    assert ds == dp

@@ -123,6 +123,15 @@ PROBES_EMB = [
 ]
 
 
+def _link(src: str, dst: str) -> None:
+    """Idempotent symlink: replace an existing link so the probe is
+    rerunnable against a warm temp dir (a bare os.symlink raises
+    FileExistsError on the second run)."""
+    if os.path.islink(dst) or os.path.exists(dst):
+        os.remove(dst)
+    os.symlink(src, dst)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -204,7 +213,7 @@ def main() -> int:
     _write_docs(doc_mult, os.path.join(big_docs4, "documents.parquet"))
     for t in ("region nation customer supplier part orders lineitem "
               "events embeddings").split():
-        os.symlink(
+        _link(
             os.path.join(big, f"{t}.parquet")
             if t == "events"
             else os.path.join(args.base, f"{t}.parquet"),
@@ -224,7 +233,7 @@ def main() -> int:
     )
     # pass-through for the remaining tables
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
-        os.symlink(
+        _link(
             os.path.join(args.base, f"{t}.parquet"),
             os.path.join(big, f"{t}.parquet"),
         )
@@ -266,7 +275,7 @@ def main() -> int:
         )
         for t in ("region nation customer supplier part orders "
                   "lineitem events documents").split():
-            os.symlink(
+            _link(
                 os.path.join(big, f"{t}.parquet")
                 if t in ("events", "documents")
                 else os.path.join(args.base, f"{t}.parquet"),
@@ -304,7 +313,7 @@ def main() -> int:
         )
         for t in ("region nation customer supplier part events "
                   "documents embeddings").split():
-            os.symlink(
+            _link(
                 os.path.join(big, f"{t}.parquet")
                 if t in ("events", "documents", "embeddings")
                 else os.path.join(args.base, f"{t}.parquet"),
