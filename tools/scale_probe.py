@@ -88,6 +88,8 @@ PROBES_DOCS = [
     "quality_adaboost_fit",  # r6: 4 boosting rounds, one agg pass each
     "lang_nb_classify",  # r6: one count pass + posting-shaped score join
     "bpe_merges",  # r6: one corpus pass, then dictionary-sized merges
+    "nb_eval",  # r8: (truth,pred) pair-count confusion agg (NL 12->3)
+    "pack_sequences",  # r8: shard-partitioned running sum, no global window
 ]
 # TPC-H graph/relational ops probed against replicated orders+lineitem
 # (customers shifted per replica -> edge count grows x mult; suppliers
@@ -120,6 +122,9 @@ PROBES_EMB = [
     "hard_negatives_ivf",  # r6: cascade gate (IVF probe + label re-rank)
     "knn_label_ivf",  # r6: cascade vote gate (deeper nprobe=8)
     "kmeans_fit",  # r6: one scan + k*dim-bounded agg per Lloyd step
+    "pq_ann_topk",  # r8: ADC scan under the single-exact-subtree contract
+    "ivf_topk_serve",  # r8: serve path, exact subtree planned once
+    "ivfpq_topk_serve",  # r8: PQ serve path, same contract
 ]
 
 
