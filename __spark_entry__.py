@@ -5678,12 +5678,15 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle, so mean cell population is bounded (~250) at any corpus
     size and the within-cell quadratic term stays linear overall (the
     round-2 fixed-k scale probe showed 66x at 10x without this).
-    Assignment runs in "join" mode: the centroids are a broadcast TABLE
-    crossed against the corpus scan with a partial-agg min(struct(dist,
-    cell)) argmin — a constant-size codegen expression whatever k is
-    (the literal-expression argmin's Janino compile time grows with k
-    and was the dominant probe cost), with values and tie-break
-    identical to the oracle's flat CROSS JOIN formulation.
+    Assignment runs in "arrow" mode (r8): the n×k distance flops are
+    unavoidable once k is corpus-derived, but the "join" form paid
+    Catalyst's interpreted higher-order-function overhead on every term
+    of every n×k joined row — the whole cost of the 10× probe. The
+    Arrow form runs the same flops vectorized in numpy with the
+    IDENTICAL fold order (ascending-j (v[j]-c[j])² adds from a 0.0
+    init) and first-minimum tie-break, so values and the oracle's flat
+    CROSS JOIN formulation are bit-for-bit unchanged — a physical swap,
+    not an approximation (probe ratio 9.0× → ~3× at 10×).
     Threshold 0.42 sits >1e-3 from every observed cosine at both test
     SFs, so the cut is numerically unambiguous."""
     import math
@@ -5694,7 +5697,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, math.ceil(e.count() / 250.0))
     seed = e.orderBy("vec_id").limit(k).select("embedding").collect()
     cents = [list(r[0]) for r in seed]
-    return semantic_dedup(e, cents, threshold=0.42, assign_mode="join")
+    return semantic_dedup(e, cents, threshold=0.42, assign_mode="arrow")
 
 
 @_q(
@@ -7740,8 +7743,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     item 3) and the 8 ANN recall gates sharing _ann_recall_contract
 #     (approx side now distinct()ed before the hit join, hit sum
 #     coalesced for the empty-exact case — ADVICE r7).
-#   Position 50: pii_redact, the first of the r3 cohort, starting the
-#     r3 rotation the next window continues.
+#   Position 50: semantic_dedup — its plan ALSO changed this round (the
+#     exact Arrow argmin assignment replaced the interpreted n×k joined
+#     evaluation; values bit-identical, 10× probe 9.02× → 6.96×), so it
+#     re-enters the window; the r3 cohort rotation (pii_redact first)
+#     starts at position 51 for the next window.
 # Every row displaced past 50 has a driver-green round >= r3 AND stays
 # covered by the per-round full local gate (tools/check.py ->
 # artifacts/check_all_r8.json, 172/172). After this window completes,
@@ -7800,12 +7806,14 @@ _PRIORITY: list[str] = [
     "ivfpq_topk_serve",
     "hard_negatives_ivf",
     "knn_label_ivf",
-    # ---- position 50: the r3 rotation begins -------------------------
-    "pii_redact",
+    # ---- position 50: semantic_dedup — changed late in r8 too (exact
+    # Arrow argmin assignment replacing the interpreted n*k join) ------
+    "semantic_dedup",
     # ---- positions 51+: past the window; every row here is driver-
     # green in r3+ (ordered oldest evidence first so future rotations
     # are a straight prefix shift) and covered by the per-round full
     # local gate (tools/check.py -> artifacts/check_all_r8.json) -------
+    "pii_redact",
     "quality_classifier",
     "multimodal_decode",
     "multimodal_frames",
@@ -7875,7 +7883,6 @@ _PRIORITY: list[str] = [
     "dedup_keep_best",
     "simhash_fp",
     "embedding_dup_pairs",
-    "semantic_dedup",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_centroids",

@@ -1096,8 +1096,10 @@ def semantic_dedup(
     makes the pruning decision itself auditable.
 
     ``assign_mode`` picks the assignment physical shape.  ``"expr"``
-    (flat literal argmin, best tiny k) and ``"join"`` (broadcast
-    centroid TABLE + partial-agg argmin — the shape that scales when
+    (flat literal argmin, best tiny k), ``"join"`` (broadcast centroid
+    TABLE + partial-agg argmin), and ``"arrow"`` (Arrow-batched numpy
+    argmin with the identical fold order and first-minimum tie-break —
+    no n×k row materialization, the shape that scales when
     ``len(cents)`` grows with the corpus under the bounded-cell
     contract) produce IDENTICAL values.  ``"two_level"`` (hierarchical
     argmin, O(sqrt k) per-row evals) is APPROXIMATE: boundary vectors
@@ -1107,13 +1109,16 @@ def semantic_dedup(
     """
     from faust_spark.operators.similarity import (
         assign_cells,
+        assign_cells_arrow,
         assign_cells_join,
         assign_cells_two_level,
         dot_expr,
         norm_expr,
     )
 
-    if assign_mode == "join":
+    if assign_mode == "arrow":
+        a = assign_cells_arrow(emb, cents, vec_col=vec_col, id_col=id_col)
+    elif assign_mode == "join":
         cells = assign_cells_join(emb, cents, vec_col=vec_col, id_col=id_col)
         a = emb.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
     else:

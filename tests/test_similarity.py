@@ -440,3 +440,39 @@ def test_ann_recall_contract_dedups_and_handles_empty(spark):
     row = entry._ann_recall_contract(empty, empty, 0.8).collect()[0]
     assert row.n_exact_pairs == 0
     assert row.recall_ok is True  # vacuous, and NOT NULL
+
+
+def test_assign_cells_arrow_matches_join_exactly(spark):
+    """The Arrow/numpy assignment is a physical swap, not an
+    approximation: identical IEEE fold order and first-minimum
+    tie-break, so cells match assign_cells_join bit-for-bit — including
+    on deliberately tie-prone duplicated centroids."""
+    import numpy as np
+
+    from faust_spark.operators.similarity import (
+        assign_cells_arrow,
+        assign_cells_join,
+    )
+
+    rng = np.random.RandomState(11)
+    X = np.float32(rng.randn(200, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # duplicate a centroid: rows nearest to it MUST break the exact-zero
+    # distance tie to the lower cell in both forms
+    cents = [[float(v) for v in X[i]] for i in (0, 1, 2, 2, 3)]
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_join(df, cents).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_arrow(df, cents).collect()
+    }
+    assert a == b
+    assert 3 not in set(b.values())  # the duplicate never wins a tie
+    # the arrow form also passes the vector through unchanged
+    row = assign_cells_arrow(df, cents).filter("vec_id = 5").collect()[0]
+    assert list(np.float32(row["embedding"])) == list(X[5])
