@@ -498,3 +498,51 @@ def test_jaccard_prefix_joins_only_prefix_tokens(spark):
         pref.filter(F.col("shingle") == "common common phrase").count()
         == 0
     )
+
+
+def test_semantic_dup_cells_chunked_matches_relational(spark):
+    """The Arrow per-cell pairwise marking must agree with the
+    relational equi-join form on every row — including when a cell is
+    larger than the slab size, so flags accumulate across chunks."""
+    import numpy as np
+
+    from faust_spark.operators.dedup import (
+        _semantic_dup_cells,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    base = np.float32(rng.randn(40, 5))
+    # plant near-dups: rows 40..79 are rows 0..39 nudged by a constant
+    X = np.vstack([base, base + np.float32(1e-4)])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = [[float(v) for v in X[i]] for i in range(4)]
+    rel = {
+        (r.vec_id): (r.cell, r.is_dup)
+        for r in semantic_dedup(
+            df, cents, threshold=0.9, assign_mode="join"
+        ).collect()
+    }
+    arrow = {
+        (r.vec_id): (r.cell, r.is_dup)
+        for r in semantic_dedup(
+            df, cents, threshold=0.9, assign_mode="arrow"
+        ).collect()
+    }
+    assert rel == arrow
+    # slab boundary: chunk smaller than the cell population must not
+    # change anything
+    from faust_spark.operators.similarity import assign_cells_arrow
+
+    a = assign_cells_arrow(df, cents)
+    tiny = {
+        r.vec_id: (r.cell, r.is_dup)
+        for r in _semantic_dup_cells(
+            a, threshold=0.9, id_col="vec_id", vec_col="embedding", chunk=3
+        ).collect()
+    }
+    assert tiny == arrow
+    assert any(d for _, d in arrow.values())  # the planted dups are found
