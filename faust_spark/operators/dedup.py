@@ -1066,6 +1066,88 @@ def _lsh_candidate_pairs(
     )
 
 
+def _semantic_dup_cells(
+    a: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 4096,
+) -> DataFrame:
+    """Within-cell duplicate marking, Arrow-batched — the physical twin
+    of :func:`semantic_dedup`'s relational equi-join stage.
+
+    Input is the exact assignment relation ``(id, vec, cell)``; output
+    is every input row as ``(id, cell, is_dup)`` with values IDENTICAL
+    to the join form: ``is_dup(b)`` iff some same-cell row with a lower
+    id reaches ``cos >= threshold``.
+
+    Exactness discipline (same contract as ``assign_cells_arrow``): the
+    join form evaluates ``dot/(n_a*n_b) >= t`` with ``F.aggregate``
+    folds — one IEEE double add per dimension, ascending, from a 0.0
+    init, after per-element casts to double. Here the identical
+    operations run vectorized: dots accumulate as ``d`` ascending
+    rank-1 updates (``acc += outer(A[:,j], B[:,j])``), norms as the
+    same ascending squared fold, and the divisor is the norm PRODUCT
+    (multiply first, divide once) — so every comparison sees the same
+    double as Catalyst and the DuckDB oracle. NaN (0/0 on a zero-norm
+    row) maps to +inf before comparing, because Spark and DuckDB order
+    NaN above every double while numpy comparisons return False.
+
+    Scale shape: ONE cell-keyed shuffle into ``applyInPandas``; per-task
+    memory is O(chunk · n_cell) doubles via id-ascending slabs whose
+    flags accumulate across chunks — a cell never materializes its full
+    pair matrix. The quadratic term stays bounded per cell under the
+    same contract as the join form (scale ``len(cents)`` with the
+    corpus); no join, no nested loop, no driver collect.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    t = float(threshold)
+    out_schema = StructType(
+        [
+            StructField(id_col, a.schema[id_col].dataType, True),
+            StructField("cell", a.schema["cell"].dataType, True),
+            StructField("is_dup", BooleanType(), False),
+        ]
+    )
+
+    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n, d = V.shape
+        acc = np.zeros(n)
+        for j in range(d):
+            acc += V[:, j] * V[:, j]
+        nrm = np.sqrt(acc)
+        dup = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            # slab rows s..e score against ALL rows below e; earlier
+            # slabs' flags are already final (ids ascend with index)
+            dots = np.zeros((e - s, e))
+            for j in range(d):
+                dots += np.multiply.outer(V[s:e, j], V[:e, j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / np.multiply.outer(nrm[s:e], nrm[:e])
+            cos[np.isnan(cos)] = np.inf  # Spark/DuckDB: NaN > any double
+            lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = np.any((cos >= t) & lower, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "is_dup": dup,
+            }
+        )
+
+    return a.select(id_col, vec_col, "cell").groupBy("cell").applyInPandas(
+        mark, out_schema
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     cents: list[list[float]],
@@ -1097,10 +1179,11 @@ def semantic_dedup(
 
     ``assign_mode`` picks the assignment physical shape.  ``"expr"``
     (flat literal argmin, best tiny k), ``"join"`` (broadcast centroid
-    TABLE + partial-agg argmin), and ``"arrow"`` (Arrow-batched numpy
-    argmin with the identical fold order and first-minimum tie-break —
-    no n×k row materialization, the shape that scales when
-    ``len(cents)`` grows with the corpus under the bounded-cell
+    TABLE + partial-agg argmin), and ``"arrow"`` (fully Arrow: numpy
+    argmin assignment AND the per-cell chunked numpy pairwise stage of
+    :func:`_semantic_dup_cells`, identical fold order and tie-breaks —
+    no n×k row materialization and no pair join, the shape that scales
+    when ``len(cents)`` grows with the corpus under the bounded-cell
     contract) produce IDENTICAL values.  ``"two_level"`` (hierarchical
     argmin, O(sqrt k) per-row evals) is APPROXIMATE: boundary vectors
     may route to the second-best cell, so its output can diverge from
@@ -1117,7 +1200,13 @@ def semantic_dedup(
     )
 
     if assign_mode == "arrow":
+        # fully-Arrow path: numpy argmin assignment + per-cell chunked
+        # numpy pair scoring — same values as the relational stages
+        # below (see _semantic_dup_cells' exactness discipline)
         a = assign_cells_arrow(emb, cents, vec_col=vec_col, id_col=id_col)
+        return _semantic_dup_cells(
+            a, threshold, id_col=id_col, vec_col=vec_col
+        )
     elif assign_mode == "join":
         cells = assign_cells_join(emb, cents, vec_col=vec_col, id_col=id_col)
         a = emb.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
