@@ -2447,6 +2447,37 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+_SHINGLE_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+"""
+
+
+def _mh_oracle_pieces() -> tuple[str, str, str]:
+    """SQL fragments for the universal-hash minhash family: the 8-nibble
+    md5 prefix decode (column ``d``) and the (a, b) coefficient list
+    literals — same deterministic constants the Spark operator embeds
+    (operators/dedup.py minhash_coeffs)."""
+    from faust_spark.operators.dedup import minhash_coeffs
+
+    nibbles = " + ".join(
+        f"(instr('0123456789abcdef', substr(d, {i + 1}, 1)) - 1) * "
+        f"{16 ** (7 - i)}"
+        for i in range(8)
+    )
+    a_co, b_co = minhash_coeffs(16)
+    return (
+        nibbles,
+        "[" + ",".join(str(v) for v in a_co) + "]",
+        "[" + ",".join(str(v) for v in b_co) + "]",
+    )
+
+
+_MH_NIBBLES, _MH_A, _MH_B = _mh_oracle_pieces()
+
+
 @_q(
     "stream_everseen_dedup",
     """
@@ -2508,6 +2539,102 @@ def stream_everseen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     return spark.createDataFrame(
         [(int(u),) for u in emitted], "user_id bigint"
+    )
+
+
+@_q(
+    "stream_lsh_dedup",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hsh AS (
+      SELECT doc_id, shingle,
+             ({_MH_NIBBLES}) % 2147483647 AS h
+      FROM (SELECT doc_id, shingle, md5(shingle) AS d FROM sh)
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(({_MH_A}[seed + 1] * h + {_MH_B}[seed + 1])
+                 % 2147483647) AS mh
+      FROM hsh CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    band AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY 1, 2
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM band b2
+      JOIN band b1 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+                  AND b1.doc_id < b2.doc_id
+      WHERE b2.doc_id = d.doc_id)
+    """,
+)
+def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate suppression through the DFS-sharded
+    state backend (streaming/dfs_state.py lsh_dedup_dfs_sink) — the
+    MinHash-LSH pendant of stream_everseen_dedup's exact Bloom screen:
+    a document surfaces iff NO lower-id document (any earlier batch, or
+    this one) shares a MinHash band with it, using the identical
+    16-hash / 4-band family as the batch minhash_lsh_pairs gate. State
+    is the (band, band_sig, min_id) bucket-claim relation, merged by
+    MIN (associative — delta folding commutes with replay), written by
+    executors as versioned parquet deltas. The documents table replays
+    as 4 range-partitioned micro-batches (ids nondecreasing across
+    batches — the documented ordering contract, natural for
+    monotonically assigned doc ids); the emitted set then equals the
+    batch-agnostic NOT-EXISTS predicate the oracle computes, regardless
+    of where the batch boundaries fall."""
+    import tempfile
+
+    import pandas as pd
+
+    from faust_spark.catalog import load_table
+    from faust_spark.streaming.dfs_state import lsh_dedup_dfs_sink
+    from faust_spark.streaming.runner import stream_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="lshdedup_")
+    src = os.path.join(work, "src")
+    # range partitioner: ascending id ranges land in ascending part-file
+    # NAMES — but FileStreamSource orders by MODIFICATION TIME, and one
+    # write job stamps near-identical mtimes (measured: batches arrived
+    # rotated). Stamp strictly increasing mtimes in path order so the
+    # source delivers ranges in nondecreasing doc_id order, the sink's
+    # documented ordering contract.
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
+        src
+    )
+    import glob
+    import time as _time
+
+    t0 = _time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+
+    emitted: list = []
+
+    # GATE-HARNESS ONLY: collect() funnels survivors into the comparable
+    # DataFrame the driver hashes — production pipelines point `sink` at
+    # a parquet/Kafka writer and nothing ever reaches the driver.
+    def sink(df: DataFrame, bid: int) -> None:
+        emitted.extend(int(r.doc_id) for r in df.select("doc_id").collect())
+
+    wrapped = lsh_dedup_dfs_sink(
+        sink, os.path.join(work, "ckpt", "lsh_state")
+    )
+    stream = stream_parquet(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(wrapped)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.Series(emitted, dtype="int64")})
     )
 
 
@@ -2881,35 +3008,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_SHINGLE_CTE = """
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-           FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)),
-    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
-"""
-
-
-def _mh_oracle_pieces() -> tuple[str, str, str]:
-    """SQL fragments for the universal-hash minhash family: the 8-nibble
-    md5 prefix decode (column ``d``) and the (a, b) coefficient list
-    literals — same deterministic constants the Spark operator embeds
-    (operators/dedup.py minhash_coeffs)."""
-    from faust_spark.operators.dedup import minhash_coeffs
-
-    nibbles = " + ".join(
-        f"(instr('0123456789abcdef', substr(d, {i + 1}, 1)) - 1) * "
-        f"{16 ** (7 - i)}"
-        for i in range(8)
-    )
-    a_co, b_co = minhash_coeffs(16)
-    return (
-        nibbles,
-        "[" + ",".join(str(v) for v in a_co) + "]",
-        "[" + ",".join(str(v) for v in b_co) + "]",
-    )
-
-
-_MH_NIBBLES, _MH_A, _MH_B = _mh_oracle_pieces()
 
 
 @_q(
@@ -3510,10 +3608,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "simhash_fp",
-    """
-    WITH w AS (
+# the 32-bit md5-vote SimHash relation, shared by the fingerprint gate
+# and the Hamming near-pair gate (one definition, two oracles in sync)
+_SIMHASH_FP_CTE = """
+    w AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
       FROM documents
     ),
@@ -3526,11 +3624,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
       SELECT doc_id, k, SUM(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN pow(2, k) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY 1
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0 THEN pow(2, k) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM votes GROUP BY 1
+"""
+
+
+@_q(
+    "simhash_fp",
+    f"""
+    WITH {_SIMHASH_FP_CTE}
+    SELECT doc_id, simhash FROM fp
     """,
 )
 def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3540,6 +3648,31 @@ def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faust_spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "simhash_near_pairs",
+    f"""
+    WITH {_SIMHASH_FP_CTE}
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-pairs (operators/dedup.py simhash_near_pairs):
+    every pair at Hamming distance <= 3, EXACT via the Manku/Jain/Sarma
+    pigeonhole chunk join — 4 disjoint 8-bit chunks, a <= 3-bit
+    difference must leave one chunk untouched, so the equi-join on
+    (chunk, value) is a lossless candidate generator and bit_count(xor)
+    verifies. The oracle recomputes the all-pairs answer; matching it
+    proves the banding dropped nothing. faust has no near-dup surface at
+    all (its tables are exact-key only) — this is the classic web-scale
+    complement to minhash_lsh_pairs for bit-fingerprint dedup."""
+    from faust_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @_q(
@@ -4688,6 +4821,55 @@ def ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(emb, queries, k=5)
     return _ann_recall_contract(approx, exact, min_recall=0.8)
+
+
+@_q("rp_topk", _ANN_RECALL_ORACLE)
+def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (operators/similarity.py rp_shortlist_topk):
+    Johnson–Lindenstrauss projection onto 32 deterministic md5-derived
+    directions, shortlist by projected cosine, exact full-dim re-rank —
+    the train-free index family next to LSH (ann_lsh_topk) and the
+    IVF/PQ quantizers. The candidate budget scales with the corpus
+    (shortlist = max(200, n/25), derived the same way semantic_dedup
+    derives its cell count) because at a FIXED shortlist the captured
+    fraction of the true neighborhood shrinks as the corpus grows —
+    measured recall@5 at 32 projections: 0.92 / 0.90 / 1.00 at
+    sf0.001/0.01/0.1. Same recall@5 >= 0.8 contract against the
+    DuckDB-verified exact ranking as every other ANN gate."""
+    from faust_spark.operators.similarity import (
+        cosine_topk,
+        rp_shortlist_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    shortlist = max(200, emb.count() // 25)
+    approx = rp_shortlist_topk(
+        emb, queries, k=5, proj_dim=32, shortlist=shortlist
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_recall_contract(approx, exact, min_recall=0.8)
+
+
+def rp_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The random-projection serving path ALONE — what bench.py times
+    (the brute-force recall contract is a verification artifact whose
+    cost would otherwise dominate the serve measurement; same split as
+    ivf_topk_serve_raw). Not a registered gate query: the GATE row
+    ``rp_topk`` wraps exactly this result in the oracle-checked recall
+    contract."""
+    from faust_spark.operators.similarity import rp_shortlist_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    shortlist = max(200, emb.count() // 25)
+    return rp_shortlist_topk(
+        emb, queries, k=5, proj_dim=32, shortlist=shortlist
+    )
 
 
 def ivf_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7737,20 +7919,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ROUND 2 (approx_distinct_users, interval_join_sliding,
 #     domain_stats, funnel_conversion, cohort_retention,
 #     stream_blocklist_filter).
-#   Positions 41-49: every query whose plan changed THIS round:
-#     stream_livecheck_audit (merged single-pass replay + JVM-side
-#     sentinel + numpy state updates + 8 state partitions — VERDICT r7
-#     item 3) and the 8 ANN recall gates sharing _ann_recall_contract
-#     (approx side now distinct()ed before the hit join, hit sum
-#     coalesced for the empty-exact case — ADVICE r7).
+#   Positions 41-43: the three operators NEW this round — zero driver
+#     evidence of any kind, so they outrank every re-verification row:
+#     simhash_near_pairs (Hamming pigeonhole near-dup join), rp_topk
+#     (random-projection shortlist + exact re-rank ANN), and
+#     stream_lsh_dedup (streaming near-dup via DFS-sharded bucket-claim
+#     state).
+#   Positions 44-49: plans changed this round: stream_livecheck_audit
+#     (merged single-pass replay + JVM-side sentinel + numpy state
+#     updates + 8 state partitions — VERDICT r7 item 3) and 5 of the 8
+#     ANN recall gates sharing _ann_recall_contract (approx side now
+#     distinct()ed before the hit join, hit sum coalesced for the
+#     empty-exact case — ADVICE r7); the other 3 contract-sharers
+#     (ivf2_topk, ivfpq_topk_serve, knn_label_ivf — each driver-green
+#     in r7, values unchanged by the contract edit) sit first past the
+#     window to make room for the new operators.
 #   Position 50: semantic_dedup — its plan ALSO changed this round (the
-#     exact Arrow argmin assignment replaced the interpreted n×k joined
-#     evaluation; values bit-identical, 10× probe 9.02× → 6.96×), so it
+#     fully-Arrow exact path: numpy argmin assignment + per-cell chunked
+#     pairwise; values bit-identical, 10× probe 9.02× → 3.05×), so it
 #     re-enters the window; the r3 cohort rotation (pii_redact first)
-#     starts at position 51 for the next window.
+#     starts after the displaced contract-sharers for the next window.
 # Every row displaced past 50 has a driver-green round >= r3 AND stays
 # covered by the per-round full local gate (tools/check.py ->
-# artifacts/check_all_r8.json, 172/172). After this window completes,
+# artifacts/check_all_r8.json, 175/175). After this window completes,
 # no registry query's newest driver evidence predates r3.
 _PRIORITY: list[str] = [
     # ---- positions 1-40: stalest driver evidence (r1-r2), led by
@@ -7795,24 +7986,30 @@ _PRIORITY: list[str] = [
     "funnel_conversion",
     "cohort_retention",
     "stream_blocklist_filter",
-    # ---- positions 41-49: plans changed in r8 (single-pass livecheck
+    # ---- positions 41-43: NEW operators this round (no driver
+    # evidence exists yet) ---------------------------------------------
+    "simhash_near_pairs",
+    "rp_topk",
+    "stream_lsh_dedup",
+    # ---- positions 44-49: plans changed in r8 (single-pass livecheck
     # replay; distinct+coalesce in the shared ANN recall contract) -----
     "stream_livecheck_audit",
     "ivf_topk",
-    "ivf2_topk",
     "ivfpq_topk",
     "pq_ann_topk",
     "ivf_topk_serve",
-    "ivfpq_topk_serve",
     "hard_negatives_ivf",
-    "knn_label_ivf",
-    # ---- position 50: semantic_dedup — changed late in r8 too (exact
-    # Arrow argmin assignment replacing the interpreted n*k join) ------
+    # ---- position 50: semantic_dedup — changed late in r8 too (the
+    # fully-Arrow exact path: argmin assignment + per-cell pairwise) ---
     "semantic_dedup",
-    # ---- positions 51+: past the window; every row here is driver-
-    # green in r3+ (ordered oldest evidence first so future rotations
-    # are a straight prefix shift) and covered by the per-round full
-    # local gate (tools/check.py -> artifacts/check_all_r8.json) -------
+    # ---- positions 51+: past the window; led by the three contract-
+    # sharers displaced for the new operators (driver-green r7, values
+    # unchanged), then rows ordered oldest evidence first so future
+    # rotations are a straight prefix shift; all covered by the
+    # per-round full local gate (tools/check.py -> check_all_r8.json) --
+    "ivf2_topk",
+    "ivfpq_topk_serve",
+    "knn_label_ivf",
     "pii_redact",
     "quality_classifier",
     "multimodal_decode",

@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_components",
     "simhash_fp",
+    "simhash_near_pairs",  # r8: Hamming<=3 pigeonhole chunk join
     "text_quality",
     "repetition_stats",  # Gopher repetition filters
     "ngram_contamination",  # benchmark decontamination
@@ -57,6 +58,7 @@ HEADLINE = [
     # times the raw serve functions via _BENCH_OVERRIDES below)
     "ivf_topk_serve",  # IVF ANN (k-means fit + nprobe probe)
     "ivfpq_topk_serve",  # IVF+PQ: cell-pruned ADC over codes + re-rank
+    "rp_topk",  # r8: JL random-projection shortlist + exact re-rank
     "embedding_dup_pairs",  # block-grid GEMM exact path
     "edit_distance_pairs",  # length-bucket blocked Levenshtein
     "enumerate_stream",  # distributed zipWithIndex
@@ -123,6 +125,8 @@ HEADLINE = [
     "stream_stateful_counter",
     "stream_session_windows",
     "stream_livecheck_audit",  # r6: keyed-state audit w/ event timers
+    # (stream_lsh_dedup and stream_everseen_dedup are gate-only: their
+    # cost is micro-batch harness replay, not a plan worth timing)
 ]
 
 # gate rows for these keys are oracle contracts (recall vs exact, which
@@ -130,6 +134,7 @@ HEADLINE = [
 _BENCH_OVERRIDES = {
     "ivf_topk_serve": "ivf_topk_serve_raw",
     "ivfpq_topk_serve": "ivfpq_topk_serve_raw",
+    "rp_topk": "rp_topk_raw",
 }
 
 #: VERDICT r5 item 5: single-shot numbers carried up to 2x cold-start

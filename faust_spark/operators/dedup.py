@@ -718,6 +718,77 @@ def simhash(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EVERY doc pair whose SimHash Hamming distance is ``<= max_hamming``
+    — exact semantics, sub-quadratic via pigeonhole chunk banding (Manku,
+    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW 2007).
+
+    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` disjoint
+    chunks: at most ``max_hamming`` differing bits can touch at most
+    ``max_hamming`` chunks, so by pigeonhole every qualifying pair agrees
+    EXACTLY on at least one chunk. Candidate generation is therefore a
+    plain self-equi-join on ``(chunk_idx, chunk_value)`` — lossless by
+    theorem — and each candidate is verified with one
+    ``bit_count(fp1 ^ fp2)``, all JVM-side codegen.
+
+    Output: ``(doc1, doc2, hamming)`` with ``doc1 < doc2``.
+
+    Scale shape: fingerprints are materialized once (the self-join would
+    otherwise plan the vote aggregation twice); the join key carries only
+    ``(chunk, value, id, fp)`` — never the text. Candidate volume is
+    Σ_buckets C(n_b, 2); at corpus scale you grow ``bits`` (64-bit
+    fingerprints → 16-bit chunk keys at the same ``max_hamming``) so
+    chunk buckets stay balanced — the chunk width, like any LSH band
+    width, must scale with the corpus. The Hamming verification runs
+    BEFORE the pair-dedup shuffle, so only true near-pairs ride it.
+    """
+    if not 0 <= max_hamming < bits:
+        raise ValueError(
+            f"max_hamming must be in [0, bits); got {max_hamming}"
+        )
+    fp = materialize(simhash(df, bits=bits, text_col=text_col, id_col=id_col))
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    keys, start = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        keys.append(
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("cv"),
+            )
+        )
+        start += w
+    ch = fp.select(
+        id_col, "simhash", F.explode(F.array(*keys)).alias("k")
+    ).select(id_col, "simhash", F.col("k.c").alias("c"), F.col("k.cv").alias("cv"))
+    a = ch.select(
+        F.col(id_col).alias("doc1"), F.col("simhash").alias("fp1"), "c", "cv"
+    )
+    b = ch.select(
+        F.col(id_col).alias("doc2"), F.col("simhash").alias("fp2"), "c", "cv"
+    )
+    return (
+        a.join(b, ["c", "cv"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+        .dropDuplicates(["doc1", "doc2"])
+    )
+
+
 # --------------------------------------------------------------------------
 # duplicate clustering (connected components)
 # --------------------------------------------------------------------------

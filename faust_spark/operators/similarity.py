@@ -196,6 +196,121 @@ def hyperplane_lsh_topk(
     )
 
 
+def rp_shortlist_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    proj_dim: int = 16,
+    shortlist: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    seed: int = 101,
+) -> DataFrame:
+    """Random-projection ANN: Johnson–Lindenstrauss shortlist + exact
+    re-rank. (qid, nid, rank).
+
+    The third index family next to hyperplane LSH (data-oblivious
+    buckets) and IVF/PQ (data-dependent quantizers): project every
+    vector onto ``proj_dim`` deterministic md5-derived directions (a
+    narrow map — no shuffle, no training pass), rank candidates by
+    cosine IN THE PROJECTED SPACE, keep the ``shortlist`` nearest per
+    query, then re-rank only those with the exact full-dim cosine. JL
+    guarantees the projection preserves angles to within eps w.h.p., so
+    a shortlist a few multiples of ``k`` captures the true top-k with
+    high recall — tunable by ``proj_dim`` (fidelity) and ``shortlist``
+    (candidate budget) with NO index build step, which is what you want
+    for one-shot batch joins over a corpus you'll never query again.
+
+    Scale shape: queries broadcast twice (projected for the shortlist
+    scan, full-dim for the re-rank); the corpus is scanned once at
+    ``proj_dim`` flops per pair instead of ``dim`` (the asymptotic win:
+    at dim=1024, a 32-dim projection is a 32× cheaper scan), and the
+    exact re-rank touches only |queries| × shortlist rows, joined back
+    to vectors via a broadcast semi-pattern so corpus vectors never
+    ride a pair shuffle. The projection itself runs as an Arrow
+    mapInPandas GEMM (a narrow map — Catalyst's interpreted
+    higher-order functions cost ~20× numpy per term, measured on
+    semantic_dedup r8), with projected NORMS precomputed in the same
+    pass so the shortlist join evaluates only the ``proj_dim``-term
+    dot per (query, vector) — shortlist membership, not exact ranks,
+    is all this stage decides, so BLAS summation order is fine here;
+    the contract-bearing re-rank below stays on the fold-exact
+    ``cosine_expr``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField as SF_,
+        StructType as ST_,
+    )
+
+    P = np.asarray(_deterministic_planes(proj_dim, dim, seed=seed))
+
+    def _project(df: DataFrame, in_id: str, out_id: str) -> DataFrame:
+        id_type = df.schema[in_id].dataType
+        schema = ST_(
+            [
+                SF_(out_id, id_type, True),
+                SF_("proj", ArrayType(DoubleType()), False),
+                SF_("pnorm", DoubleType(), False),
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                pr = V @ P.T
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf[in_id],
+                        "proj": list(pr),
+                        "pnorm": np.sqrt((pr * pr).sum(axis=1)),
+                    }
+                )
+
+        return df.select(in_id, vec_col).mapInPandas(gen, schema)
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    cp = _project(corpus, id_col, "nid")
+    qp = _project(queries, query_id_col, "qid").select(
+        "qid", F.col("proj").alias("qproj"), F.col("pnorm").alias("qnorm")
+    )
+    short_w = W.partitionBy("qid").orderBy(F.desc("psim"), F.col("nid"))
+    cand = (
+        cp.join(F.broadcast(qp), F.col("qid") != F.col("nid"))
+        .withColumn(
+            "psim",
+            dot_expr(F.col("qproj"), F.col("proj"))
+            / (F.col("qnorm") * F.col("pnorm")),
+        )
+        .withColumn("r", F.row_number().over(short_w))
+        .filter(F.col("r") <= shortlist)
+        .select("qid", "nid")
+    )
+    rerank = (
+        c.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
 def ranking_eval(
     exact: DataFrame,
     approx: DataFrame,

@@ -337,9 +337,136 @@ def _compact_cms(
     _prune_superseded(spark, state_dir, target)
 
 
+# ---------------------------------------------------------------------
+# MinHash-LSH near-duplicate suppression
+# ---------------------------------------------------------------------
+
+_LSH_SCHEMA = "band int, band_sig string, min_id long"
+
+
+def lsh_bucket_state(
+    spark: SparkSession, state_dir: str, before: int = 1 << 62
+) -> DataFrame:
+    """The merged (band, band_sig, min_id) bucket-claim relation from
+    versions < ``before`` — min is the shard-local merge (the lowest id
+    ever seen in a bucket is order- and boundary-independent)."""
+    paths, _, _ = _state_parts(spark, state_dir, before)
+    raw = _read_state(spark, paths, _LSH_SCHEMA)
+    return raw.groupBy("band", "band_sig").agg(
+        F.min("min_id").alias("min_id")
+    )
+
+
+def lsh_dedup_dfs_sink(
+    sink: Callable[[DataFrame, int], None],
+    state_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` wrapper: streaming NEAR-duplicate suppression —
+    the MinHash-LSH pendant of :func:`bloom_dedup_dfs_sink`'s exact
+    ever-seen screen, with the same DFS-sharded state discipline.
+
+    A document is emitted iff NO band of its MinHash-LSH signature
+    (``operators.dedup.minhash_signatures`` + ``lsh_bands`` — identical
+    banding to the batch ``minhash_lsh_pairs``) has been touched by a
+    LOWER-id document, in this batch or any earlier one. The emitted set
+    is therefore exactly ``{d : no d' < d shares a band with d}`` —
+    batch-boundary-independent — PROVIDED ids are nondecreasing across
+    batches (each batch's ids are all >= every earlier batch's), the
+    natural shape for monotonically assigned document ids; within a
+    batch, arrival order is irrelevant. Suppressors need not themselves
+    survive (an "earlier doc", not an "earlier survivor" — the
+    transitive-leader variant is ``connected_components`` territory).
+
+    State is (band, band_sig, min_id) bucket claims: model-sized
+    relative to the corpus (buckets ≪ docs under near-dup load), merged
+    by MIN (associative, so delta folding commutes with replay), written
+    by executors as versioned parquet deltas — no driver array, no
+    collect. Screening is a left join of the batch's bands against the
+    pre-batch claims; batch ``b`` reads only versions < b and rewrites
+    its own delta idempotently, so at-least-once replay reproduces
+    byte-identical output (same contract as the Bloom/CMS sinks).
+    """
+    from faust_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _compact_lsh(spark, state_dir, batch_id, compact_every)
+        state = lsh_bucket_state(spark, state_dir, before=batch_id)
+        bands = lsh_bands(
+            minhash_signatures(
+                batch_df, num_hashes, n, text_col=text_col, id_col=id_col
+            ),
+            band_size,
+            id_col=id_col,
+        )
+        batch_claims = bands.groupBy("band", "band_sig").agg(
+            F.min(id_col).alias("batch_min")
+        )
+        # a band suppresses the doc iff a lower id claimed it — in the
+        # pre-batch state or inside this batch (batch_min == own id for
+        # the batch's leader, so the leader is never self-suppressed)
+        suppressed = (
+            bands.join(batch_claims, ["band", "band_sig"])
+            .join(state, ["band", "band_sig"], "left")
+            .groupBy(id_col)
+            .agg(
+                F.max(
+                    (
+                        F.coalesce(F.col("min_id"), F.col(id_col))
+                        < F.col(id_col)
+                    )
+                    | (F.col("batch_min") < F.col(id_col))
+                ).alias("__dup")
+            )
+        )
+        # anti-join on the SUPPRESSED ids (not inner-join on survivors):
+        # a doc too short to produce any shingle has no band rows and
+        # must pass through, exactly like the batch operators treat it
+        fresh = batch_df.join(
+            suppressed.filter(F.col("__dup")).select(id_col),
+            id_col,
+            "left_anti",
+        )
+        # the sink sees survivors BEFORE state advances: a crash here
+        # replays the batch against the same pre-batch state
+        sink(fresh, batch_id)
+        batch_claims.select(
+            "band", "band_sig", F.col("batch_min").alias("min_id")
+        ).write.mode("overwrite").parquet(f"{state_dir}/delta_v{batch_id}")
+
+    return wrapped
+
+
+def _compact_lsh(
+    spark: SparkSession, state_dir: str, batch_id: int, compact_every: int
+) -> None:
+    if compact_every <= 0 or batch_id == 0 or batch_id % compact_every:
+        return
+    paths, deltas, base = _state_parts(spark, state_dir, batch_id)
+    if not deltas:
+        _prune_superseded(spark, state_dir, base)
+        return
+    target = max(deltas)
+    merged = (
+        _read_state(spark, paths, _LSH_SCHEMA)
+        .groupBy("band", "band_sig")
+        .agg(F.min("min_id").alias("min_id"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/base_v{target}")
+    _prune_superseded(spark, state_dir, target)
+
+
 __all__ = [
     "bloom_dedup_dfs_sink",
     "bloom_state_words",
     "cms_dfs_sink",
     "cms_state_cells",
+    "lsh_bucket_state",
+    "lsh_dedup_dfs_sink",
 ]

@@ -546,3 +546,42 @@ def test_semantic_dup_cells_chunked_matches_relational(spark):
     }
     assert tiny == arrow
     assert any(d for _, d in arrow.values())  # the planted dups are found
+
+
+def test_simhash_near_pairs_matches_brute_force(spark):
+    """Pigeonhole banding must be lossless: the banded pair set equals
+    the all-pairs Hamming filter, at every supported radius."""
+    from faust_spark.operators.dedup import simhash, simhash_near_pairs
+
+    # word-salad corpus with planted near-dups (identical + 1-word-off
+    # docs land at Hamming 0 / small distances; unrelated docs far)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        doc = " ".join(words[(i + j) % len(words)] for j in range(8))
+        rows.append((i, doc))
+        rows.append((100 + i, doc))  # exact twin → Hamming 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for r in (0, 3):
+        want = set()
+        for a in fps:
+            for b in fps:
+                if a < b and bin(fps[a] ^ fps[b]).count("1") <= r:
+                    want.add((a, b))
+        got = {
+            (row.doc1, row.doc2)
+            for row in simhash_near_pairs(docs, max_hamming=r).collect()
+        }
+        assert got == want and len(want) >= 30  # twins always present
+
+
+def test_simhash_near_pairs_rejects_bad_radius(spark):
+    from faust_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=-1)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=32, bits=32)

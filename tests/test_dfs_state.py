@@ -173,3 +173,70 @@ def test_bloom_state_never_collects_to_driver(spark, tmp_path):
         wrapped(_df(spark, range(50)), 0)
         wrapped(_df(spark, range(25, 75)), 1)
     assert calls == []
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _lsh_oracle(spark, all_rows):
+    """Batch NOT-EXISTS predicate: doc survives iff no lower-id doc
+    shares a MinHash band — computed with the same band primitives."""
+    from faust_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    bands = lsh_bands(minhash_signatures(_docs(spark, all_rows)))
+    b = {(r.doc_id, r.band, r.band_sig) for r in bands.collect()}
+    out = set()
+    for d, _t in all_rows:
+        mine = {(bb, s) for (dd, bb, s) in b if dd == d}
+        if not any(
+            (bb, s) in mine for (dd, bb, s) in b if dd < d
+        ):
+            out.add(d)
+    return out
+
+
+def test_lsh_dedup_cross_batch_near_dups_suppressed(spark, tmp_path):
+    from faust_spark.streaming.dfs_state import lsh_dedup_dfs_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old barn "
+        "door while the cat sleeps in the warm afternoon sun"
+    )
+    other = (
+        "spark structured streaming state stores watermarks checkpoints "
+        "and exactly once sinks for large scale event pipelines"
+    )
+    b0 = [(0, base), (1, other), (2, base)]           # 2 dups 0 in-batch
+    b1 = [(10, base), (11, "tiny"), (12, other + " x")]  # 10 dups 0 cross
+    b2 = [(20, base + " extra"), (21, "unrelated words entirely here")]
+    emitted: list[tuple[int, set]] = []
+
+    def sink(df, bid):
+        emitted.append((bid, {r.doc_id for r in df.collect()}))
+
+    wrapped = lsh_dedup_dfs_sink(sink, str(tmp_path / "state"))
+    for bid, rows in enumerate((b0, b1, b2)):
+        wrapped(_docs(spark, rows), bid)
+    got = set().union(*(s for _, s in emitted))
+    assert got == _lsh_oracle(spark, b0 + b1 + b2)
+    assert 11 in got          # shingle-less doc passes through
+    assert 2 not in got and 10 not in got  # in-batch and cross-batch dup
+
+
+def test_lsh_dedup_replay_is_idempotent(spark, tmp_path):
+    from faust_spark.streaming.dfs_state import lsh_dedup_dfs_sink
+
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    out: list[tuple[int, set]] = []
+
+    def sink(df, bid):
+        out.append((bid, {r.doc_id for r in df.collect()}))
+
+    wrapped = lsh_dedup_dfs_sink(sink, str(tmp_path / "state"))
+    wrapped(_docs(spark, [(0, doc), (1, "other words here now")]), 0)
+    wrapped(_docs(spark, [(5, doc), (6, "more different text")]), 1)
+    first = out[-1]
+    wrapped(_docs(spark, [(5, doc), (6, "more different text")]), 1)
+    assert out[-1] == first   # replay of batch 1 → byte-identical output
+    assert first[1] == {6}    # 5 suppressed by 0 from batch 0's state

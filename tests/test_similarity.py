@@ -476,3 +476,32 @@ def test_assign_cells_arrow_matches_join_exactly(spark):
     # the arrow form also passes the vector through unchanged
     row = assign_cells_arrow(df, cents).filter("vec_id = 5").collect()[0]
     assert list(np.float32(row["embedding"])) == list(X[5])
+
+
+def test_rp_shortlist_recall_and_rerank_exactness(spark, sf_dir):
+    """Random-projection ANN: (a) recall@5 meets the gate contract on
+    the fixture corpus; (b) the re-rank stage is EXACT — every emitted
+    (qid, nid) the exact ranking also contains must carry the same
+    rank, because the full-dim cosine and tie-break are identical."""
+    from faust_spark.operators.similarity import rp_shortlist_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {(r.qid, r.nid): r.rank for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.qid, r.nid): r.rank
+        for r in rp_shortlist_topk(
+            emb, q, k=5, proj_dim=32, shortlist=200
+        ).collect()
+    }
+    hits = set(exact) & set(approx)
+    assert len(hits) >= 0.8 * len(exact), (len(hits), len(exact))
+    # a query whose full top-5 survived the shortlist must emit the
+    # exact ranks verbatim (per-query, since a lost neighbor shifts
+    # the ranks below it)
+    for qid in {k[0] for k in exact}:
+        e5 = {k for k in exact if k[0] == qid}
+        if e5 <= set(approx):
+            assert all(approx[k] == exact[k] for k in e5)

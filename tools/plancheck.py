@@ -123,6 +123,12 @@ ALLOW_NESTED_LOOP = {
     # broadcast centroid TABLE × corpus scan (assign_cells_join): the
     # FAISS coarse-quantizer shape — k-row broadcast, partial-agg argmin
     "semantic_dedup",
+    # r8: pigeonhole chunk self-join over the materialized fingerprint
+    # relation; Hamming verify runs before the pair-dedup shuffle
+    "simhash_near_pairs",
+    # r8: Arrow-GEMM projection (narrow map), tiny projected-query
+    # broadcast for the shortlist, broadcast candidate re-rank
+    "rp_topk",
     # r5: serving paths inherit the IVF probe shapes above minus the
     # recall contract (tiny query-set broadcast against the cell scan)
     "ivf_topk_serve",
