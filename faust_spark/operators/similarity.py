@@ -196,6 +196,57 @@ def hyperplane_lsh_topk(
     )
 
 
+def cosine_rows_arrow(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep: list[str],
+    out: str = "sim",
+) -> DataFrame:
+    """Row-wise cosine over an already-joined pair relation, Arrow-batched
+    — ``withColumn(out, cosine_expr(a, b))`` with numpy doing the math.
+
+    Catalyst evaluates ``zip_with``/``aggregate`` lambdas INTERPRETED
+    (~20× numpy per term, the r8 semantic_dedup measurement), which makes
+    the re-rank similarity the hot loop of every ANN serving path:
+    |probed corpus| × |queries| rows, ``dim`` interpreted multiplies and
+    adds each. Here each Arrow batch stacks the two vector columns and
+    computes all dots/norms vectorized (one einsum per batch). A narrow
+    map — no shuffle, vectors enter and leave the Python worker once.
+
+    Use ONLY where the similarity feeds a RANKING (shortlists, re-ranks,
+    votes): BLAS/einsum summation order is not the ``F.aggregate`` fold,
+    so values can differ from ``cosine_expr`` in final ulps — contract-
+    bearing exact sides (``cosine_topk``, which the DuckDB oracle
+    hash-pins) must stay on the fold-exact expression.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, df.schema[c].dataType, True) for c in keep]
+        + [StructField(out, DoubleType(), True)]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
+            B = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = dots / (na * nb)
+            res = pdf[keep].copy()
+            res[out] = sim
+            yield res
+
+    return df.mapInPandas(score, schema)
+
+
 def rp_shortlist_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -606,7 +657,18 @@ def kmeans_fit(
     cents = [[float(v) for v in r[0]] for r in seed]
     traj = [cents]
     for _ in range(iters):
-        if k <= 32:
+        if round_dp is None:
+            # full-precision fit: Arrow numpy argmin — bit-identical
+            # cells to the expression forms (assign_cells_arrow's fold
+            # contract), so the trajectory is unchanged while the
+            # per-iteration n×k distance evals leave the interpreter.
+            # The round_dp path keeps the in-engine F.round forms (the
+            # oracle-unrolled kmeans_fit gate needs HALF_UP rounding
+            # applied INSIDE the engine expression).
+            assigned = assign_cells_arrow(
+                df, cents, vec_col=vec_col, id_col=id_col
+            ).select("cell", F.col(vec_col))
+        elif k <= 32:
             assigned = df.select(
                 _cell_expr(cents, vec_col, round_dp).alias("cell"),
                 F.col(vec_col),
@@ -975,7 +1037,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     assign_mode: str = "flat",
-    physical: str = "join",
+    physical: str = "arrow",
     centroids: Optional[list[list[float]]] = None,
     assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
@@ -1024,6 +1086,11 @@ def ivf_topk(
         )
         if assign_mode == "two_level":
             c = assign_cells_two_level(base, cents, "cv")
+        elif physical == "arrow":
+            # Arrow numpy argmin — bit-identical cells to the join/expr
+            # forms (assign_cells_arrow's fold-order contract), without
+            # the interpreted n×k evaluation or the reattach join
+            c = assign_cells_arrow(base, cents, vec_col="cv", id_col="nid")
         elif physical == "join":
             # centroids as a broadcast table (same argmin + tie-break as
             # the literal expression, constant-size codegen — see
@@ -1038,17 +1105,25 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    if physical == "join":
+    if physical in ("join", "arrow"):
         qp = probe_cells_join(q, cents, nprobe)
     else:
         qp = q.withColumn(
             "cell", F.explode(probe_cells_expr(cents, "qv", nprobe))
         )
-    scored = (
-        c.join(F.broadcast(qp), "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
+    paired = c.join(F.broadcast(qp), "cell").filter(
+        F.col("qid") != F.col("nid")
     )
+    if physical == "arrow":
+        # the re-rank similarity is the serving hot loop (|probed| ×
+        # |queries| rows × dim terms); it only decides the approximate
+        # RANKING, so the einsum scorer applies — the recall contract's
+        # exact side (cosine_topk) stays on the fold-exact expression
+        scored = cosine_rows_arrow(paired, "qv", "cv", keep=["qid", "nid"])
+    else:
+        scored = paired.withColumn(
+            "sim", cosine_expr(F.col("qv"), F.col("cv"))
+        )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
