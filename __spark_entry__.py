@@ -17,6 +17,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2632,7 +2633,18 @@ def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # awaitTermination returns False on timeout — a partial
+        # `emitted` set must fail loudly, never pose as the gate
+        # answer (ADVICE r8)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_lsh_dedup: query still running after 300s; "
+                f"partial emitted set ({len(emitted)} ids) discarded"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         pd.DataFrame({"doc_id": pd.Series(emitted, dtype="int64")})
     )
@@ -7902,114 +7914,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-8 window policy (VERDICT r7 items 1 — the rotation promised in
-# r6 and skipped in r7): positions 1-50 carry the STALEST driver
-# evidence plus every query whose physical plan changed this round.
-#   Position 1: pack_sequences — implementation AND oracle changed in
-#     r7 (shard-partitioned window) and again in r8 (shared
-#     N_PACK_SHARDS constant + globally-unique chunk_key column); its
-#     only driver-green row predates both. First in line.
-#   Positions 2-34: the 33 other queries whose newest driver-green row
-#     is ROUND 1 (the TPC-H block q1/q3/q4/q5/q6/q7/q10/q14/q18, the
-#     distinct/topk family, tumbling/hopping/point-read windows,
-#     global_table_join, stream_table_lookup, semi/anti joins,
-#     word_count, samples, scd2_history, the OVER-analytics family,
-#     pivot/rollup, and the four streaming-engine rows).
-#   Positions 35-40: the 6 queries whose newest driver-green row is
-#     ROUND 2 (approx_distinct_users, interval_join_sliding,
-#     domain_stats, funnel_conversion, cohort_retention,
-#     stream_blocklist_filter).
-#   Positions 41-43: the three operators NEW this round — zero driver
-#     evidence of any kind, so they outrank every re-verification row:
-#     simhash_near_pairs (Hamming pigeonhole near-dup join), rp_topk
-#     (random-projection shortlist + exact re-rank ANN), and
-#     stream_lsh_dedup (streaming near-dup via DFS-sharded bucket-claim
-#     state).
-#   Positions 44-49: plans changed this round: stream_livecheck_audit
-#     (merged single-pass replay + JVM-side sentinel + numpy state
-#     updates + 8 state partitions — VERDICT r7 item 3) and 5 of the 8
-#     ANN recall gates sharing _ann_recall_contract (approx side now
-#     distinct()ed before the hit join, hit sum coalesced for the
-#     empty-exact case — ADVICE r7); the other 3 contract-sharers
-#     (ivf2_topk, ivfpq_topk_serve, knn_label_ivf — each driver-green
-#     in r7, values unchanged by the contract edit) sit first past the
-#     window to make room for the new operators.
-#   Position 50: semantic_dedup — its plan ALSO changed this round (the
-#     fully-Arrow exact path: numpy argmin assignment + per-cell chunked
-#     pairwise; values bit-identical, 10× probe 9.02× → 3.05×), so it
-#     re-enters the window; the r3 cohort rotation (pii_redact first)
-#     starts after the displaced contract-sharers for the next window.
-# Every row displaced past 50 has a driver-green round >= r3 AND stays
+# Round-9 window policy (VERDICT r8 item 1 — third consecutive rotation):
+# positions 1-50 carry the STALEST driver evidence plus the one query
+# whose physical plan changes this round.
+#   Position 1: rp_topk — its shortlist stage is restructured in r9
+#     (per-partition partial top-k before the qid exchange + zero-norm
+#     guard, VERDICT r8 item 2 / ADVICE), so the driver must re-verify
+#     the new plan first.
+#   Positions 2-29: the 28 queries whose newest driver-green row is
+#     ROUND 3 (the documents-pipeline block pii_redact/quality_classifier/
+#     doc_chunking/bm25/boilerplate/zipf/repetition, the sampling block,
+#     five streaming rows incl. stream_stream_join/stream_window_close,
+#     grouping_sets_revenue, value_trend, ivf_assign, anomaly pair).
+#   Positions 30-50: the 21 queries whose newest driver-green row is
+#     ROUND 4 (the TPC-H block q2/q8/q9/q11/q13/q15/q16/q17/q19/q20/
+#     q21/q22, the multimodal quartet, session_windows,
+#     value_percentiles, hourly_histogram, null_safe_join,
+#     stream_enriched_counts, multires_rollup, doc_fingerprint).
+# Every row displaced past 50 has a driver-green round >= r5 AND stays
 # covered by the per-round full local gate (tools/check.py ->
-# artifacts/check_all_r8.json, 175/175). After this window completes,
-# no registry query's newest driver evidence predates r3.
+# artifacts/check_all_r9.json).  After this window completes, no
+# registry query's newest driver evidence predates r5.  Tail order is
+# oldest-evidence-first (r5 cohort of 29, then r7's 47, then r8's 50)
+# so the next rotation is a straight prefix shift.
 _PRIORITY: list[str] = [
-    # ---- positions 1-40: stalest driver evidence (r1-r2), led by
-    # pack_sequences (changed r7+r8, no driver row for the new shape) --
-    "pack_sequences",
-    "distinct_users_per_type",
-    "distinct_types",
-    "topk_users",
-    "tumbling_hourly",
-    "hopping_30m_15m",
-    "window_point_read",
-    "global_table_join",
-    "stream_table_lookup",
-    "semi_join",
-    "anti_join",
-    "q1_pricing",
-    "word_count",
-    "sample_10pct",
-    "sample_3_per_user",
-    "scd2_history",
-    "q3_shipping",
-    "q5_local_volume",
-    "q6_forecast",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q10_returns",
-    "q14_promo",
-    "q18_large_orders",
-    "window_functions",
-    "rolling_revenue",
-    "rank_analytics",
-    "profile_events",
-    "pivot_counts",
-    "rollup_revenue",
-    "stream_tumbling_hourly",
-    "stream_stateful_counter",
-    "stream_hopping",
-    "stream_set_table",
-    "approx_distinct_users",
-    "interval_join_sliding",
-    "domain_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "stream_blocklist_filter",
-    # ---- positions 41-43: NEW operators this round (no driver
-    # evidence exists yet) ---------------------------------------------
-    "simhash_near_pairs",
     "rp_topk",
-    "stream_lsh_dedup",
-    # ---- positions 44-49: plans changed in r8 (single-pass livecheck
-    # replay; distinct+coalesce in the shared ANN recall contract) -----
-    "stream_livecheck_audit",
-    "ivf_topk",
-    "ivfpq_topk",
-    "pq_ann_topk",
-    "ivf_topk_serve",
-    "hard_negatives_ivf",
-    # ---- position 50: semantic_dedup — changed late in r8 too (the
-    # fully-Arrow exact path: argmin assignment + per-cell pairwise) ---
-    "semantic_dedup",
-    # ---- positions 51+: past the window; led by the three contract-
-    # sharers displaced for the new operators (driver-green r7, values
-    # unchanged), then rows ordered oldest evidence first so future
-    # rotations are a straight prefix shift; all covered by the
-    # per-round full local gate (tools/check.py -> check_all_r8.json) --
-    "ivf2_topk",
-    "ivfpq_topk_serve",
-    "knn_label_ivf",
     "pii_redact",
     "quality_classifier",
     "multimodal_decode",
@@ -8059,6 +7988,7 @@ _PRIORITY: list[str] = [
     "multimodal_resize",
     "multires_rollup",
     "value_percentiles",
+    "ivf2_topk",
     "validate_orders",
     "weighted_sample",
     "distinct_rollup_hll",
@@ -8087,6 +8017,8 @@ _PRIORITY: list[str] = [
     "text_quality",
     "lang_id",
     "gopher_rules",
+    "ivfpq_topk_serve",
+    "knn_label_ivf",
     "livecheck_audit",
     "livecheck_latency",
     "dedup_jaccard_prefix",
@@ -8132,6 +8064,55 @@ _PRIORITY: list[str] = [
     "set_table",
     "take_first",
     "union_streams",
+    "pack_sequences",
+    "distinct_users_per_type",
+    "distinct_types",
+    "topk_users",
+    "tumbling_hourly",
+    "hopping_30m_15m",
+    "window_point_read",
+    "global_table_join",
+    "stream_table_lookup",
+    "semi_join",
+    "anti_join",
+    "q1_pricing",
+    "word_count",
+    "sample_10pct",
+    "sample_3_per_user",
+    "scd2_history",
+    "q3_shipping",
+    "q5_local_volume",
+    "q6_forecast",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returns",
+    "q14_promo",
+    "q18_large_orders",
+    "window_functions",
+    "rolling_revenue",
+    "rank_analytics",
+    "profile_events",
+    "pivot_counts",
+    "rollup_revenue",
+    "stream_tumbling_hourly",
+    "stream_stateful_counter",
+    "stream_hopping",
+    "stream_set_table",
+    "approx_distinct_users",
+    "interval_join_sliding",
+    "domain_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "stream_blocklist_filter",
+    "simhash_near_pairs",
+    "stream_lsh_dedup",
+    "stream_livecheck_audit",
+    "ivf_topk",
+    "ivfpq_topk",
+    "pq_ann_topk",
+    "ivf_topk_serve",
+    "hard_negatives_ivf",
+    "semantic_dedup",
 ]
 
 

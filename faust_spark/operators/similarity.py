@@ -274,26 +274,34 @@ def rp_shortlist_topk(
     (candidate budget) with NO index build step, which is what you want
     for one-shot batch joins over a corpus you'll never query again.
 
-    Scale shape: queries broadcast twice (projected for the shortlist
-    scan, full-dim for the re-rank); the corpus is scanned once at
-    ``proj_dim`` flops per pair instead of ``dim`` (the asymptotic win:
-    at dim=1024, a 32-dim projection is a 32× cheaper scan), and the
-    exact re-rank touches only |queries| × shortlist rows, joined back
-    to vectors via a broadcast semi-pattern so corpus vectors never
-    ride a pair shuffle. The projection itself runs as an Arrow
-    mapInPandas GEMM (a narrow map — Catalyst's interpreted
-    higher-order functions cost ~20× numpy per term, measured on
-    semantic_dedup r8), with projected NORMS precomputed in the same
-    pass so the shortlist join evaluates only the ``proj_dim``-term
-    dot per (query, vector) — shortlist membership, not exact ranks,
-    is all this stage decides, so BLAS summation order is fine here;
-    the contract-bearing re-rank below stays on the fold-exact
-    ``cosine_expr``.
+    Scale shape: the projected query matrix is collected driver-side
+    ONCE (model-sized — the same must-fit contract as the
+    ``F.broadcast(q)`` the re-rank already relies on) and shipped to
+    executors as a closure constant; the corpus is scanned once by a
+    single Arrow ``mapInPandas`` that projects each batch (GEMM —
+    Catalyst's interpreted higher-order functions cost ~20× numpy per
+    term, measured on semantic_dedup r8), scores it against ALL queries
+    at ``proj_dim`` flops per pair instead of ``dim``, and keeps a
+    PARTIAL top-(shortlist+1) per query PER BATCH via
+    ``np.argpartition`` — so the qid exchange that ranks the global
+    shortlist touches at most |q|·(shortlist+1)·n_batches candidate
+    rows, never the n·|q| full product (the r8 plan windowed the whole
+    product; VERDICT r8 item 2). The +1 is self-match headroom: the
+    exact ``qid != nid`` exclusion happens in Spark after the partial
+    top-k, and any batch contains at most one self row per query.
+    Zero-norm vectors (corpus or query) yield non-finite projected
+    cosines and are masked out of the shortlist entirely rather than
+    letting NaN sort first (ADVICE r8); a zero-norm query therefore
+    returns no rows. Shortlist membership, not exact ranks, is all
+    this stage decides, so BLAS summation order is fine here; the
+    contract-bearing re-rank below stays on the fold-exact
+    ``cosine_expr``, touching only |queries| × shortlist rows joined
+    back to vectors via a broadcast semi-pattern so corpus vectors
+    never ride a pair shuffle.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
-        ArrayType,
         DoubleType,
         StructField as SF_,
         StructType as ST_,
@@ -301,50 +309,74 @@ def rp_shortlist_topk(
 
     P = np.asarray(_deterministic_planes(proj_dim, dim, seed=seed))
 
-    def _project(df: DataFrame, in_id: str, out_id: str) -> DataFrame:
-        id_type = df.schema[in_id].dataType
-        schema = ST_(
-            [
-                SF_(out_id, id_type, True),
-                SF_("proj", ArrayType(DoubleType()), False),
-                SF_("pnorm", DoubleType(), False),
-            ]
-        )
-
-        def gen(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                pr = V @ P.T
-                yield pd.DataFrame(
-                    {
-                        out_id: pdf[in_id],
-                        "proj": list(pr),
-                        "pnorm": np.sqrt((pr * pr).sum(axis=1)),
-                    }
-                )
-
-        return df.select(in_id, vec_col).mapInPandas(gen, schema)
-
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
     )
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    cp = _project(corpus, id_col, "nid")
-    qp = _project(queries, query_id_col, "qid").select(
-        "qid", F.col("proj").alias("qproj"), F.col("pnorm").alias("qnorm")
+
+    qrows = q.collect()
+    if qrows:
+        qid_vals = np.asarray([r["qid"] for r in qrows])
+        QP = (
+            np.stack(
+                [np.asarray(r["qv"], dtype=np.float64) for r in qrows]
+            )
+            @ P.T
+        )
+        qn = np.sqrt((QP * QP).sum(axis=1))
+    else:
+        qid_vals = np.asarray([])
+        QP = np.zeros((0, proj_dim))
+        qn = np.zeros(0)
+
+    cand_schema = ST_(
+        [
+            SF_("qid", queries.schema[query_id_col].dataType, True),
+            SF_("nid", corpus.schema[id_col].dataType, True),
+            SF_("psim", DoubleType(), False),
+        ]
+    )
+    keep = shortlist + 1  # self-match headroom; exact filter below
+
+    def shortlist_gen(batches):
+        for pdf in batches:
+            if pdf.empty or QP.shape[0] == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pr = V @ P.T
+            pn = np.sqrt((pr * pr).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (pr @ QP.T) / (pn[:, None] * qn[None, :])
+            S[~np.isfinite(S)] = -np.inf  # zero-norm guard (ADVICE r8)
+            m = min(keep, S.shape[0])
+            if m < S.shape[0]:
+                idx = np.argpartition(-S, m - 1, axis=0)[:m]
+            else:
+                idx = np.broadcast_to(
+                    np.arange(m)[:, None], (m, S.shape[1])
+                )
+            ids = pdf[id_col].to_numpy()
+            sims = np.take_along_axis(S, idx, axis=0)  # (m, nq)
+            fin = np.isfinite(sims)
+            if not fin.any():
+                continue
+            qrep = np.broadcast_to(qid_vals[None, :], sims.shape)
+            yield pd.DataFrame(
+                {
+                    "qid": qrep[fin],
+                    "nid": ids[idx[fin]],
+                    "psim": sims[fin],
+                }
+            )
+
+    cand_all = corpus.select(id_col, vec_col).mapInPandas(
+        shortlist_gen, cand_schema
     )
     short_w = W.partitionBy("qid").orderBy(F.desc("psim"), F.col("nid"))
     cand = (
-        cp.join(F.broadcast(qp), F.col("qid") != F.col("nid"))
-        .withColumn(
-            "psim",
-            dot_expr(F.col("qproj"), F.col("proj"))
-            / (F.col("qnorm") * F.col("pnorm")),
-        )
+        cand_all.filter(F.col("qid") != F.col("nid"))
         .withColumn("r", F.row_number().over(short_w))
         .filter(F.col("r") <= shortlist)
         .select("qid", "nid")
@@ -647,9 +679,16 @@ def kmeans_fit(
     making the whole trajectory bit-portable so a SQL oracle can unroll
     and hash-match it — the ``logreg_fit``/``pagerank`` guard applied to
     clustering.  ``None`` (default) keeps full precision.
+
+    A frame WITHOUT ``id_col`` is accepted (ADVICE r8): the seed then
+    orders by the vector itself (arrays compare lexicographically —
+    still deterministic) and assignment uses the ``_cell_expr``
+    expression form, which needs only the vector column. The id-keyed
+    Arrow/join fast paths require ``id_col``.
     """
+    have_id = id_col in df.columns
     seed = (
-        df.orderBy(F.col(id_col))
+        df.orderBy(F.col(id_col) if have_id else F.col(vec_col))
         .limit(k)
         .select(vec_col)
         .collect()
@@ -657,7 +696,7 @@ def kmeans_fit(
     cents = [[float(v) for v in r[0]] for r in seed]
     traj = [cents]
     for _ in range(iters):
-        if round_dp is None:
+        if round_dp is None and have_id:
             # full-precision fit: Arrow numpy argmin — bit-identical
             # cells to the expression forms (assign_cells_arrow's fold
             # contract), so the trajectory is unchanged while the
@@ -668,7 +707,7 @@ def kmeans_fit(
             assigned = assign_cells_arrow(
                 df, cents, vec_col=vec_col, id_col=id_col
             ).select("cell", F.col(vec_col))
-        elif k <= 32:
+        elif k <= 32 or not have_id:
             assigned = df.select(
                 _cell_expr(cents, vec_col, round_dp).alias("cell"),
                 F.col(vec_col),

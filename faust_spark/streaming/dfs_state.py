@@ -343,18 +343,50 @@ def _compact_cms(
 
 _LSH_SCHEMA = "band int, band_sig string, min_id long"
 
+#: sentinel bucket carrying the id high-watermark: real bands are
+#: non-negative, so (band=-1, band_sig='__idwm__') can never collide
+#: with a document claim. The watermark rides the SAME delta files and
+#: the same MIN merge as the claims — we store ``-max_id``, so
+#: ``-MIN(min_id)`` over sentinel rows is ``MAX(max_id)`` across
+#: batches and survives compaction/replay with zero extra state files.
+_LSH_IDWM_BAND = -1
+_LSH_IDWM_SIG = "__idwm__"
+
 
 def lsh_bucket_state(
     spark: SparkSession, state_dir: str, before: int = 1 << 62
 ) -> DataFrame:
     """The merged (band, band_sig, min_id) bucket-claim relation from
     versions < ``before`` — min is the shard-local merge (the lowest id
-    ever seen in a bucket is order- and boundary-independent)."""
+    ever seen in a bucket is order- and boundary-independent). The
+    id-watermark sentinel (see ``_LSH_IDWM_BAND``) is filtered out:
+    callers see document claims only."""
     paths, _, _ = _state_parts(spark, state_dir, before)
     raw = _read_state(spark, paths, _LSH_SCHEMA)
-    return raw.groupBy("band", "band_sig").agg(
-        F.min("min_id").alias("min_id")
+    return (
+        raw.filter(F.col("band") != F.lit(_LSH_IDWM_BAND))
+        .groupBy("band", "band_sig")
+        .agg(F.min("min_id").alias("min_id"))
     )
+
+
+def lsh_id_watermark(
+    spark: SparkSession, state_dir: str, before: int = 1 << 62
+) -> Optional[int]:
+    """Highest document id any state-writing batch < ``before`` has
+    seen, or None before the first delta — the cheap detector for the
+    sink's nondecreasing-ids ordering contract (ADVICE r8)."""
+    paths, _, _ = _state_parts(spark, state_dir, before)
+    raw = _read_state(spark, paths, _LSH_SCHEMA)
+    row = (
+        raw.filter(
+            (F.col("band") == F.lit(_LSH_IDWM_BAND))
+            & (F.col("band_sig") == F.lit(_LSH_IDWM_SIG))
+        )
+        .agg(F.min("min_id").alias("neg_max"))
+        .first()
+    )
+    return -row["neg_max"] if row and row["neg_max"] is not None else None
 
 
 def lsh_dedup_dfs_sink(
@@ -397,6 +429,30 @@ def lsh_dedup_dfs_sink(
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _compact_lsh(spark, state_dir, batch_id, compact_every)
+        # ordering-contract detector (ADVICE r8): the emitted-set
+        # equivalence to the batch NOT-EXISTS predicate needs ids
+        # nondecreasing across batches; a violation must fail loudly,
+        # not silently diverge from the oracle. One batch-sized agg +
+        # one read of the sentinel bucket — cheap relative to the
+        # signature pass.
+        lo_hi = batch_df.agg(
+            F.min(F.col(id_col).cast("long")).alias("lo"),
+            F.max(F.col(id_col).cast("long")).alias("hi"),
+        ).first()
+        batch_lo, batch_hi = lo_hi["lo"], lo_hi["hi"]
+        prev_max = lsh_id_watermark(spark, state_dir, before=batch_id)
+        if (
+            batch_lo is not None
+            and prev_max is not None
+            and batch_lo < prev_max
+        ):
+            raise ValueError(
+                "lsh_dedup_dfs_sink: ordering contract violated — "
+                f"batch {batch_id} min {id_col}={batch_lo} is below the "
+                f"running max {prev_max} of earlier batches; emitted "
+                "set would silently diverge from the batch NOT-EXISTS "
+                "semantics (ids must be nondecreasing across batches)"
+            )
         state = lsh_bucket_state(spark, state_dir, before=batch_id)
         bands = lsh_bands(
             minhash_signatures(
@@ -436,9 +492,21 @@ def lsh_dedup_dfs_sink(
         # the sink sees survivors BEFORE state advances: a crash here
         # replays the batch against the same pre-batch state
         sink(fresh, batch_id)
-        batch_claims.select(
+        delta = batch_claims.select(
             "band", "band_sig", F.col("batch_min").alias("min_id")
-        ).write.mode("overwrite").parquet(f"{state_dir}/delta_v{batch_id}")
+        )
+        if batch_hi is not None:
+            # id-watermark sentinel rides the same delta (negated so
+            # the MIN merge yields the running MAX; see _LSH_IDWM_BAND)
+            delta = delta.unionByName(
+                spark.createDataFrame(
+                    [(_LSH_IDWM_BAND, _LSH_IDWM_SIG, -int(batch_hi))],
+                    _LSH_SCHEMA,
+                )
+            )
+        delta.write.mode("overwrite").parquet(
+            f"{state_dir}/delta_v{batch_id}"
+        )
 
     return wrapped
 

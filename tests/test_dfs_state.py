@@ -240,3 +240,53 @@ def test_lsh_dedup_replay_is_idempotent(spark, tmp_path):
     wrapped(_docs(spark, [(5, doc), (6, "more different text")]), 1)
     assert out[-1] == first   # replay of batch 1 → byte-identical output
     assert first[1] == {6}    # 5 suppressed by 0 from batch 0's state
+
+
+def test_lsh_dedup_ordering_contract_violation_raises(spark, tmp_path):
+    """ADVICE r8: the sink's oracle equivalence needs nondecreasing ids
+    across batches; a violating batch must fail loudly (running-max
+    watermark rides the delta files), not silently diverge."""
+    import pytest
+
+    from faust_spark.streaming.dfs_state import (
+        lsh_dedup_dfs_sink,
+        lsh_id_watermark,
+    )
+
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrapped = lsh_dedup_dfs_sink(lambda df, bid: None, str(tmp_path / "s"))
+    wrapped(_docs(spark, [(10, doc), (11, "other words here now")]), 0)
+    assert lsh_id_watermark(spark, str(tmp_path / "s")) == 11
+    with pytest.raises(ValueError, match="ordering contract"):
+        wrapped(_docs(spark, [(5, "late low id arrives")]), 1)
+    # a conforming batch still advances the watermark
+    wrapped(_docs(spark, [(20, "new words entirely here")]), 2)
+    assert lsh_id_watermark(spark, str(tmp_path / "s")) == 20
+
+
+def test_lsh_dedup_watermark_survives_compaction(spark, tmp_path):
+    """The sentinel bucket folds through _compact_lsh's MIN merge: after
+    a compaction boundary the watermark still reports the running max
+    and document claims are unchanged (sentinel filtered from
+    lsh_bucket_state)."""
+    from faust_spark.streaming.dfs_state import (
+        lsh_bucket_state,
+        lsh_dedup_dfs_sink,
+        lsh_id_watermark,
+    )
+
+    wrapped = lsh_dedup_dfs_sink(
+        lambda df, bid: None, str(tmp_path / "s"), compact_every=2
+    )
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet colors of light",
+        "north south east west compass points guide the old sailors",
+    ]
+    for bid, (i, t) in enumerate(zip((3, 7, 9, 12), texts)):
+        wrapped(_docs(spark, [(i, t)]), bid)  # bid=2 triggers compaction
+    assert lsh_id_watermark(spark, str(tmp_path / "s")) == 12
+    claims = lsh_bucket_state(spark, str(tmp_path / "s"))
+    assert claims.filter(F.col("band") < 0).count() == 0
+    assert {r.min_id for r in claims.collect()} == {3, 7, 9, 12}

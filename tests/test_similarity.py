@@ -505,3 +505,87 @@ def test_rp_shortlist_recall_and_rerank_exactness(spark, sf_dir):
         e5 = {k for k in exact if k[0] == qid}
         if e5 <= set(approx):
             assert all(approx[k] == exact[k] for k in e5)
+
+
+def test_rp_shortlist_zero_norm_guard(spark):
+    """ADVICE r8: zero-norm vectors yield non-finite projected cosines;
+    they must be masked out of the shortlist, not sort FIRST as NaN. A
+    zero-norm corpus row never appears as a neighbor; a zero-norm query
+    returns no rows instead of an arbitrary NaN-ranked list."""
+    import numpy as np
+
+    from faust_spark.operators.similarity import rp_shortlist_topk
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 64)).astype(float)
+    X[13] = 0.0  # zero-norm corpus row
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [float(v) for v in X[0]]), (99, [0.0] * 64)],
+        "qid long, embedding array<double>",
+    )
+    got = rp_shortlist_topk(df, q, k=5, proj_dim=16, shortlist=10).collect()
+    assert all(r.nid != 13 for r in got)
+    assert all(r.qid != 99 for r in got)  # zero-norm query: no rows
+    assert {r.rank for r in got if r.qid == 0} == {1, 2, 3, 4, 5}
+
+
+def test_rp_shortlist_partial_topk_matches_full_window(spark):
+    """The r9 per-batch partial top-k is a lossless shortlist
+    generator: with shortlist >= corpus the result must equal the exact
+    brute-force ranking, and across many input partitions (each batch
+    keeping its own partial top) no true candidate is lost."""
+    import numpy as np
+
+    from faust_spark.operators.similarity import rp_shortlist_topk
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 64)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)  # many partitions -> many partial top-k batches
+    q = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(3)],
+        "qid long, embedding array<double>",
+    )
+    exact = {
+        (r.qid, r.nid): r.rank for r in cosine_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.nid): r.rank
+        for r in rp_shortlist_topk(
+            df, q, k=5, proj_dim=32, shortlist=60
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_kmeans_fit_vectors_only_frame(spark):
+    """ADVICE r8: kmeans_fit on a frame WITHOUT id_col falls back to
+    the vector-seeded _cell_expr path instead of raising a
+    missing-column error, and matches the id-bearing fit when the
+    id order equals the vector order."""
+    import numpy as np
+
+    from faust_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    X = np.sort(rng.normal(size=(30, 4)), axis=0)  # vec order == id order
+    rows = [[float(v) for v in x] for x in X]
+    with_id = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    no_id = spark.createDataFrame(
+        [(r,) for r in rows], "embedding array<double>"
+    )
+    a = kmeans_fit(with_id, k=3, iters=2, round_dp=9)
+    b = kmeans_fit(no_id, k=3, iters=2, round_dp=9)
+    assert a == b
+    # full-precision path also works without ids
+    c = kmeans_fit(no_id, k=3, iters=1)
+    assert len(c) == 2 and len(c[1]) == 3
