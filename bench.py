@@ -137,6 +137,18 @@ _BENCH_OVERRIDES = {
     "rp_topk": "rp_topk_raw",
 }
 
+#: VERDICT r8 item 5: the serve/fit-heavy rows drifted up to ~2x when
+#: timed late in a session that had already executed ~80 queries (JVM
+#: heap pressure + codegen-cache churn), then matched their fresh-
+#: session retimes exactly — so the harness restarts the session and
+#: re-warms before timing them, instead of footnoting the drift.
+_HEAVY = {
+    "ivf_topk_serve",
+    "ivfpq_topk_serve",
+    "supplier_hits",
+    "bpe_merges",
+}
+
 #: VERDICT r5 item 5: single-shot numbers carried up to 2x cold-start
 #: noise (hybrid_search 4.78 -> 2.47 min-of-3) — the harness now reports
 #: min-of-N per query so cross-round comparisons stop needing
@@ -181,8 +193,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).collect()
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
+    def _time_key(key: str) -> float:
         fn = (
             getattr(entry, _BENCH_OVERRIDES[key])
             if key in _BENCH_OVERRIDES
@@ -194,7 +205,23 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             el = time.time() - t0
             best = el if best is None or el < best else best
-        timings[key] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in _HEAVY:
+            timings[key] = _time_key(key)
+
+    # fresh warmed session for the heavy serve/fit rows (see _HEAVY)
+    spark.stop()
+    spark = get_spark("bench-heavy")
+    qs = entry.queries()
+    qs["q6_forecast"](spark, sf_dir).collect()
+    spark.range(32).mapInPandas(lambda it: it, "id long").collect()
+    for key in HEADLINE:
+        if key in _HEAVY:
+            timings[key] = _time_key(key)
+    timings = {k: timings[k] for k in HEADLINE}  # stable output order
 
     total = round(sum(timings.values()), 3)
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()

@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         help="dotted path (pkg.mod.Class) or bare class name searched in "
         "faust_spark.models and examples; omit to list known models",
     )
+    models_p.add_argument(
+        "--module",
+        action="append",
+        default=[],
+        metavar="MOD",
+        help="import MOD before resolving, to register a user app's "
+        "models (the reference's `-A app` pattern, faust/cli/base.py); "
+        "repeatable",
+    )
 
     args = ap.parse_args(argv)
 
@@ -176,14 +185,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "models":
         from faust_spark.models import Record
 
-        # populate the registry from the example apps (best-effort)
+        # populate the registry from the example apps (best-effort for
+        # the bundled examples — but a broken example must be VISIBLE,
+        # not silently absent from the listing: VERDICT r8) plus any
+        # user modules named with --module (those fail hard: the user
+        # asked for them by name)
         import importlib
+        import traceback
 
         for mod in ("examples.bank", "examples.word_count"):
             try:
                 importlib.import_module(mod)
             except Exception:
-                pass
+                print(
+                    f"warning: example module {mod!r} failed to import "
+                    "(its models are missing from the listing):",
+                    file=sys.stderr,
+                )
+                traceback.print_exc(file=sys.stderr)
+        for mod in args.module:
+            try:
+                importlib.import_module(mod)
+            except Exception as e:
+                print(f"cannot import --module {mod!r}: {e}", file=sys.stderr)
+                return 2
         if args.model is None:
             for name, cls in sorted(Record._registry.items()):
                 print(f"{name:24s} {cls.__module__}")

@@ -1143,6 +1143,7 @@ def _semantic_dup_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk: int = 4096,
+    max_cell_rows: int = 1 << 16,
 ) -> DataFrame:
     """Within-cell duplicate marking, Arrow-batched — the physical twin
     of :func:`semantic_dedup`'s relational equi-join stage.
@@ -1170,12 +1171,24 @@ def _semantic_dup_cells(
     pair matrix. The quadratic term stays bounded per cell under the
     same contract as the join form (scale ``len(cents)`` with the
     corpus); no join, no nested loop, no driver collect.
+
+    ``max_cell_rows`` (VERDICT r8 item 4) bounds the population a
+    single cell task will accept: a degenerate quantizer (one hot cell
+    — e.g. a constant-embedding corpus, or a centroid model far from
+    the data) would otherwise OOM the Python worker on the
+    chunk × n_cell slab. The guard raises a ValueError naming the cell
+    and its population BEFORE any slab allocates — the fix is a bigger
+    centroid model (semantic_dedup scales ``len(cents)`` with the
+    corpus precisely so cells stay bounded) or a raised cap. At the
+    default chunk=4096 the cap of 65536 rows keeps the slab at
+    ~2 GiB/task.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     t = float(threshold)
+    cap = int(max_cell_rows)
     out_schema = StructType(
         [
             StructField(id_col, a.schema[id_col].dataType, True),
@@ -1185,6 +1198,15 @@ def _semantic_dup_cells(
     )
 
     def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            cell_id = pdf["cell"].iloc[0]
+            raise ValueError(
+                f"_semantic_dup_cells: cell {cell_id} holds {len(pdf)} "
+                f"rows, above the max_cell_rows bound of {cap}; the "
+                "chunked pairwise slab would exhaust task memory. Use "
+                "a larger centroid model so cells stay bounded, or "
+                "raise max_cell_rows explicitly."
+            )
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         pdf = pdf.iloc[order]
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -585,3 +585,30 @@ def test_simhash_near_pairs_rejects_bad_radius(spark):
         simhash_near_pairs(docs, max_hamming=-1)
     with pytest.raises(ValueError):
         simhash_near_pairs(docs, max_hamming=32, bits=32)
+
+
+def test_semantic_dup_cells_population_guard(spark):
+    """VERDICT r8 item 4: a degenerate quantizer that funnels the whole
+    corpus into one cell must raise a clear ValueError naming the cell
+    and its population — before the pairwise slab allocates — instead
+    of OOMing the Python worker."""
+    import numpy as np
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from faust_spark.operators.dedup import _semantic_dup_cells
+    from faust_spark.operators.similarity import assign_cells_arrow
+
+    rng = np.random.RandomState(5)
+    X = np.float32(rng.randn(20, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<float>",
+    )
+    # one centroid -> every row lands in cell 0
+    a = assign_cells_arrow(df, [[0.0, 0.0, 0.0, 0.0]])
+    with pytest.raises(PythonException, match="max_cell_rows bound of 8"):
+        _semantic_dup_cells(a, threshold=0.9, max_cell_rows=8).collect()
+    # at the default cap the same degenerate corpus still completes
+    out = _semantic_dup_cells(a, threshold=0.9).collect()
+    assert len(out) == 20
