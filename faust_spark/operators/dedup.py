@@ -711,7 +711,15 @@ def simhash(
     )
     fp = None
     for k in range(bits):
-        term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        # bit 63 can't ride a positive long literal (1 << 63 overflows
+        # signed 64); its two's-complement weight -(2^63) sets the sign
+        # bit and the running sum stays in range (worst case
+        # (2^63 - 1) - 2^63 = -1), so bits=64 fingerprints land as
+        # negative bigints with the exact bit pattern — xor/bit_count/
+        # mask-after-shift chunk extraction all operate on the pattern,
+        # not the sign
+        weight = (1 << k) if k < 63 else -(1 << 63)
+        term = F.when(F.col(f"v{k}") > 0, F.lit(weight)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return votes.select(
         F.col(id_col), fp.cast("bigint").alias("simhash")

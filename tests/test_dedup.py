@@ -612,3 +612,42 @@ def test_semantic_dup_cells_population_guard(spark):
     # at the default cap the same degenerate corpus still completes
     out = _semantic_dup_cells(a, threshold=0.9).collect()
     assert len(out) == 20
+
+
+def test_simhash_64bit_fingerprints_and_banding(spark):
+    """bits=64 is the documented grow-the-chunk-width path (16-bit chunk
+    keys at max_hamming=3). Bit 63 rides a negative two's-complement
+    weight, so fingerprints can be negative bigints — xor/bit_count and
+    the mask-after-shift chunk extraction must still be lossless vs the
+    all-pairs brute force."""
+    from faust_spark.operators.dedup import simhash, simhash_near_pairs
+
+    import random
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(25):
+        doc = " ".join(words[(i + j) % len(words)] for j in range(8))
+        rows.append((i, doc))
+        rows.append((100 + i, doc))  # exact twin -> Hamming 0
+    # varied random-token docs: fingerprints ~uniform over 64 bits, so
+    # the sign bit (negative bigint) is exercised w.h.p.
+    rng = random.Random(41)
+    for i in range(30):
+        rows.append(
+            (200 + i, " ".join(f"w{rng.randrange(10_000)}" for _ in range(12)))
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()}
+    assert any(v < 0 for v in fps.values())
+    want = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.doc1, r.doc2)
+        for r in simhash_near_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    assert got == want and len(want) >= 25

@@ -50,6 +50,10 @@ PROBES_DOCS_PAIRWISE = [
     "dedup_containment",  # r5: same equi-join shape, min-denominator
     "split_by_cluster",  # r6: jaccard pairs + components + hash split
     "dedup_jaccard_prefix",  # r6: PPJoin prefix filter — exact, capless
+    "simhash_near_pairs",  # r9: pigeonhole chunk join; replica pairs
+    # land at small Hamming distances so true output grows with C(mult,2)
+    "stream_lsh_dedup",  # r9: micro-batch replay of the DFS bucket-claim
+    # sink; replicas multiply both docs and band buckets
 ]
 # linear doc ops probe at the FULL multiplier (r3 verdict item 5: these
 # previously probed at 4x or not at all)
@@ -125,6 +129,8 @@ PROBES_EMB = [
     "pq_ann_topk",  # r8: ADC scan under the single-exact-subtree contract
     "ivf_topk_serve",  # r8: serve path, exact subtree planned once
     "ivfpq_topk_serve",  # r8: PQ serve path, same contract
+    "rp_topk",  # r9: JL shortlist now partial-top-k per batch before the
+    # qid exchange (VERDICT r8 item 2); gate includes the recall contract
 ]
 
 
@@ -454,6 +460,77 @@ def main() -> int:
             f"rows {bn} -> {gn})",
             file=sys.stderr,
         )
+    # SimHash hot-chunk skew (r9, VERDICT r8 item 3): plant a cluster of
+    # near-identical pages (each variant swaps ONE word for a unique
+    # token, so pairwise token distance is 2 and fingerprints agree on
+    # most bits). Every cluster member shares chunk buckets with every
+    # other, so the candidate join's hot bucket holds C(n_cluster, 2)
+    # pairs — the skew shape the docstring's grow-the-chunk-width note
+    # is about. The probe times bits=32 (8-bit chunks) against bits=64
+    # (16-bit chunks) on the SAME planted corpus: wider chunks shed the
+    # random cross-corpus collisions (8-bit buckets hold n/256 docs of
+    # the whole corpus; 16-bit hold n/65536) while the true near-dup
+    # cluster stays hot in both — that residual is verification work on
+    # real near-pairs, not bucket noise, and is irreducible by width.
+    from faust_spark.operators.dedup import simhash_near_pairs as _snp
+
+    def simhash_planted_dir(src_dir: str, name: str, n_dup: int) -> str:
+        dest = os.path.join(big, name)
+        os.makedirs(dest, exist_ok=True)
+        d = load_table(spark, src_dir, "documents")
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        words = (
+            "the quick brown fox jumps over a lazy dog while rain "
+            "falls on the old tin roof and wind moves through tall "
+            "grass near the river bend where herons wait for fish"
+        )
+        variants = spark.range(n_dup).select(
+            (F.col("id") + mx + 1).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit(words),
+                F.concat(F.lit("tok"), F.col("id").cast("string")),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("planted").alias("source"),
+            F.lit(len(words) + 8).alias("n_chars"),
+        )
+        d.unionByName(variants).write.mode("overwrite").parquet(
+            os.path.join(dest, "documents.parquet")
+        )
+        return dest
+
+    def simhash_probe(sf_dir: str, bits: int) -> tuple[float, int]:
+        d = load_table(spark, sf_dir, "documents")
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = _snp(d, max_hamming=3, bits=bits).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2), n
+
+    if wanted("simhash_hot_chunk"):
+        pl = simhash_planted_dir(args.base, "simhash_planted", 1000)
+        (b32, n32) = simhash_probe(pl, 32)
+        (b64, n64) = simhash_probe(pl, 64)
+        (c32, m32) = simhash_probe(args.base, 32)
+        out["simhash_hot_chunk"] = {
+            "clean_32bit_s": c32,
+            "planted_32bit_s": b32,
+            "planted_64bit_s": b64,
+            "rows_clean_32bit": m32,
+            "rows_planted_32bit": n32,
+            "rows_planted_64bit": n64,
+            "n_planted": 1000,
+            "width_speedup": round(b32 / b64, 2) if b64 else None,
+        }
+        print(
+            f"# simhash_hot_chunk: clean32 {c32}s/{m32} rows; "
+            f"planted32 {b32}s/{n32} rows; planted64 {b64}s/{n64} rows",
+            file=sys.stderr,
+        )
+
     print(json.dumps({"mult": args.mult, "probes": out}))
     return 0
 
