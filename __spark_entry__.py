@@ -2537,7 +2537,17 @@ def stream_everseen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # fail loudly on timeout: a partial emitted set must never pose
+        # as the gate answer (same contract as stream_lsh_dedup)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_everseen_dedup: query still running after 300s;"
+                f" partial emitted set ({len(emitted)} ids) discarded"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         [(int(u),) for u in emitted], "user_id bigint"
     )
@@ -3335,7 +3345,16 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # fail loudly: a half-accumulated sketch must never reach the
+        # bit-exact oracle comparison. No cleanup on success — the
+        # returned DataFrame lazily reads the state dir.
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError(
+            "stream_heavy_hitters: query still running after 300s; "
+            "partial CMS state discarded"
+        )
     counts = cms_state_cells(spark, state)
     keys = (
         _t(spark, sf_dir, "events")
@@ -7882,9 +7901,15 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_livecheck_audit: query still running after "
+                f"600s; {len(emitted)} partial update batches discarded"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+        shutil.rmtree(work, ignore_errors=True)
     import pandas as _pd
 
     # re-enter Spark through the Arrow path (createDataFrame from a
