@@ -16,6 +16,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 from collections.abc import Callable
@@ -590,7 +591,8 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.o_orderkey, l.l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
                                 ORDER BY l.l_shipdate ASC,
-                                         l.l_linenumber DESC) AS rn
+                                         l.l_linenumber DESC,
+                                         l.l_extendedprice DESC) AS rn
       FROM orders o JOIN lineitem l
         ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
     )
@@ -606,7 +608,15 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions). The synthetic fixture does NOT guarantee lineitems ship
     after their order (unlike real TPC-H), so the oracle applies the
     ``l_shipdate >= o_orderdate`` constraint explicitly — which also
-    makes it a sharper check of the operator's range semantics."""
+    makes it a sharper check of the operator's range semantics.
+
+    The tiebreak CHAINS to ``l_extendedprice`` because the fixture's
+    ``l_linenumber`` is not unique within (orderkey, shipdate) — at
+    sf0.1, 11 orders' winning rows collide on (shipdate, linenumber)
+    with differing prices, so the single-column tiebreak left both this
+    query and the oracle free to disagree (caught by the r9 10x-scale
+    gate run; sf0.01 has no collisions). With the chain the pick is a
+    total order over everything the query emits."""
     from faust_spark.joins import asof_join
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -623,7 +633,7 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="o_orderdate",
         right_ts="l_shipdate",
         direction="forward",
-        right_tiebreak="l_linenumber",
+        right_tiebreak=("l_linenumber", "l_extendedprice"),
     )
     return out.select(
         "o_orderkey", F.col("l_extendedprice").alias("first_ship_price")
@@ -4854,19 +4864,40 @@ def ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 
 
+def _rp_params(n: int, dim: int) -> tuple[int, int]:
+    """(proj_dim, shortlist) for the RP gates, scaled with the corpus.
+
+    JL distortion at FIXED proj_dim is constant (ε ~ sqrt(log n /
+    proj_dim)), while the number of false competitors within ε of the
+    top-k boundary grows with n — so a fixed projection needs a
+    shortlist that grows LINEARLY with the corpus, which stops being
+    ANN at all (re-rank cost → a constant fraction of brute force).
+    The asymptotically right knob is therefore proj_dim ∝ log₂ n
+    (capped at 3·dim/4: past that the "projection" stops saving
+    flops), with the shortlist floor n/8 as the conservative
+    fixture-dim backstop. Measured recall@5 at sf0.1 (n=2000, dim=64
+    → proj_dim 48, shortlist 250): 0.96; the r8 rule (fixed
+    proj_dim=32, shortlist max(200, n/25)) measured 0.74 there —
+    caught by the r9 10×-scale gate run, which is exactly the failure
+    mode the docstring warned about for FIXED shortlists, landing on
+    the other fixed knob."""
+    proj_dim = min((dim * 3) // 4, max(32, int(4.5 * math.log2(max(n, 2)))))
+    return proj_dim, max(200, n // 8)
+
+
 @_q("rp_topk", _ANN_RECALL_ORACLE)
 def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection ANN (operators/similarity.py rp_shortlist_topk):
-    Johnson–Lindenstrauss projection onto 32 deterministic md5-derived
+    Johnson–Lindenstrauss projection onto deterministic md5-derived
     directions, shortlist by projected cosine, exact full-dim re-rank —
     the train-free index family next to LSH (ann_lsh_topk) and the
-    IVF/PQ quantizers. The candidate budget scales with the corpus
-    (shortlist = max(200, n/25), derived the same way semantic_dedup
-    derives its cell count) because at a FIXED shortlist the captured
-    fraction of the true neighborhood shrinks as the corpus grows —
-    measured recall@5 at 32 projections: 0.92 / 0.90 / 1.00 at
-    sf0.001/0.01/0.1. Same recall@5 >= 0.8 contract against the
-    DuckDB-verified exact ranking as every other ANN gate."""
+    IVF/PQ quantizers. BOTH budgets scale with the corpus via
+    ``_rp_params``: proj_dim ∝ log₂ n (the asymptotic control — JL
+    distortion, not candidate count, is what decays recall at fixed
+    projection width) and a shortlist floor of n/8 (measured recall@5:
+    1.00 at sf0.01, 0.96 at sf0.1). Same recall@5 >= 0.8 contract
+    against the DuckDB-verified exact ranking as every other ANN
+    gate."""
     from faust_spark.operators.similarity import (
         cosine_topk,
         rp_shortlist_topk,
@@ -4876,9 +4907,11 @@ def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    shortlist = max(200, emb.count() // 25)
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    proj_dim, shortlist = _rp_params(n, dim)
     approx = rp_shortlist_topk(
-        emb, queries, k=5, proj_dim=32, shortlist=shortlist
+        emb, queries, k=5, proj_dim=proj_dim, shortlist=shortlist
     )
     exact = cosine_topk(emb, queries, k=5)
     return _ann_recall_contract(approx, exact, min_recall=0.8)
@@ -4897,9 +4930,11 @@ def rp_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    shortlist = max(200, emb.count() // 25)
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    proj_dim, shortlist = _rp_params(n, dim)
     return rp_shortlist_topk(
-        emb, queries, k=5, proj_dim=32, shortlist=shortlist
+        emb, queries, k=5, proj_dim=proj_dim, shortlist=shortlist
     )
 
 
@@ -4944,15 +4979,25 @@ def ivf_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ serving path alone (see ivf_topk_serve_raw): coarse-cell
     pruning + ADC over PQ codes + shortlist re-rank — the bench target;
-    the ``ivfpq_topk_serve`` gate row adds the recall contract."""
+    the ``ivfpq_topk_serve`` gate row adds the recall contract.
+
+    The exact-re-rank shortlist scales with the corpus (max(50, n/10)):
+    ADC rank error per pair is set by the code budget (m·log₂ ksub
+    bits), so the number of TRUE top-k rows ADC misranks past a fixed
+    shortlist grows with the probed population — at sf0.1 the r8 fixed
+    shortlist=50 measured recall@5 0.72 (r9 10×-gate catch); n/10 → 200
+    measures 0.98. The re-rank touches |q|·shortlist full vectors —
+    still ~n/10 of brute force's |q|·n."""
     from faust_spark.operators.similarity import ivfpq_topk as _ipq
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
+    shortlist = max(50, emb.count() // 10)
     return _ipq(
-        emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16
+        emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16,
+        shortlist=shortlist,
     ).select("qid", "nid")
 
 
@@ -4980,14 +5025,19 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (~256x smaller), ADC-scored against broadcast codebook
     literals; full vectors fetched for the shortlist only, exact-cosine
     re-ranked. Same recall@5 >= 0.8 contract against the DuckDB-pinned
-    exact set as ivf_topk/pq_ann_topk/ivf2_topk."""
+    exact set as ivf_topk/pq_ann_topk/ivf2_topk. The re-rank shortlist
+    scales max(50, n/10) — see ivfpq_topk_serve_raw's docstring for the
+    measured sf0.1 recall cliff (0.72) of the r8 fixed budget."""
     from faust_spark.operators.similarity import cosine_topk, ivfpq_topk as _ipq
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    approx = _ipq(emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16)
+    approx = _ipq(
+        emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16,
+        shortlist=max(50, emb.count() // 10),
+    )
     exact = cosine_topk(emb, queries, k=5)
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 

@@ -113,7 +113,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
-    right_tiebreak: Optional[str] = None,
+    right_tiebreak: Union[str, Sequence[str], None] = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (``direction="backward"``) or the earliest
@@ -130,6 +130,13 @@ def asof_join(
     Ties: a right row AT the left timestamp matches in both directions;
     among several right rows at the matched timestamp the MAXIMUM
     ``right_tiebreak`` wins in both directions ("latest version wins").
+    ``right_tiebreak`` may be a single column or a SEQUENCE of columns
+    compared lexicographically (max on the first, then the second, …):
+    when the first tiebreak column is not unique within
+    (key, timestamp) — real fixtures have such collisions — a chain
+    extending it to a total order over the carried payload is the only
+    way the picked row (and thus the output) is deterministic across
+    engines and partitionings.
 
     NULL timestamps: a NULL is not ordered against anything, so it can
     never satisfy ``<=``/``>=`` — right rows with a NULL ``right_ts``
@@ -167,14 +174,24 @@ def asof_join(
     )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    tiebreaks = (
+        [right_tiebreak]
+        if isinstance(right_tiebreak, str)
+        else list(right_tiebreak or [])
+    )
+    missing = [c for c in tiebreaks if c not in carried]
+    if missing:
+        raise ValueError(
+            f"right_tiebreak column(s) {missing} not in the right side's "
+            f"carried columns {carried}"
+        )
     unioned = lt.unionByName(rt)
     if direction == "backward":
         # right rows sort before left rows at equal ts → ties match (<=);
         # among right rows at equal ts, the max tiebreak value wins
         # (last() takes the final row of the ascending tiebreak order).
         order = [F.col("__ts"), F.col("__is_left")]
-        if right_tiebreak:
-            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+        order += [F.col(f"__r_{c}").asc_nulls_first() for c in tiebreaks]
         w = (
             W.partitionBy(*keys)
             .orderBy(*order)
@@ -189,8 +206,7 @@ def asof_join(
         # following frame still sees an equal-ts right (>= matches);
         # tiebreak descends so first() picks the max at the matched ts.
         order = [F.col("__ts"), F.col("__is_left").desc()]
-        if right_tiebreak:
-            order.append(F.col(f"__r_{right_tiebreak}").desc_nulls_last())
+        order += [F.col(f"__r_{c}").desc_nulls_last() for c in tiebreaks]
         w = (
             W.partitionBy(*keys)
             .orderBy(*order)

@@ -40,6 +40,38 @@ def test_asof_tiebreak_picks_max(spark):
     assert out[0].rv == "ninth"
 
 
+def test_asof_tiebreak_chain_total_order(spark):
+    """A SEQUENCE tiebreak compares lexicographically: when the first
+    column collides within (key, ts) — as the sf0.1 lineitem fixture
+    does on (orderkey, shipdate, linenumber) — the second column must
+    decide, in both directions, so the pick is deterministic."""
+    left = spark.createDataFrame([("k", ts(30), "L")], ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [
+            ("k", ts(10), 9, 2.0, "nine-two"),
+            ("k", ts(10), 9, 7.0, "nine-seven"),
+            ("k", ts(10), 1, 99.0, "one-99"),
+        ],
+        ["k", "t", "seq", "price", "rv"],
+    )
+    back = asof_join(
+        left, right, "k", "t", "t", right_tiebreak=("seq", "price")
+    ).collect()
+    assert back[0].rv == "nine-seven"  # max seq, then max price
+    fleft = spark.createDataFrame([("k", ts(5), "L")], ["k", "t", "lv"])
+    fwd = asof_join(
+        fleft, right, "k", "t", "t", direction="forward",
+        right_tiebreak=["seq", "price"],
+    ).collect()
+    assert fwd[0].rv == "nine-seven"
+    import pytest
+
+    with pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(
+            left, right, "k", "t", "t", right_tiebreak=("seq", "nope")
+        )
+
+
 def test_asof_forward_basic(spark):
     left = spark.createDataFrame(
         [("k", ts(10), "L10"), ("k", ts(20), "L20"), ("k", ts(25), "L25")],
