@@ -7994,26 +7994,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose physical plan changes this round.
 #   Position 1: rp_topk — its shortlist stage is restructured in r9
 #     (per-partition partial top-k before the qid exchange + zero-norm
-#     guard, VERDICT r8 item 2 / ADVICE), so the driver must re-verify
-#     the new plan first.
-#   Positions 2-29: the 28 queries whose newest driver-green row is
+#     guard, VERDICT r8 item 2 / ADVICE), AND its budgets now scale
+#     with the corpus (proj_dim ∝ log2 n, shortlist floor n/8) after
+#     the 10x-scale gate measured the fixed budgets at 0.74 recall.
+#   Positions 2-4: asof_join_forward / ivfpq_topk / ivfpq_topk_serve —
+#     also changed late in r9 by the same 10x-gate findings (tiebreak
+#     column chain; ADC re-rank shortlist scaled max(50, n/10)).
+#     Changed-this-round outranks re-verification, so these displace
+#     the last three r4-cohort rows (multimodal_resize, multires_rollup,
+#     value_percentiles) to the window tail — they are the next
+#     rotation's first rows.
+#   Positions 5-32: the 28 queries whose newest driver-green row is
 #     ROUND 3 (the documents-pipeline block pii_redact/quality_classifier/
 #     doc_chunking/bm25/boilerplate/zipf/repetition, the sampling block,
 #     five streaming rows incl. stream_stream_join/stream_window_close,
 #     grouping_sets_revenue, value_trend, ivf_assign, anomaly pair).
-#   Positions 30-50: the 21 queries whose newest driver-green row is
-#     ROUND 4 (the TPC-H block q2/q8/q9/q11/q13/q15/q16/q17/q19/q20/
-#     q21/q22, the multimodal quartet, session_windows,
-#     value_percentiles, hourly_histogram, null_safe_join,
-#     stream_enriched_counts, multires_rollup, doc_fingerprint).
-# Every row displaced past 50 has a driver-green round >= r5 AND stays
+#   Positions 33-50: 18 of the 21 queries whose newest driver-green
+#     row is ROUND 4 (the TPC-H block q2/q8/q9/q11/q13/q15/q16/q17/
+#     q19/q20/q21/q22, session_windows, hourly_histogram,
+#     null_safe_join, stream_enriched_counts, doc_fingerprint,
+#     multimodal_decode/features/frames; the displaced three lead the
+#     tail).
+# Every row displaced past 50 has a driver-green round >= r4 AND stays
 # covered by the per-round full local gate (tools/check.py ->
-# artifacts/check_all_r9.json).  After this window completes, no
-# registry query's newest driver evidence predates r5.  Tail order is
+# artifacts/check_all_r9.json, and at 10x scale
+# check_all_r9_sf01.json).  After this window completes, no registry
+# query's newest driver evidence predates r4, and only the three
+# displaced r4 rows predate r5.  Tail order is
 # oldest-evidence-first (r5 cohort of 29, then r7's 47, then r8's 50)
 # so the next rotation is a straight prefix shift.
 _PRIORITY: list[str] = [
     "rp_topk",
+    "asof_join_forward",
+    "ivfpq_topk",
+    "ivfpq_topk_serve",
     "pii_redact",
     "quality_classifier",
     "multimodal_decode",
@@ -8092,7 +8106,6 @@ _PRIORITY: list[str] = [
     "text_quality",
     "lang_id",
     "gopher_rules",
-    "ivfpq_topk_serve",
     "knn_label_ivf",
     "livecheck_audit",
     "livecheck_latency",
@@ -8118,7 +8131,6 @@ _PRIORITY: list[str] = [
     "stream_heavy_hitters",
     "dsir_score",
     "asof_join",
-    "asof_join_forward",
     "scd2_lookup",
     "bloom_dedup_admit",
     "heavy_hitters_cms",
@@ -8183,7 +8195,6 @@ _PRIORITY: list[str] = [
     "stream_lsh_dedup",
     "stream_livecheck_audit",
     "ivf_topk",
-    "ivfpq_topk",
     "pq_ann_topk",
     "ivf_topk_serve",
     "hard_negatives_ivf",
