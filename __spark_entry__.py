@@ -640,6 +640,64 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "asof_join_nearest",
+    """
+    WITH nl AS (
+      SELECT o.o_orderkey, l.l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                ORDER BY abs(epoch(l.l_shipdate) - epoch(o.o_orderdate)),
+                         CASE WHEN l.l_shipdate <= o.o_orderdate
+                              THEN 0 ELSE 1 END,
+                         l.l_linenumber DESC,
+                         l.l_extendedprice DESC) AS rn
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o.o_orderkey, nl.l_extendedprice AS nearest_ship_price
+    FROM orders o
+    LEFT JOIN nl ON nl.o_orderkey = o.o_orderkey AND nl.rn = 1
+    """,
+)
+def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'
+    parity, r9): each order enriched with the lineitem whose ship date
+    is CLOSEST to the order date in either direction — equidistant
+    candidates resolve backward, and within the matched timestamp the
+    (l_linenumber, l_extendedprice) chain makes the pick a total order
+    (the same fixture collision the forward gate documents). The
+    fixture ships lineitems both before and after their order date, so
+    both directions genuinely win rows here.
+
+    Physical shape: BOTH direction window families ride the ONE
+    union + key-exchange the backward/forward forms use (two sorts on
+    the same shuffle — Catalyst chains the Window operators); the
+    distance decision is a per-row projection. No range join, no
+    second shuffle. The oracle recomputes the whole rule relationally
+    (rank by |epoch delta|, backward-preference flag, tiebreak
+    chain)."""
+    from faust_spark.joins import asof_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    out = asof_join(
+        o,
+        li,
+        on="o_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        direction="nearest",
+        right_tiebreak=("l_linenumber", "l_extendedprice"),
+    )
+    return out.select(
+        "o_orderkey", F.col("l_extendedprice").alias("nearest_ship_price")
+    )
+
+
 # =====================================================================
 # relational proof queries (TPC-H-ish; the batch surface faust lacks)
 # =====================================================================
@@ -8025,6 +8083,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the next rotation is a straight prefix shift.
 _PRIORITY: list[str] = [
     "rp_topk",
+    "asof_join_nearest",
     "asof_join_forward",
     "ivfpq_topk",
     "ivfpq_topk_serve",

@@ -116,16 +116,21 @@ def asof_join(
     right_tiebreak: Union[str, Sequence[str], None] = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (``direction="backward"``) or the earliest
-    right row with ``right.ts >= left.ts`` (``"forward"``) per key —
-    absent from both faust and the DataFrame API (Spark exposes it only
-    in pandas-on-Spark).
+    ``right.ts <= left.ts`` (``direction="backward"``), the earliest
+    right row with ``right.ts >= left.ts`` (``"forward"``), or
+    whichever of those two is closer in time (``"nearest"``, pandas
+    ``merge_asof`` parity; equidistant candidates resolve BACKWARD)
+    per key — absent from both faust and the DataFrame API (Spark
+    exposes it only in pandas-on-Spark).
 
     Implementation: union both sides tagged, sort within key by time, and
     carry the matching right value across with a window
     ``last(..., ignorenulls)`` over the preceding frame (backward) or
     ``first(..., ignorenulls)`` over the following frame (forward) —
     one shuffle on the key, no range join, scales linearly.
+    ``"nearest"`` evaluates BOTH window families over the same key
+    exchange (two sorts, one shuffle — Catalyst chains the Window
+    operators) and picks per-row by absolute time distance.
 
     Ties: a right row AT the left timestamp matches in both directions;
     among several right rows at the matched timestamp the MAXIMUM
@@ -172,8 +177,10 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in carried],
     )
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     tiebreaks = (
         [right_tiebreak]
         if isinstance(right_tiebreak, str)
@@ -186,37 +193,82 @@ def asof_join(
             f"carried columns {carried}"
         )
     unioned = lt.unionByName(rt)
-    if direction == "backward":
-        # right rows sort before left rows at equal ts → ties match (<=);
-        # among right rows at equal ts, the max tiebreak value wins
-        # (last() takes the final row of the ascending tiebreak order).
-        order = [F.col("__ts"), F.col("__is_left")]
-        order += [F.col(f"__r_{c}").asc_nulls_first() for c in tiebreaks]
-        w = (
-            W.partitionBy(*keys)
-            .orderBy(*order)
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        picks = [
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in carried
+
+    def _dir_picks(d: str, prefix: str) -> list:
+        if d == "backward":
+            # right rows sort before left rows at equal ts → ties match
+            # (<=); among right rows at equal ts, the max tiebreak value
+            # wins (last() takes the final row of the ascending
+            # tiebreak order).
+            order = [F.col("__ts"), F.col("__is_left")]
+            order += [F.col(f"__r_{c}").asc_nulls_first() for c in tiebreaks]
+            w = (
+                W.partitionBy(*keys)
+                .orderBy(*order)
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            agg = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        else:
+            # mirror: left rows sort before right rows at equal ts, so
+            # the following frame still sees an equal-ts right (>=
+            # matches); tiebreak descends so first() picks the max at
+            # the matched ts.
+            order = [F.col("__ts"), F.col("__is_left").desc()]
+            order += [F.col(f"__r_{c}").desc_nulls_last() for c in tiebreaks]
+            w = (
+                W.partitionBy(*keys)
+                .orderBy(*order)
+                .rowsBetween(0, W.unboundedFollowing)
+            )
+            agg = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        return [
+            agg(f"__r_{c}").over(w).alias(f"{prefix}{c}") for c in carried
         ]
+
+    if direction == "nearest":
+        picks = _dir_picks("backward", "__b_") + _dir_picks("forward", "__w_")
     else:
-        # mirror: left rows sort before right rows at equal ts, so the
-        # following frame still sees an equal-ts right (>= matches);
-        # tiebreak descends so first() picks the max at the matched ts.
-        order = [F.col("__ts"), F.col("__is_left").desc()]
-        order += [F.col(f"__r_{c}").desc_nulls_last() for c in tiebreaks]
-        w = (
-            W.partitionBy(*keys)
-            .orderBy(*order)
-            .rowsBetween(0, W.unboundedFollowing)
-        )
-        picks = [
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in carried
-        ]
+        picks = _dir_picks(direction, "__f_")
     filled = unioned.select("*", *picks)
+
+    if direction == "nearest":
+        # per-row distance decision: both window families rode the SAME
+        # key exchange; backward wins equidistant candidates (pandas
+        # merge_asof 'nearest' parity). Time distance compares in
+        # seconds-since-epoch (dates promote to timestamps first) so
+        # the rule also covers numeric time columns.
+        from pyspark.sql.types import DateType, TimestampNTZType
+
+        def _secs(col):
+            # only DIFFERENCES matter, so any monotone affine mapping to
+            # seconds works: dates and NTZ timestamps (the fixture's
+            # physical encoding — see catalog.normalize_event_time)
+            # promote through a plain timestamp cast first (the session
+            # is pinned UTC; a uniform tz shift cancels in the deltas).
+            if isinstance(
+                unioned.schema["__ts"].dataType,
+                (DateType, TimestampNTZType),
+            ):
+                col = col.cast("timestamp")
+            return col.cast("double")
+
+        bts, fts = F.col(f"__b_{right_ts}"), F.col(f"__w_{right_ts}")
+        use_backward = bts.isNotNull() & (
+            fts.isNull()
+            | (
+                (_secs(F.col("__ts")) - _secs(bts))
+                <= (_secs(fts) - _secs(F.col("__ts")))
+            )
+        )
+        filled = filled.select(
+            "*",
+            *[
+                F.when(use_backward, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__w_{c}"))
+                .alias(f"__f_{c}")
+                for c in carried
+            ],
+        )
 
     # NULL left timestamps match nothing: nulls sort first, so in the
     # forward direction the following frame would otherwise hand them the

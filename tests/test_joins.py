@@ -104,6 +104,104 @@ def test_asof_forward_tiebreak_picks_max(spark):
     assert out[0].rv == "ninth"
 
 
+def test_asof_nearest_basic_and_tie_backward(spark):
+    """direction="nearest" picks whichever side is closer in time; an
+    EQUIDISTANT pair resolves backward (documented contract)."""
+    left = spark.createDataFrame(
+        [
+            ("k", ts(10), "Lnear_b"),   # b at 9 (d=1), f at 14 (d=4)
+            ("k", ts(13), "Lnear_f"),   # b at 9 (d=4), f at 14 (d=1)
+            ("k", ts(19), "Ltie"),      # b at 14 (d=5), f at 24 (d=5)
+            ("k", ts(3), "Lonly_f"),    # nothing at/under 3
+            ("k", ts(30), "Lonly_b"),   # nothing at/over 30
+        ],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("k", ts(9), "R9"), ("k", ts(14), "R14"), ("k", ts(24), "R24")],
+        ["k", "t", "rv"],
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, "k", "t", "t", direction="nearest"
+        ).collect()
+    }
+    assert out == {
+        "Lnear_b": "R9",
+        "Lnear_f": "R14",
+        "Ltie": "R14",      # equidistant → backward
+        "Lonly_f": "R9",
+        "Lonly_b": "R24",
+    }
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof nearest mode
+    (equidistant rows are excluded from the comparison — pandas' own
+    tie rule is asserted separately above as OUR backward contract)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 120, 80
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l).astype("int64"),
+            "t": rng.integers(0, 10_000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rpd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_r).astype("int64"),
+                "t": rng.integers(0, 10_000, n_r).astype("int64"),
+                "rv": rng.integers(0, 1_000_000, n_r).astype("int64"),
+            }
+        )
+        .drop_duplicates(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # equidistant (backward, forward) candidates: tie-rule territory
+    ties = set()
+    for _, lrow in lpd.iterrows():
+        rts = rpd.loc[rpd.k == lrow.k, "t"]
+        back = lrow.t - rts[rts <= lrow.t].max() if (rts <= lrow.t).any() else None
+        fwd = rts[rts >= lrow.t].min() - lrow.t if (rts >= lrow.t).any() else None
+        if back is not None and fwd is not None and back == fwd and back > 0:
+            ties.add(int(lrow.lid))
+    expected = pd.merge_asof(
+        lpd.sort_values(["t", "lid"]).reset_index(drop=True),
+        rpd.sort_values("t").reset_index(drop=True),
+        on="t",
+        by="k",
+        direction="nearest",
+    ).set_index("lid")["rv"]
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_ts="t",
+            right_ts="t",
+            direction="nearest",
+        ).collect()
+    }
+    checked = 0
+    for lid, rv in expected.items():
+        if lid in ties:
+            continue
+        g = got[lid]
+        if pd.isna(rv):
+            assert g is None
+        else:
+            assert g == int(rv)
+        checked += 1
+    assert checked >= 100  # the tie exclusion must not hollow the test
+
+
 def test_asof_forward_matches_pandas_merge_asof(spark):
     """Randomized cross-check against pandas.merge_asof forward mode."""
     import numpy as np
