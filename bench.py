@@ -30,6 +30,7 @@ HEADLINE = [
     "session_windows",
     "interval_join_sliding",
     "asof_join",
+    "asof_join_nearest",
     "global_table_join",
     "multires_rollup",
     "word_count",
