@@ -4956,21 +4956,13 @@ def rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.00 at sf0.01, 0.96 at sf0.1). Same recall@5 >= 0.8 contract
     against the DuckDB-verified exact ranking as every other ANN
     gate."""
-    from faust_spark.operators.similarity import (
-        cosine_topk,
-        rp_shortlist_topk,
-    )
+    from faust_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
-    proj_dim, shortlist = _rp_params(n, dim)
-    approx = rp_shortlist_topk(
-        emb, queries, k=5, proj_dim=proj_dim, shortlist=shortlist
-    )
+    approx = rp_topk_raw(spark, sf_dir)
     exact = cosine_topk(emb, queries, k=5)
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 
@@ -4992,7 +4984,7 @@ def rp_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()[0])
     proj_dim, shortlist = _rp_params(n, dim)
     return rp_shortlist_topk(
-        emb, queries, k=5, proj_dim=proj_dim, shortlist=shortlist
+        emb, queries, k=5, proj_dim=proj_dim, shortlist=shortlist, dim=dim
     )
 
 
@@ -8055,29 +8047,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #     guard, VERDICT r8 item 2 / ADVICE), AND its budgets now scale
 #     with the corpus (proj_dim ∝ log2 n, shortlist floor n/8) after
 #     the 10x-scale gate measured the fixed budgets at 0.74 recall.
-#   Positions 2-4: asof_join_forward / ivfpq_topk / ivfpq_topk_serve —
+#   Position 2: asof_join_nearest — NEW in r9 (merge_asof 'nearest'
+#     parity), zero driver evidence of any kind, so it outranks every
+#     re-verification row.
+#   Positions 3-5: asof_join_forward / ivfpq_topk / ivfpq_topk_serve —
 #     also changed late in r9 by the same 10x-gate findings (tiebreak
 #     column chain; ADC re-rank shortlist scaled max(50, n/10)).
-#     Changed-this-round outranks re-verification, so these displace
-#     the last three r4-cohort rows (multimodal_resize, multires_rollup,
-#     value_percentiles) to the window tail — they are the next
-#     rotation's first rows.
-#   Positions 5-32: the 28 queries whose newest driver-green row is
+#     Changed-this-round outranks re-verification, so these four
+#     displace the last four r4-cohort rows (multimodal_features,
+#     multimodal_resize, multires_rollup, value_percentiles) to the
+#     window tail — they are the next rotation's first rows.
+#   Positions 6-33: the 28 queries whose newest driver-green row is
 #     ROUND 3 (the documents-pipeline block pii_redact/quality_classifier/
 #     doc_chunking/bm25/boilerplate/zipf/repetition, the sampling block,
 #     five streaming rows incl. stream_stream_join/stream_window_close,
 #     grouping_sets_revenue, value_trend, ivf_assign, anomaly pair).
-#   Positions 33-50: 18 of the 21 queries whose newest driver-green
+#   Positions 34-50: 17 of the 21 queries whose newest driver-green
 #     row is ROUND 4 (the TPC-H block q2/q8/q9/q11/q13/q15/q16/q17/
 #     q19/q20/q21/q22, session_windows, hourly_histogram,
 #     null_safe_join, stream_enriched_counts, doc_fingerprint,
-#     multimodal_decode/features/frames; the displaced three lead the
-#     tail).
+#     multimodal_decode/frames; the displaced four lead the tail).
 # Every row displaced past 50 has a driver-green round >= r4 AND stays
 # covered by the per-round full local gate (tools/check.py ->
 # artifacts/check_all_r9.json, and at 10x scale
 # check_all_r9_sf01.json).  After this window completes, no registry
-# query's newest driver evidence predates r4, and only the three
+# query's newest driver evidence predates r4, and only the four
 # displaced r4 rows predate r5.  Tail order is
 # oldest-evidence-first (r5 cohort of 29, then r7's 47, then r8's 50)
 # so the next rotation is a straight prefix shift.

@@ -239,26 +239,28 @@ def asof_join(
         # the rule also covers numeric time columns.
         from pyspark.sql.types import DateType, TimestampNTZType
 
-        def _secs(col):
+        def _secs(col, dt):
             # only DIFFERENCES matter, so any monotone affine mapping to
             # seconds works: dates and NTZ timestamps (the fixture's
             # physical encoding — see catalog.normalize_event_time)
             # promote through a plain timestamp cast first (the session
             # is pinned UTC; a uniform tz shift cancels in the deltas).
-            if isinstance(
-                unioned.schema["__ts"].dataType,
-                (DateType, TimestampNTZType),
-            ):
+            # The promotion keys off EACH column's own resolved type —
+            # __ts carries the union-widened left/right type while the
+            # carried right timestamp keeps the right side's type, and a
+            # timestamp-left/date-right mix would otherwise hit the
+            # invalid date→double cast on only one operand.
+            if isinstance(dt, (DateType, TimestampNTZType)):
                 col = col.cast("timestamp")
             return col.cast("double")
 
+        ts_dt = unioned.schema["__ts"].dataType
+        r_dt = right.schema[right_ts].dataType
+        lsec = _secs(F.col("__ts"), ts_dt)
         bts, fts = F.col(f"__b_{right_ts}"), F.col(f"__w_{right_ts}")
         use_backward = bts.isNotNull() & (
             fts.isNull()
-            | (
-                (_secs(F.col("__ts")) - _secs(bts))
-                <= (_secs(fts) - _secs(F.col("__ts")))
-            )
+            | ((lsec - _secs(bts, r_dt)) <= (_secs(fts, r_dt) - lsec))
         )
         filled = filled.select(
             "*",

@@ -352,22 +352,32 @@ def rp_shortlist_topk(
             S[~np.isfinite(S)] = -np.inf  # zero-norm guard (ADVICE r8)
             m = min(keep, S.shape[0])
             if m < S.shape[0]:
-                idx = np.argpartition(-S, m - 1, axis=0)[:m]
+                # threshold = the m-th largest psim per query; keep ALL
+                # rows >= it — a bare argpartition[:m] would drop
+                # psim-TIED rows at the boundary arbitrarily, making
+                # shortlist membership depend on batch/partition layout
+                # (exact-duplicate embeddings tie exactly). Including
+                # every tie keeps the kept set a deterministic function
+                # of values alone; the global window below then breaks
+                # ties by (psim desc, nid asc) exactly as the pre-r9
+                # full-product window did. Kept rows per batch are
+                # m + (ties at the threshold), still shortlist-bounded
+                # in expectation.
+                part = np.partition(-S, m - 1, axis=0)
+                thresh = -part[m - 1]  # (nq,)
+                mask = S >= thresh[None, :]
             else:
-                idx = np.broadcast_to(
-                    np.arange(m)[:, None], (m, S.shape[1])
-                )
-            ids = pdf[id_col].to_numpy()
-            sims = np.take_along_axis(S, idx, axis=0)  # (m, nq)
-            fin = np.isfinite(sims)
-            if not fin.any():
+                mask = np.ones_like(S, dtype=bool)
+            mask &= np.isfinite(S)
+            if not mask.any():
                 continue
-            qrep = np.broadcast_to(qid_vals[None, :], sims.shape)
+            ids = pdf[id_col].to_numpy()
+            rix, qix = np.nonzero(mask)
             yield pd.DataFrame(
                 {
-                    "qid": qrep[fin],
-                    "nid": ids[idx[fin]],
-                    "psim": sims[fin],
+                    "qid": qid_vals[qix],
+                    "nid": ids[rix],
+                    "psim": S[rix, qix],
                 }
             )
 

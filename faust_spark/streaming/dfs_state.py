@@ -432,20 +432,32 @@ def lsh_dedup_dfs_sink(
         # ordering-contract detector (ADVICE r8): the emitted-set
         # equivalence to the batch NOT-EXISTS predicate needs ids
         # nondecreasing across batches; a violation must fail loudly,
-        # not silently diverge from the oracle. One batch-sized agg +
-        # one read of the sentinel bucket — cheap relative to the
-        # signature pass.
+        # not silently diverge from the oracle. One batch-sized agg;
+        # the sentinel lookup and the claims relation share ONE
+        # persisted read of the state files (the watermark action would
+        # otherwise scan every base/delta a second time per batch).
         lo_hi = batch_df.agg(
             F.min(F.col(id_col).cast("long")).alias("lo"),
             F.max(F.col(id_col).cast("long")).alias("hi"),
         ).first()
         batch_lo, batch_hi = lo_hi["lo"], lo_hi["hi"]
-        prev_max = lsh_id_watermark(spark, state_dir, before=batch_id)
+        paths, _, _ = _state_parts(spark, state_dir, batch_id)
+        raw = _read_state(spark, paths, _LSH_SCHEMA).persist()
+        wm = (
+            raw.filter(
+                (F.col("band") == F.lit(_LSH_IDWM_BAND))
+                & (F.col("band_sig") == F.lit(_LSH_IDWM_SIG))
+            )
+            .agg(F.min("min_id").alias("neg_max"))
+            .first()
+        )
+        prev_max = -wm["neg_max"] if wm and wm["neg_max"] is not None else None
         if (
             batch_lo is not None
             and prev_max is not None
             and batch_lo < prev_max
         ):
+            raw.unpersist()
             raise ValueError(
                 "lsh_dedup_dfs_sink: ordering contract violated — "
                 f"batch {batch_id} min {id_col}={batch_lo} is below the "
@@ -453,7 +465,11 @@ def lsh_dedup_dfs_sink(
                 "set would silently diverge from the batch NOT-EXISTS "
                 "semantics (ids must be nondecreasing across batches)"
             )
-        state = lsh_bucket_state(spark, state_dir, before=batch_id)
+        state = (
+            raw.filter(F.col("band") != F.lit(_LSH_IDWM_BAND))
+            .groupBy("band", "band_sig")
+            .agg(F.min("min_id").alias("min_id"))
+        )
         bands = lsh_bands(
             minhash_signatures(
                 batch_df, num_hashes, n, text_col=text_col, id_col=id_col
@@ -497,16 +513,23 @@ def lsh_dedup_dfs_sink(
         )
         if batch_hi is not None:
             # id-watermark sentinel rides the same delta (negated so
-            # the MIN merge yields the running MAX; see _LSH_IDWM_BAND)
+            # the MIN merge yields the running MAX; see _LSH_IDWM_BAND).
+            # Built JVM-side: a Python-list createDataFrame plans a
+            # Python-runner local scan costing ~5s PER ACTION even for
+            # one row (measured on the livecheck sentinel, r8) — at one
+            # sentinel per micro-batch that fixed cost is the
+            # difference between a 1s and a 6s batch.
             delta = delta.unionByName(
-                spark.createDataFrame(
-                    [(_LSH_IDWM_BAND, _LSH_IDWM_SIG, -int(batch_hi))],
-                    _LSH_SCHEMA,
+                spark.range(1).select(
+                    F.lit(_LSH_IDWM_BAND).cast("int").alias("band"),
+                    F.lit(_LSH_IDWM_SIG).alias("band_sig"),
+                    F.lit(-int(batch_hi)).cast("long").alias("min_id"),
                 )
             )
         delta.write.mode("overwrite").parquet(
             f"{state_dir}/delta_v{batch_id}"
         )
+        raw.unpersist()
 
     return wrapped
 

@@ -136,6 +136,30 @@ def test_asof_nearest_basic_and_tie_backward(spark):
     }
 
 
+def test_asof_nearest_mixed_timestamp_left_date_right(spark):
+    """nearest must promote EACH time column by its OWN type: a
+    timestamp left with a DATE right widens __ts to timestamp while the
+    carried right ts stays DateType, whose direct cast to double is
+    invalid — the distance math promotes per-column."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("k", ts(50), "L")], ["k", "t", "lv"]
+    )  # ts(50) = 2024-01-01 00:00:50
+    right = spark.createDataFrame(
+        [
+            ("k", dt.date(2023, 12, 30), "Rback"),
+            ("k", dt.date(2024, 1, 2), "Rfwd"),
+        ],
+        ["k", "d", "rv"],
+    )
+    out = asof_join(
+        left, right, "k", "t", "d", direction="nearest"
+    ).collect()
+    # backward candidate is ~2 days away, forward ~1 day → forward wins
+    assert out[0].rv == "Rfwd"
+
+
 def test_asof_nearest_matches_pandas_merge_asof(spark):
     """Randomized cross-check against pandas.merge_asof nearest mode
     (equidistant rows are excluded from the comparison — pandas' own

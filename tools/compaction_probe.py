@@ -72,8 +72,12 @@ def drive(label: str, mk_wrapped, mk_batch, n_batches: int) -> dict:
         "batches": n_batches,
         "plain_batch_mean_s": round(sum(plain) / len(plain), 3),
         "plain_batch_max_s": round(max(plain), 3),
-        "compact_batch_mean_s": round(
-            sum(compacting) / len(compacting), 3
+        # None when --batches never crosses a COMPACT_EVERY boundary —
+        # dividing would throw away the whole measured run
+        "compact_batch_mean_s": (
+            round(sum(compacting) / len(compacting), 3)
+            if compacting
+            else None
         ),
         "compact_batches": len(compacting),
         "max_version_fan_in": max_fan_in,
