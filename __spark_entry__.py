@@ -3707,30 +3707,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the 32-bit md5-vote SimHash relation, shared by the fingerprint gate
-# and the Hamming near-pair gate (one definition, two oracles in sync)
-_SIMHASH_FP_CTE = """
+# the md5-vote SimHash relation, shared by the fingerprint gate (fixed
+# 32-bit family) and the Hamming near-pair gate (corpus-scaled width —
+# the oracle computes ``bits`` from COUNT(*) with the SAME rule as
+# faust_spark.operators.dedup.simhash_params, so the check verifies the
+# fingerprints AT the scaled width at any sf the driver picks, not just
+# the width that happened to be live when the SQL was written). Bit 63
+# carries the two's-complement weight -(2^63), matching the Spark side's
+# negative-bigint representation for 64-bit fingerprints; the running
+# SUM stays in bigint range (worst case (2^63 - 1) - 2^63 = -1).
+def _simhash_cte(bits_sql: str) -> str:
+    return f"""
+    params AS (SELECT {bits_sql} AS bits),
     w AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
       FROM documents
     ),
     wh AS (SELECT doc_id, md5(word) AS h FROM w),
-    bits AS (
+    bits_k AS (
       SELECT doc_id, k,
              ((instr('0123456789abcdef', substr(h, (k // 4) + 1, 1)) - 1)
               // CAST(pow(2, 3 - (k % 4)) AS INT)) % 2 AS bit
-      FROM wh, unnest(generate_series(0, 31)) t(k)
+      FROM wh, (SELECT unnest(generate_series(0,
+                (SELECT bits FROM params) - 1)) AS k) t
     ),
     votes AS (
-      SELECT doc_id, k, SUM(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2
+      SELECT doc_id, k, SUM(bit * 2 - 1) AS v FROM bits_k GROUP BY 1, 2
     ),
     fp AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN v > 0 THEN pow(2, k) ELSE 0 END) AS BIGINT)
-               AS simhash
+             CAST(SUM(CASE WHEN v <= 0 THEN 0
+                           WHEN k = 63 THEN -9223372036854775807 - 1
+                           ELSE CAST(pow(2, k) AS BIGINT) END)
+                  AS BIGINT) AS simhash
       FROM votes GROUP BY 1
     )
 """
+
+
+_SIMHASH_FP_CTE = _simhash_cte("32")
+
+# simhash_params(n, max_hamming=3) in SQL: chunk width
+# w = clamp(ceil(log2(n / 4)), 8, 16), bits = 4 * w — identical double
+# math (log2/ceil) to the Python rule, so the two sides can't drift
+_SIMHASH_SCALED_BITS_SQL = """(
+      SELECT 4 * LEAST(16, GREATEST(8,
+               CAST(ceil(log2(GREATEST(COUNT(*), 2) / 4.0)) AS INT)))
+      FROM documents
+    )"""
 
 
 @_q(
@@ -3752,7 +3776,7 @@ def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "simhash_near_pairs",
     f"""
-    WITH {_SIMHASH_FP_CTE}
+    WITH {_simhash_cte(_SIMHASH_SCALED_BITS_SQL)}
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -3762,11 +3786,17 @@ def simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming near-pairs (operators/dedup.py simhash_near_pairs):
     every pair at Hamming distance <= 3, EXACT via the Manku/Jain/Sarma
-    pigeonhole chunk join — 4 disjoint 8-bit chunks, a <= 3-bit
+    pigeonhole chunk join — max_hamming + 1 disjoint chunks, a <= 3-bit
     difference must leave one chunk untouched, so the equi-join on
     (chunk, value) is a lossless candidate generator and bit_count(xor)
-    verifies. The oracle recomputes the all-pairs answer; matching it
-    proves the banding dropped nothing. faust has no near-dup surface at
+    verifies. The fingerprint width is the CORPUS-SCALED rule
+    simhash_params(n) (r10, VERDICT r9 item 1): chunk width
+    ceil(log2(n/4)) clamped to [8, 16] keeps expected bucket population
+    ~4 rows, so candidate volume stays ~linear instead of n²/2^(w+1) at
+    fixed w — the same rules-not-constants discipline as _rp_params.
+    The oracle recomputes the all-pairs answer at the SAME width (bits
+    from COUNT(*) in SQL); matching it proves the banding dropped
+    nothing at the width actually used. faust has no near-dup surface at
     all (its tables are exact-key only) — this is the classic web-scale
     complement to minhash_lsh_pairs for bit-fingerprint dedup."""
     from faust_spark.operators.dedup import simhash_near_pairs

@@ -21,6 +21,8 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -693,6 +695,12 @@ def simhash(
     rows; at corpus scale that's the difference between shuffling ~N·32
     rows and ~N words with map-side combine.
     """
+    if not 0 < bits <= 64:
+        # past 64 every k >= 63 would reuse the -(2^63) two's-complement
+        # weight (silently corrupting fingerprints) and the running sum
+        # could overflow long; the fingerprint rides a single bigint, so
+        # fail loudly here instead
+        raise ValueError(f"bits must be in (0, 64]; got {bits}")
     words = F.array_distinct(F.split(F.col(text_col), " "))
     w = df.select(F.col(id_col), F.explode(words).alias("word")).withColumn(
         "h", F.md5(F.col("word"))
@@ -726,10 +734,39 @@ def simhash(
     )
 
 
+def simhash_params(n: int, max_hamming: int = 3) -> int:
+    """Fingerprint width for :func:`simhash_near_pairs`, scaled with the
+    corpus — the same discipline as the RP/IVF-PQ budgets (r9 commit
+    0c9f128): parameters that must grow with the data are RULES, not
+    constants.
+
+    The pigeonhole banding splits ``bits`` into ``max_hamming + 1``
+    chunks of width ``w = bits / (max_hamming + 1)``; candidate volume
+    per chunk is ``Σ_buckets C(n_b, 2) ≈ n² / 2^(w+1)`` under balanced
+    buckets, so holding ``w`` fixed makes candidates grow QUADRATICALLY
+    in the corpus. Targeting an expected bucket population of ~4 rows
+    gives ``w = ceil(log2(n / 4))``, floored at 8 (the 32-bit family —
+    below ~4k docs the join is already tiny) and capped by the bigint
+    fingerprint at ``64 // (max_hamming + 1)``. The r9 4× probe with
+    the fixed 32-bit default measured 11.19× time on 8.59× rows; the
+    hot-chunk probe showed 64-bit fingerprints cut a planted hot
+    bucket's candidates ~6× — this rule is that observation made
+    automatic. The DuckDB oracle implements the identical rule in SQL
+    (bits from COUNT(*)), so correctness is checked AT the scaled
+    width, not beside it.
+    """
+    n_chunks = max_hamming + 1
+    w = min(64 // n_chunks, max(8, math.ceil(math.log2(max(n, 2) / 4.0))))
+    # the chunk-width rule is about banding balance; the FINGERPRINT
+    # never narrows below the 32-bit family (a small radius would
+    # otherwise shrink it to n_chunks * 8 bits and collapse precision)
+    return max(32, n_chunks * w)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -750,12 +787,20 @@ def simhash_near_pairs(
     Scale shape: fingerprints are materialized once (the self-join would
     otherwise plan the vote aggregation twice); the join key carries only
     ``(chunk, value, id, fp)`` — never the text. Candidate volume is
-    Σ_buckets C(n_b, 2); at corpus scale you grow ``bits`` (64-bit
-    fingerprints → 16-bit chunk keys at the same ``max_hamming``) so
-    chunk buckets stay balanced — the chunk width, like any LSH band
-    width, must scale with the corpus. The Hamming verification runs
-    BEFORE the pair-dedup shuffle, so only true near-pairs ride it.
+    Σ_buckets C(n_b, 2); ``bits`` must therefore grow with the corpus
+    (64-bit fingerprints → 16-bit chunk keys at the same ``max_hamming``)
+    so chunk buckets stay balanced — the chunk width, like any LSH band
+    width, must scale with the corpus. ``bits=None`` (the default)
+    applies :func:`simhash_params` to ``df.count()`` — one extra
+    count job, paid once, in exchange for a width that can't silently
+    go quadratic; pass an explicit ``bits`` to pin a fingerprint
+    family. The Hamming verification runs BEFORE the pair-dedup
+    shuffle, so only true near-pairs ride it.
     """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0; got {max_hamming}")
+    if bits is None:
+        bits = simhash_params(df.count(), max_hamming=max_hamming)
     if not 0 <= max_hamming < bits:
         raise ValueError(
             f"max_hamming must be in [0, bits); got {max_hamming}"
@@ -1256,6 +1301,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_mode: str = "expr",
+    max_cell_rows: int = 1 << 16,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space,
     then mark as duplicates the vectors whose within-cluster cosine to a
@@ -1290,6 +1336,11 @@ def semantic_dedup(
     may route to the second-best cell, so its output can diverge from
     the exact-assignment oracle — use it only where approximate cell
     routing is acceptable.
+
+    ``max_cell_rows`` is the arrow path's per-cell population guard
+    (see :func:`_semantic_dup_cells`) — exposed here so a legitimately
+    large cell has a public escape hatch instead of a hard fail telling
+    the caller to set a parameter they couldn't reach.
     """
     from faust_spark.operators.similarity import (
         assign_cells,
@@ -1306,7 +1357,11 @@ def semantic_dedup(
         # below (see _semantic_dup_cells' exactness discipline)
         a = assign_cells_arrow(emb, cents, vec_col=vec_col, id_col=id_col)
         return _semantic_dup_cells(
-            a, threshold, id_col=id_col, vec_col=vec_col
+            a,
+            threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_cell_rows=max_cell_rows,
         )
     elif assign_mode == "join":
         cells = assign_cells_join(emb, cents, vec_col=vec_col, id_col=id_col)

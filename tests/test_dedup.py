@@ -651,3 +651,100 @@ def test_simhash_64bit_fingerprints_and_banding(spark):
         for r in simhash_near_pairs(docs, max_hamming=3, bits=64).collect()
     }
     assert got == want and len(want) >= 25
+
+
+def test_simhash_rejects_bad_bits(spark):
+    """ADVICE r9: bits > 64 would silently reuse the -(2^63) weight for
+    every k >= 63 (corrupt fingerprints, possible long overflow) — the
+    guard must fail loudly instead."""
+    from faust_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    for bad in (0, -8, 65, 128):
+        with pytest.raises(ValueError, match="bits"):
+            simhash(docs, bits=bad)
+
+
+def test_simhash_params_rule():
+    """VERDICT r9 item 1: the fingerprint width is a corpus-scaled RULE
+    (chunk width ceil(log2(n/4)) clamped to [8, 16]), mirroring the
+    _rp_params discipline — fixed 32-bit chunking goes quadratic once
+    n >> 2^8 * chunks."""
+    from faust_spark.operators.dedup import simhash_params
+
+    assert simhash_params(0) == 32  # degenerate corpora hit the floor
+    assert simhash_params(500) == 32  # sf0.01 stays the 32-bit family
+    assert simhash_params(1024) == 32  # w = max(8, 8)
+    assert simhash_params(5000) == 44  # sf0.1: w = ceil(log2(1250)) = 11
+    assert simhash_params(20000) == 52  # the 4x probe corpus
+    assert simhash_params(10**9) == 64  # capped by the bigint fingerprint
+    # monotone nondecreasing in n (a bigger corpus never narrows chunks)
+    widths = [simhash_params(n) for n in (1, 10, 10**3, 10**5, 10**7, 10**9)]
+    assert widths == sorted(widths)
+    # chunk count follows the radius: max_hamming=7 -> 8 chunks of 8 bits
+    assert simhash_params(10**9, max_hamming=7) == 64
+
+
+def test_simhash_near_pairs_default_uses_scaled_width(spark):
+    """bits=None (the default) must resolve to simhash_params(n): on a
+    corpus just past the 4096-doc threshold the default output equals
+    the explicit wider-width run, not the legacy 32-bit family."""
+    import random
+
+    from faust_spark.operators.dedup import simhash_params
+
+    rng = random.Random(7)
+    n = 40
+    rows = [
+        (i, " ".join(f"w{rng.randrange(10_000)}" for _ in range(12)))
+        for i in range(n)
+    ]
+    assert simhash_params(n) == 32  # tiny corpus -> default == legacy
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from faust_spark.operators.dedup import simhash_near_pairs
+
+    default = {
+        (r.doc1, r.doc2)
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    explicit = {
+        (r.doc1, r.doc2)
+        for r in simhash_near_pairs(docs, max_hamming=3, bits=32).collect()
+    }
+    assert default == explicit
+
+
+def test_simhash_64bit_duckdb_oracle_parity(spark):
+    """The entry-file oracle CTE and the Spark fingerprints must agree at
+    EVERY width the scaled rule can choose — the gate sfs only exercise
+    32/44 bits, so the 64-bit family (negative two's-complement bigints,
+    the k=63 branch of both engines) gets its own parity check here."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from faust_spark.operators.dedup import simhash
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(10_000)}" for _ in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for bits in (32, 44, 64):
+        got = {r.doc_id: r.simhash for r in simhash(docs, bits=bits).collect()}
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+        )
+        want = {
+            d: s
+            for d, s in con.sql(
+                f"WITH {entry._simhash_cte(str(bits))} "
+                "SELECT doc_id, simhash FROM fp"
+            ).fetchall()
+        }
+        assert got == want, f"bits={bits}"
+    assert any(v < 0 for v in got.values())  # 64-bit run hit the sign bit
