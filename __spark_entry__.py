@@ -5010,8 +5010,18 @@ def rp_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
+    # ONE job for both stats (ADVICE r9: the old first()[0] raised a bare
+    # TypeError on an empty corpus and cost a second job per call)
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("embedding")).alias("dim"),
+    ).first()
+    n, dim = stats["n"], stats["dim"]
+    if not n or dim is None:
+        raise ValueError(
+            f"rp_topk: embeddings table at {sf_dir} is empty — cannot "
+            "derive corpus-scaled RP parameters"
+        )
     proj_dim, shortlist = _rp_params(n, dim)
     return rp_shortlist_topk(
         emb, queries, k=5, proj_dim=proj_dim, shortlist=shortlist, dim=dim
@@ -8069,93 +8079,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-9 window policy (VERDICT r8 item 1 — third consecutive rotation):
-# positions 1-50 carry the STALEST driver evidence plus the one query
-# whose physical plan changes this round.
-#   Position 1: rp_topk — its shortlist stage is restructured in r9
-#     (per-partition partial top-k before the qid exchange + zero-norm
-#     guard, VERDICT r8 item 2 / ADVICE), AND its budgets now scale
-#     with the corpus (proj_dim ∝ log2 n, shortlist floor n/8) after
-#     the 10x-scale gate measured the fixed budgets at 0.74 recall.
-#   Position 2: asof_join_nearest — NEW in r9 (merge_asof 'nearest'
-#     parity), zero driver evidence of any kind, so it outranks every
-#     re-verification row.
-#   Positions 3-5: asof_join_forward / ivfpq_topk / ivfpq_topk_serve —
-#     also changed late in r9 by the same 10x-gate findings (tiebreak
-#     column chain; ADC re-rank shortlist scaled max(50, n/10)).
-#     Changed-this-round outranks re-verification, so these four
-#     displace the last four r4-cohort rows (multimodal_features,
-#     multimodal_resize, multires_rollup, value_percentiles) to the
-#     window tail — they are the next rotation's first rows.
-#   Positions 6-33: the 28 queries whose newest driver-green row is
-#     ROUND 3 (the documents-pipeline block pii_redact/quality_classifier/
-#     doc_chunking/bm25/boilerplate/zipf/repetition, the sampling block,
-#     five streaming rows incl. stream_stream_join/stream_window_close,
-#     grouping_sets_revenue, value_trend, ivf_assign, anomaly pair).
-#   Positions 34-50: 17 of the 21 queries whose newest driver-green
-#     row is ROUND 4 (the TPC-H block q2/q8/q9/q11/q13/q15/q16/q17/
-#     q19/q20/q21/q22, session_windows, hourly_histogram,
-#     null_safe_join, stream_enriched_counts, doc_fingerprint,
-#     multimodal_decode/frames; the displaced four lead the tail).
-# Every row displaced past 50 has a driver-green round >= r4 AND stays
+# Round-10 window policy (VERDICT r9 items 1+3 — fourth consecutive
+# rotation): positions 1-50 carry changed-this-round first, then the
+# stalest driver evidence oldest-cohort-first.
+#   Positions 1-4: the queries whose code changes in r10 —
+#     simhash_near_pairs (fingerprint width is now the corpus-scaled
+#     simhash_params rule, with a matching dynamic-bits oracle; the
+#     one r9 weak-shape), stream_lsh_dedup (try/finally unpersist in
+#     the DFS sink, ADVICE r9), semantic_dedup (max_cell_rows now a
+#     public kwarg, ADVICE r9), rp_topk (single-job n/dim stats +
+#     empty-corpus guard, ADVICE r9). Changed-this-round outranks
+#     re-verification.
+#   Positions 5-8: the four rows whose newest driver evidence is
+#     ROUND 4 — multimodal_features, multimodal_resize,
+#     multires_rollup, value_percentiles (displaced from the r9 window
+#     by the late-r9-changed gates; VERDICT r9 item 3 says they lead).
+#   Positions 9-37: the full r5 cohort of 29 (validator battery, the
+#     sketch block hll/theta/kll, weighted_sample, the r4-era text/
+#     embedding blocks re-greened in r5: simhash_fp, ann_*, hybrid,
+#     hard_negatives, knn_label, substring/span dedup, zorder,
+#     bigram_logprob, q12, temperature_mix, retrieval_eval).
+#   Positions 38-50: the 13 oldest r7 rows in list order (knn_label_ivf
+#     through purchase_communities — the latter deliberately in-window
+#     while its r9 bench regression is under profile).
+# After this window completes, NO registry query's newest driver
+# evidence predates r5 (the target r9 missed by exactly the four r4
+# rows). Every row displaced past 50 has driver-green >= r7 AND stays
 # covered by the per-round full local gate (tools/check.py ->
-# artifacts/check_all_r9.json, and at 10x scale
-# check_all_r9_sf01.json).  After this window completes, no registry
-# query's newest driver evidence predates r4, and only the four
-# displaced r4 rows predate r5.  Tail order is
-# oldest-evidence-first (r5 cohort of 29, then r7's 47, then r8's 50)
-# so the next rotation is a straight prefix shift.
+# artifacts/check_all_r10.json). Tail order is oldest-evidence-first
+# (rest of r7's 45, then r8's 48, then r9's 50) so the next rotation
+# is a straight prefix shift.
 _PRIORITY: list[str] = [
+    "simhash_near_pairs",
+    "stream_lsh_dedup",
+    "semantic_dedup",
     "rp_topk",
-    "asof_join_nearest",
-    "asof_join_forward",
-    "ivfpq_topk",
-    "ivfpq_topk_serve",
-    "pii_redact",
-    "quality_classifier",
-    "multimodal_decode",
-    "multimodal_frames",
-    "stratified_sample",
-    "sample_mixture_weights",
-    "pipeline_filter_dedup",
-    "repetition_stats",
-    "ngram_contamination",
-    "stream_session_windows",
-    "ivf_assign",
-    "split_assign",
-    "shard_shuffle",
-    "doc_chunking",
-    "distinctive_terms",
-    "bm25_search",
-    "boilerplate_chunks",
-    "grouping_sets_revenue",
-    "stream_left_outer_join",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_window_close",
-    "value_trend",
-    "remove_boilerplate",
-    "zipf_slope",
-    "user_anomaly",
-    "stream_anomaly",
-    "approx_percentiles",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q17_small_quantity",
-    "q19_bracket_revenue",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_excess_shippers",
-    "q21_waiting_supplier",
-    "stream_enriched_counts",
-    "hourly_histogram",
-    "null_safe_join",
-    "session_windows",
-    "doc_fingerprint",
     "multimodal_features",
     "multimodal_resize",
     "multires_rollup",
@@ -8274,14 +8232,60 @@ _PRIORITY: list[str] = [
     "funnel_conversion",
     "cohort_retention",
     "stream_blocklist_filter",
-    "simhash_near_pairs",
-    "stream_lsh_dedup",
     "stream_livecheck_audit",
     "ivf_topk",
     "pq_ann_topk",
     "ivf_topk_serve",
     "hard_negatives_ivf",
-    "semantic_dedup",
+    "asof_join_nearest",
+    "asof_join_forward",
+    "ivfpq_topk",
+    "ivfpq_topk_serve",
+    "pii_redact",
+    "quality_classifier",
+    "multimodal_decode",
+    "multimodal_frames",
+    "stratified_sample",
+    "sample_mixture_weights",
+    "pipeline_filter_dedup",
+    "repetition_stats",
+    "ngram_contamination",
+    "stream_session_windows",
+    "ivf_assign",
+    "split_assign",
+    "shard_shuffle",
+    "doc_chunking",
+    "distinctive_terms",
+    "bm25_search",
+    "boilerplate_chunks",
+    "grouping_sets_revenue",
+    "stream_left_outer_join",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_window_close",
+    "value_trend",
+    "remove_boilerplate",
+    "zipf_slope",
+    "user_anomaly",
+    "stream_anomaly",
+    "approx_percentiles",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "stream_enriched_counts",
+    "hourly_histogram",
+    "null_safe_join",
+    "session_windows",
+    "doc_fingerprint",
 ]
 
 

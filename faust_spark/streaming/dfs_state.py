@@ -443,93 +443,102 @@ def lsh_dedup_dfs_sink(
         batch_lo, batch_hi = lo_hi["lo"], lo_hi["hi"]
         paths, _, _ = _state_parts(spark, state_dir, batch_id)
         raw = _read_state(spark, paths, _LSH_SCHEMA).persist()
-        wm = (
-            raw.filter(
-                (F.col("band") == F.lit(_LSH_IDWM_BAND))
-                & (F.col("band_sig") == F.lit(_LSH_IDWM_SIG))
+        # try/finally (ADVICE r9): a raise from sink() or any
+        # intermediate action must not leak the cached state relation
+        # into the retried micro-batch — the executor block-manager
+        # memory would otherwise accumulate one orphan per retry
+        try:
+            wm = (
+                raw.filter(
+                    (F.col("band") == F.lit(_LSH_IDWM_BAND))
+                    & (F.col("band_sig") == F.lit(_LSH_IDWM_SIG))
+                )
+                .agg(F.min("min_id").alias("neg_max"))
+                .first()
             )
-            .agg(F.min("min_id").alias("neg_max"))
-            .first()
-        )
-        prev_max = -wm["neg_max"] if wm and wm["neg_max"] is not None else None
-        if (
-            batch_lo is not None
-            and prev_max is not None
-            and batch_lo < prev_max
-        ):
-            raw.unpersist()
-            raise ValueError(
-                "lsh_dedup_dfs_sink: ordering contract violated — "
-                f"batch {batch_id} min {id_col}={batch_lo} is below the "
-                f"running max {prev_max} of earlier batches; emitted "
-                "set would silently diverge from the batch NOT-EXISTS "
-                "semantics (ids must be nondecreasing across batches)"
+            prev_max = (
+                -wm["neg_max"] if wm and wm["neg_max"] is not None else None
             )
-        state = (
-            raw.filter(F.col("band") != F.lit(_LSH_IDWM_BAND))
-            .groupBy("band", "band_sig")
-            .agg(F.min("min_id").alias("min_id"))
-        )
-        bands = lsh_bands(
-            minhash_signatures(
-                batch_df, num_hashes, n, text_col=text_col, id_col=id_col
-            ),
-            band_size,
-            id_col=id_col,
-        )
-        batch_claims = bands.groupBy("band", "band_sig").agg(
-            F.min(id_col).alias("batch_min")
-        )
-        # a band suppresses the doc iff a lower id claimed it — in the
-        # pre-batch state or inside this batch (batch_min == own id for
-        # the batch's leader, so the leader is never self-suppressed)
-        suppressed = (
-            bands.join(batch_claims, ["band", "band_sig"])
-            .join(state, ["band", "band_sig"], "left")
-            .groupBy(id_col)
-            .agg(
-                F.max(
-                    (
-                        F.coalesce(F.col("min_id"), F.col(id_col))
-                        < F.col(id_col)
-                    )
-                    | (F.col("batch_min") < F.col(id_col))
-                ).alias("__dup")
+            if (
+                batch_lo is not None
+                and prev_max is not None
+                and batch_lo < prev_max
+            ):
+                raise ValueError(
+                    "lsh_dedup_dfs_sink: ordering contract violated — "
+                    f"batch {batch_id} min {id_col}={batch_lo} is below the "
+                    f"running max {prev_max} of earlier batches; emitted "
+                    "set would silently diverge from the batch NOT-EXISTS "
+                    "semantics (ids must be nondecreasing across batches)"
+                )
+            state = (
+                raw.filter(F.col("band") != F.lit(_LSH_IDWM_BAND))
+                .groupBy("band", "band_sig")
+                .agg(F.min("min_id").alias("min_id"))
             )
-        )
-        # anti-join on the SUPPRESSED ids (not inner-join on survivors):
-        # a doc too short to produce any shingle has no band rows and
-        # must pass through, exactly like the batch operators treat it
-        fresh = batch_df.join(
-            suppressed.filter(F.col("__dup")).select(id_col),
-            id_col,
-            "left_anti",
-        )
-        # the sink sees survivors BEFORE state advances: a crash here
-        # replays the batch against the same pre-batch state
-        sink(fresh, batch_id)
-        delta = batch_claims.select(
-            "band", "band_sig", F.col("batch_min").alias("min_id")
-        )
-        if batch_hi is not None:
-            # id-watermark sentinel rides the same delta (negated so
-            # the MIN merge yields the running MAX; see _LSH_IDWM_BAND).
-            # Built JVM-side: a Python-list createDataFrame plans a
-            # Python-runner local scan costing ~5s PER ACTION even for
-            # one row (measured on the livecheck sentinel, r8) — at one
-            # sentinel per micro-batch that fixed cost is the
-            # difference between a 1s and a 6s batch.
-            delta = delta.unionByName(
-                spark.range(1).select(
-                    F.lit(_LSH_IDWM_BAND).cast("int").alias("band"),
-                    F.lit(_LSH_IDWM_SIG).alias("band_sig"),
-                    F.lit(-int(batch_hi)).cast("long").alias("min_id"),
+            bands = lsh_bands(
+                minhash_signatures(
+                    batch_df, num_hashes, n, text_col=text_col, id_col=id_col
+                ),
+                band_size,
+                id_col=id_col,
+            )
+            batch_claims = bands.groupBy("band", "band_sig").agg(
+                F.min(id_col).alias("batch_min")
+            )
+            # a band suppresses the doc iff a lower id claimed it — in the
+            # pre-batch state or inside this batch (batch_min == own id for
+            # the batch's leader, so the leader is never self-suppressed)
+            suppressed = (
+                bands.join(batch_claims, ["band", "band_sig"])
+                .join(state, ["band", "band_sig"], "left")
+                .groupBy(id_col)
+                .agg(
+                    F.max(
+                        (
+                            F.coalesce(F.col("min_id"), F.col(id_col))
+                            < F.col(id_col)
+                        )
+                        | (F.col("batch_min") < F.col(id_col))
+                    ).alias("__dup")
                 )
             )
-        delta.write.mode("overwrite").parquet(
-            f"{state_dir}/delta_v{batch_id}"
-        )
-        raw.unpersist()
+            # anti-join on the SUPPRESSED ids (not inner-join on
+            # survivors): a doc too short to produce any shingle has no
+            # band rows and must pass through, exactly like the batch
+            # operators treat it
+            fresh = batch_df.join(
+                suppressed.filter(F.col("__dup")).select(id_col),
+                id_col,
+                "left_anti",
+            )
+            # the sink sees survivors BEFORE state advances: a crash here
+            # replays the batch against the same pre-batch state
+            sink(fresh, batch_id)
+            delta = batch_claims.select(
+                "band", "band_sig", F.col("batch_min").alias("min_id")
+            )
+            if batch_hi is not None:
+                # id-watermark sentinel rides the same delta (negated so
+                # the MIN merge yields the running MAX; see
+                # _LSH_IDWM_BAND). Built JVM-side: a Python-list
+                # createDataFrame plans a Python-runner local scan
+                # costing ~5s PER ACTION even for one row (measured on
+                # the livecheck sentinel, r8) — at one sentinel per
+                # micro-batch that fixed cost is the difference between
+                # a 1s and a 6s batch.
+                delta = delta.unionByName(
+                    spark.range(1).select(
+                        F.lit(_LSH_IDWM_BAND).cast("int").alias("band"),
+                        F.lit(_LSH_IDWM_SIG).alias("band_sig"),
+                        F.lit(-int(batch_hi)).cast("long").alias("min_id"),
+                    )
+                )
+            delta.write.mode("overwrite").parquet(
+                f"{state_dir}/delta_v{batch_id}"
+            )
+        finally:
+            raw.unpersist()
 
     return wrapped
 
