@@ -332,9 +332,12 @@ def label_propagation(
     with ZERO tolerance like :mod:`faust_spark.operators.bpe`.
 
     Per iteration: one neighbor-keyed hash join (|2E| vote rows
-    pre-combine) + one (node, label)-keyed partial agg + one argmax
-    window over nodes' candidate labels (bounded by distinct neighbor
-    labels, not degree).  Iterates materialize per round.
+    pre-combine) + one (node, label)-keyed partial agg + one argmax as
+    ``min(struct(-votes, label))`` per node (r10: replaces the
+    row_number window — same (votes DESC, label ASC) winner, but a
+    partially-aggregable MIN gets map-side combine and skips the
+    window's per-partition sort buffer; values verified identical
+    against the oracle trajectory). Iterates materialize per round.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -350,9 +353,6 @@ def label_propagation(
         und.select(F.col("src").alias("node")).distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    wn = W.partitionBy("node").orderBy(
-        F.desc("votes"), F.col("label")
-    )
     for _ in range(iters):
         nbr_votes = und.join(
             labels.select(
@@ -365,10 +365,20 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
+        # struct MIN on (-votes, label) == (votes DESC, label ASC)
+        # argmax; unlike a row_number window it pre-aggregates
+        # map-side and never sort-buffers a node's candidate list
         labels = materialize(
-            counted.withColumn("rn", F.row_number().over(wn))
-            .filter(F.col("rn") == 1)
-            .select("node", "label"),
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label")),
             eager=True,
             iterative=True,
         )
