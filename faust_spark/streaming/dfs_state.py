@@ -152,12 +152,55 @@ def _read_state(
 
 
 def bloom_state_words(
-    spark: SparkSession, state_dir: str, before: int = 1 << 62
+    spark: SparkSession,
+    state_dir: str,
+    before: int = 1 << 62,
+    shards: int = 1,
 ) -> DataFrame:
     """The merged (w, bits) Bloom relation from versions < ``before`` —
-    base and deltas OR-fold per word (shard-local merge)."""
-    paths, _, _ = _state_parts(spark, state_dir, before)
-    raw = _read_state(spark, paths, "w long, bits long")
+    base and deltas OR-fold per word (shard-local merge).
+
+    ``shards`` must match the value the sink was created with (the
+    layout is fixed for the lifetime of a state dir): sharded state
+    keeps one base per key-range shard (``base_s{s}_v*``) plus
+    hive-partitioned deltas, so each shard's read set is its own base
+    and only the delta slices newer than it."""
+    if shards <= 1:
+        paths, _, _ = _state_parts(spark, state_dir, before)
+        raw = _read_state(spark, paths, "w long, bits long")
+        return raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+    rels = []
+    bases = {}
+    for s in range(shards):
+        vs = [
+            v
+            for v in _list_versions(spark, state_dir, f"base_s{s}")
+            if v < before
+        ]
+        bases[s] = max(vs) if vs else None
+        if bases[s] is not None:
+            rels.append(
+                spark.read.schema("w long, bits long").parquet(
+                    f"{state_dir}/base_s{s}_v{bases[s]}"
+                )
+            )
+    for v in _list_versions(spark, state_dir, "delta"):
+        if v >= before:
+            continue
+        live = [s for s in range(shards) if bases[s] is None or v > bases[s]]
+        if not live:
+            continue
+        d = spark.read.schema("w long, bits long, shard int").parquet(
+            f"{state_dir}/delta_v{v}"
+        )
+        if len(live) < shards:
+            d = d.filter(F.col("shard").isin(live))
+        rels.append(d.select("w", "bits"))
+    if not rels:
+        return spark.createDataFrame([], "w long, bits long")
+    raw = rels[0]
+    for r in rels[1:]:
+        raw = raw.unionByName(r)
     return raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
 
 
@@ -168,6 +211,7 @@ def bloom_dedup_dfs_sink(
     m_bits: int = 1 << 24,
     k_hashes: int = 4,
     compact_every: int = 8,
+    shards: int = 1,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` wrapper: ever-seen Bloom screen with DFS-sharded
     state (the scale path of ``bloom_dedup.bloom_dedup_batch_sink`` —
@@ -178,14 +222,39 @@ def bloom_dedup_dfs_sink(
     a hash join of the batch's k·|keys| bit positions against the
     word relation — distributed end to end; nothing about the state
     touches the driver beyond file listings.
+
+    ``shards > 1`` is DEPLOYMENT.md's 100× compaction knob made real:
+    the word space splits into ``shards`` contiguous ranges, deltas
+    are hive-partitioned by range, each range keeps its OWN base, and
+    the ranges compact on a STAGGERED schedule (shard ``s`` folds at
+    batches ``≡ s·compact_every/shards (mod compact_every)``). Total
+    rewrite work per cycle is unchanged (each shard rewrites once),
+    but the worst-case single-batch compaction stall drops from one
+    O(state) rewrite to O(state/shards) — the latency spike a
+    micro-batch pipeline actually cares about. ``shards`` is part of
+    the state layout and must not change over a state dir's lifetime.
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    if shards < 1 or shards > compact_every:
+        # more shards than compaction slots would leave ranges that
+        # NEVER compact (offsets collide past compact_every)
+        raise ValueError(
+            f"shards must be in [1, compact_every]; got {shards}"
+        )
+    n_words = m_bits // 64
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _compact_bloom(spark, state_dir, batch_id, compact_every)
-        state = bloom_state_words(spark, state_dir, before=batch_id)
+        if shards > 1:
+            _compact_bloom_sharded(
+                spark, state_dir, batch_id, compact_every, shards
+            )
+        else:
+            _compact_bloom(spark, state_dir, batch_id, compact_every)
+        state = bloom_state_words(
+            spark, state_dir, before=batch_id, shards=shards
+        )
         keys = batch_df.dropDuplicates([key_col])
         # k positions per key; a key is "might contain" iff EVERY
         # position's word has the bit set in the pre-batch state
@@ -229,9 +298,21 @@ def bloom_dedup_dfs_sink(
         # the sink sees survivors BEFORE state advances: a crash here
         # replays the batch against the same pre-batch state
         sink(fresh, batch_id)
-        _bloom_words(keys, key_col, m_bits, k_hashes).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/delta_v{batch_id}")
+        words = _bloom_words(keys, key_col, m_bits, k_hashes)
+        if shards > 1:
+            # contiguous key-range shard of the word space; the range
+            # (not hash) split keeps each shard's base a contiguous
+            # word interval, so min/max stats prune cross-shard reads
+            words.withColumn(
+                "shard",
+                F.floor(F.col("w") * shards / n_words).cast("int"),
+            ).write.partitionBy("shard").mode("overwrite").parquet(
+                f"{state_dir}/delta_v{batch_id}"
+            )
+        else:
+            words.write.mode("overwrite").parquet(
+                f"{state_dir}/delta_v{batch_id}"
+            )
 
     return wrapped
 
@@ -276,6 +357,96 @@ def _compact_bloom(
     )
     merged.write.mode("overwrite").parquet(f"{state_dir}/base_v{target}")
     _prune_superseded(spark, state_dir, target)
+
+
+def _compact_bloom_sharded(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    compact_every: int,
+    shards: int,
+) -> None:
+    """Staggered per-shard fold: shard ``s`` compacts at batches
+    ``batch_id % compact_every == s * compact_every // shards``, so
+    each compaction event rewrites only its O(state/shards) range —
+    the stall amortization DEPLOYMENT.md's 100×-knob paragraph names.
+    Same crash discipline as the unsharded fold: the new shard base
+    commits (``_SUCCESS``) before anything is pruned, and a delta dir
+    dies only once EVERY shard's base has passed it."""
+    if compact_every <= 0 or batch_id == 0:
+        return
+    s = next(
+        (
+            s
+            for s in range(shards)
+            if batch_id % compact_every == (s * compact_every) // shards
+        ),
+        None,
+    )
+    if s is None:
+        return
+    fs, _, jvm = _fs(spark, state_dir)
+    bases = [
+        v for v in _list_versions(spark, state_dir, f"base_s{s}") if v < batch_id
+    ]
+    base = max(bases) if bases else None
+    deltas = [
+        v
+        for v in _list_versions(spark, state_dir, "delta")
+        if v < batch_id and (base is None or v > base)
+    ]
+    if not deltas:
+        _prune_sharded(spark, state_dir, shards)
+        return
+    rels = []
+    if base is not None:
+        rels.append(
+            spark.read.schema("w long, bits long").parquet(
+                f"{state_dir}/base_s{s}_v{base}"
+            )
+        )
+    for v in deltas:
+        slice_path = f"{state_dir}/delta_v{v}/shard={s}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(slice_path)):
+            rels.append(
+                spark.read.schema("w long, bits long").parquet(slice_path)
+            )
+    target = max(deltas)
+    if not rels:
+        # no rows ever landed in this range; an empty base still
+        # advances the shard's watermark so deltas can be pruned
+        merged = spark.createDataFrame([], "w long, bits long")
+    else:
+        merged = rels[0]
+        for r in rels[1:]:
+            merged = merged.unionByName(r)
+        merged = merged.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir}/base_s{s}_v{target}"
+    )
+    _prune_sharded(spark, state_dir, shards)
+
+
+def _prune_sharded(
+    spark: SparkSession, state_dir: str, shards: int
+) -> None:
+    """Reclaim dirs no sharded reader can need: per shard, bases older
+    than its newest; delta dirs every shard's newest base has passed.
+    (A shard with NO base yet pins every delta — correct, since its
+    range still reads them all.)"""
+    newest = {}
+    for s in range(shards):
+        vs = _list_versions(spark, state_dir, f"base_s{s}")
+        newest[s] = max(vs) if vs else None
+        for v in vs:
+            if v < newest[s]:
+                _rm(spark, f"{state_dir}/base_s{s}_v{v}")
+    if any(v is None for v in newest.values()):
+        return
+    floor = min(newest.values())
+    for v in _list_versions(spark, state_dir, "delta"):
+        if v <= floor:
+            _rm(spark, f"{state_dir}/delta_v{v}")
 
 
 # ---------------------------------------------------------------------

@@ -97,8 +97,18 @@ class Table:
         )
 
     @staticmethod
-    def as_ansitable(result: DataFrame, n: int = 20) -> None:
-        """Render a table result for terminals (reference ``as_ansitable``)."""
+    def as_ansitable(
+        result: DataFrame, n: int = 20, sort: bool = True
+    ) -> None:
+        """Render a table result for terminals (reference
+        ``Table.as_ansitable`` → ``dict_as_ansitable``,
+        faust/utils/terminal/tables.py:77-95, whose ``sort`` orders rows
+        by the key — itemgetter(0)). ``sort=True`` orders by the first
+        column so the render is deterministic across partitionings and
+        runs; without it ``show()`` displays whatever partition order
+        the last shuffle produced."""
+        if sort and result.columns:
+            result = result.orderBy(result.columns[0])
         result.show(n, truncate=False)
 
     def relative_to_now(self, stream: Stream) -> tuple["Table", Stream]:

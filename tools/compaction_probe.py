@@ -44,16 +44,24 @@ COMPACT_EVERY = 8
 
 
 def _fan_in(state_dir: str) -> int:
-    """Version files currently contributing to a read (bases + deltas)."""
-    return len(glob.glob(os.path.join(state_dir, "base_v*"))) + len(
+    """Version dirs currently contributing to a read (bases + deltas;
+    ``base*`` also matches the sharded layout's per-shard bases)."""
+    return len(glob.glob(os.path.join(state_dir, "base*_v*"))) + len(
         glob.glob(os.path.join(state_dir, "delta_v*"))
     )
 
 
-def drive(label: str, mk_wrapped, mk_batch, n_batches: int) -> dict:
+def drive(
+    label: str, mk_wrapped, mk_batch, n_batches: int, shards: int = 1
+) -> dict:
     work = tempfile.mkdtemp(prefix=f"compactprobe_{label}_")
     state = os.path.join(work, "state")
     wrapped = mk_wrapped(state)
+    # sharded sinks compact on a STAGGERED schedule: shard s folds at
+    # batches ≡ s*COMPACT_EVERY//shards (mod COMPACT_EVERY)
+    offsets = {
+        (s * COMPACT_EVERY) // shards for s in range(shards)
+    }
     plain, compacting = [], []
     max_fan_in = 0
     for bid in range(n_batches):
@@ -61,7 +69,7 @@ def drive(label: str, mk_wrapped, mk_batch, n_batches: int) -> dict:
         t0 = time.time()
         wrapped(mk_batch(bid), bid)
         dt = time.time() - t0
-        is_compacting = bid != 0 and bid % COMPACT_EVERY == 0
+        is_compacting = bid != 0 and bid % COMPACT_EVERY in offsets
         (compacting if is_compacting else plain).append(dt)
     state_files_mb = sum(
         os.path.getsize(p)
@@ -78,6 +86,9 @@ def drive(label: str, mk_wrapped, mk_batch, n_batches: int) -> dict:
             round(sum(compacting) / len(compacting), 3)
             if compacting
             else None
+        ),
+        "compact_batch_max_s": (
+            round(max(compacting), 3) if compacting else None
         ),
         "compact_batches": len(compacting),
         "max_version_fan_in": max_fan_in,
@@ -124,6 +135,22 @@ def main() -> int:
                 ),
                 bloom_batch,
                 args.batches,
+            )
+        )
+        # r10: key-range-sharded compaction (shards=4) on the same
+        # workload — per-event rewrite is O(state/shards); compare
+        # compact_batch_* against the unsharded row above. The
+        # compact-batch MEAN covers 4x as many (smaller) events, so
+        # the stall metric is compact_batch_max vs the unsharded max.
+        rows.append(
+            drive(
+                f"bloom_{scale}_sharded4",
+                lambda s, m=m_bits: bloom_dedup_dfs_sink(
+                    null_sink, "k", s, m_bits=m, shards=4
+                ),
+                bloom_batch,
+                args.batches,
+                shards=4,
             )
         )
 
