@@ -168,39 +168,10 @@ def bloom_state_words(
     if shards <= 1:
         paths, _, _ = _state_parts(spark, state_dir, before)
         raw = _read_state(spark, paths, "w long, bits long")
-        return raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
-    rels = []
-    bases = {}
-    for s in range(shards):
-        vs = [
-            v
-            for v in _list_versions(spark, state_dir, f"base_s{s}")
-            if v < before
-        ]
-        bases[s] = max(vs) if vs else None
-        if bases[s] is not None:
-            rels.append(
-                spark.read.schema("w long, bits long").parquet(
-                    f"{state_dir}/base_s{s}_v{bases[s]}"
-                )
-            )
-    for v in _list_versions(spark, state_dir, "delta"):
-        if v >= before:
-            continue
-        live = [s for s in range(shards) if bases[s] is None or v > bases[s]]
-        if not live:
-            continue
-        d = spark.read.schema("w long, bits long, shard int").parquet(
-            f"{state_dir}/delta_v{v}"
+    else:
+        raw = _sharded_raw(
+            spark, state_dir, before, shards, "w long, bits long"
         )
-        if len(live) < shards:
-            d = d.filter(F.col("shard").isin(live))
-        rels.append(d.select("w", "bits"))
-    if not rels:
-        return spark.createDataFrame([], "w long, bits long")
-    raw = rels[0]
-    for r in rels[1:]:
-        raw = raw.unionByName(r)
     return raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
 
 
@@ -247,8 +218,16 @@ def bloom_dedup_dfs_sink(
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if shards > 1:
-            _compact_bloom_sharded(
-                spark, state_dir, batch_id, compact_every, shards
+            _compact_sharded(
+                spark,
+                state_dir,
+                batch_id,
+                compact_every,
+                shards,
+                "w long, bits long",
+                lambda df: df.groupBy("w").agg(
+                    F.bit_or("bits").alias("bits")
+                ),
             )
         else:
             _compact_bloom(spark, state_dir, batch_id, compact_every)
@@ -359,20 +338,73 @@ def _compact_bloom(
     _prune_superseded(spark, state_dir, target)
 
 
-def _compact_bloom_sharded(
+def _sharded_raw(
+    spark: SparkSession,
+    state_dir: str,
+    before: int,
+    shards: int,
+    schema: str,
+) -> DataFrame:
+    """UNMERGED union of a sharded state's contributing files below
+    ``before``: every shard's newest base plus, per delta, the shard
+    slices newer than that shard's base. Callers apply their own
+    shard-local fold (bit_or / min / sum) — valid per shard because the
+    shard column is a pure function of the fold's group key."""
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    rels = []
+    bases = {}
+    for s in range(shards):
+        vs = [
+            v
+            for v in _list_versions(spark, state_dir, f"base_s{s}")
+            if v < before
+        ]
+        bases[s] = max(vs) if vs else None
+        if bases[s] is not None:
+            rels.append(
+                spark.read.schema(schema).parquet(
+                    f"{state_dir}/base_s{s}_v{bases[s]}"
+                )
+            )
+    for v in _list_versions(spark, state_dir, "delta"):
+        if v >= before:
+            continue
+        live = [s for s in range(shards) if bases[s] is None or v > bases[s]]
+        if not live:
+            continue
+        d = spark.read.schema(schema + ", shard int").parquet(
+            f"{state_dir}/delta_v{v}"
+        )
+        if len(live) < shards:
+            d = d.filter(F.col("shard").isin(live))
+        rels.append(d.select(*cols))
+    if not rels:
+        return spark.createDataFrame([], schema)
+    raw = rels[0]
+    for r in rels[1:]:
+        raw = raw.unionByName(r)
+    return raw
+
+
+def _compact_sharded(
     spark: SparkSession,
     state_dir: str,
     batch_id: int,
     compact_every: int,
     shards: int,
+    schema: str,
+    fold: Callable[[DataFrame], DataFrame],
 ) -> None:
     """Staggered per-shard fold: shard ``s`` compacts at batches
     ``batch_id % compact_every == s * compact_every // shards``, so
     each compaction event rewrites only its O(state/shards) range —
     the stall amortization DEPLOYMENT.md's 100×-knob paragraph names.
-    Same crash discipline as the unsharded fold: the new shard base
-    commits (``_SUCCESS``) before anything is pruned, and a delta dir
-    dies only once EVERY shard's base has passed it."""
+    ``fold`` is the sink's shard-local merge (bit_or for Bloom, MIN for
+    LSH claims) — correct per shard because the shard column is a pure
+    function of the merge's group key. Same crash discipline as the
+    unsharded fold: the new shard base commits (``_SUCCESS``) before
+    anything is pruned, and a delta dir dies only once EVERY shard's
+    base has passed it."""
     if compact_every <= 0 or batch_id == 0:
         return
     s = next(
@@ -401,26 +433,22 @@ def _compact_bloom_sharded(
     rels = []
     if base is not None:
         rels.append(
-            spark.read.schema("w long, bits long").parquet(
-                f"{state_dir}/base_s{s}_v{base}"
-            )
+            spark.read.schema(schema).parquet(f"{state_dir}/base_s{s}_v{base}")
         )
     for v in deltas:
         slice_path = f"{state_dir}/delta_v{v}/shard={s}"
         if fs.exists(jvm.org.apache.hadoop.fs.Path(slice_path)):
-            rels.append(
-                spark.read.schema("w long, bits long").parquet(slice_path)
-            )
+            rels.append(spark.read.schema(schema).parquet(slice_path))
     target = max(deltas)
     if not rels:
         # no rows ever landed in this range; an empty base still
         # advances the shard's watermark so deltas can be pruned
-        merged = spark.createDataFrame([], "w long, bits long")
+        merged = spark.createDataFrame([], schema)
     else:
         merged = rels[0]
         for r in rels[1:]:
             merged = merged.unionByName(r)
-        merged = merged.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+        merged = fold(merged)
     merged.write.mode("overwrite").parquet(
         f"{state_dir}/base_s{s}_v{target}"
     )
@@ -524,16 +552,30 @@ _LSH_IDWM_BAND = -1
 _LSH_IDWM_SIG = "__idwm__"
 
 
+def _lsh_raw(
+    spark: SparkSession, state_dir: str, before: int, shards: int
+) -> DataFrame:
+    """Unmerged contributing LSH state rows below ``before``, either
+    layout."""
+    if shards <= 1:
+        paths, _, _ = _state_parts(spark, state_dir, before)
+        return _read_state(spark, paths, _LSH_SCHEMA)
+    return _sharded_raw(spark, state_dir, before, shards, _LSH_SCHEMA)
+
+
 def lsh_bucket_state(
-    spark: SparkSession, state_dir: str, before: int = 1 << 62
+    spark: SparkSession,
+    state_dir: str,
+    before: int = 1 << 62,
+    shards: int = 1,
 ) -> DataFrame:
     """The merged (band, band_sig, min_id) bucket-claim relation from
     versions < ``before`` — min is the shard-local merge (the lowest id
     ever seen in a bucket is order- and boundary-independent). The
     id-watermark sentinel (see ``_LSH_IDWM_BAND``) is filtered out:
-    callers see document claims only."""
-    paths, _, _ = _state_parts(spark, state_dir, before)
-    raw = _read_state(spark, paths, _LSH_SCHEMA)
+    callers see document claims only. ``shards`` must match the sink's
+    (the layout is fixed for a state dir's lifetime)."""
+    raw = _lsh_raw(spark, state_dir, before, shards)
     return (
         raw.filter(F.col("band") != F.lit(_LSH_IDWM_BAND))
         .groupBy("band", "band_sig")
@@ -542,13 +584,15 @@ def lsh_bucket_state(
 
 
 def lsh_id_watermark(
-    spark: SparkSession, state_dir: str, before: int = 1 << 62
+    spark: SparkSession,
+    state_dir: str,
+    before: int = 1 << 62,
+    shards: int = 1,
 ) -> Optional[int]:
     """Highest document id any state-writing batch < ``before`` has
     seen, or None before the first delta — the cheap detector for the
     sink's nondecreasing-ids ordering contract (ADVICE r8)."""
-    paths, _, _ = _state_parts(spark, state_dir, before)
-    raw = _read_state(spark, paths, _LSH_SCHEMA)
+    raw = _lsh_raw(spark, state_dir, before, shards)
     row = (
         raw.filter(
             (F.col("band") == F.lit(_LSH_IDWM_BAND))
@@ -569,6 +613,7 @@ def lsh_dedup_dfs_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int = 8,
+    shards: int = 1,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` wrapper: streaming NEAR-duplicate suppression —
     the MinHash-LSH pendant of :func:`bloom_dedup_dfs_sink`'s exact
@@ -594,12 +639,44 @@ def lsh_dedup_dfs_sink(
     pre-batch claims; batch ``b`` reads only versions < b and rewrites
     its own delta idempotently, so at-least-once replay reproduces
     byte-identical output (same contract as the Bloom/CMS sinks).
+
+    ``shards > 1``: same staggered key-sharded compaction as
+    :func:`bloom_dedup_dfs_sink` — bucket claims hash-shard on
+    ``(band, band_sig)`` (the MIN-merge group key, so per-shard folds
+    are exact), deltas are hive-partitioned, each shard keeps its own
+    base, and the worst-case compaction stall drops to
+    O(state/shards). The id-watermark sentinel is one (band, sig) key
+    and rides whichever shard its hash lands in. ``shards`` is part of
+    the state layout and must not change over a state dir's lifetime.
     """
     from faust_spark.operators.dedup import lsh_bands, minhash_signatures
 
+    if shards < 1 or shards > compact_every:
+        raise ValueError(
+            f"shards must be in [1, compact_every]; got {shards}"
+        )
+
+    def _shard_col():
+        return F.pmod(
+            F.xxhash64(F.col("band"), F.col("band_sig")), F.lit(shards)
+        ).cast("int")
+
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _compact_lsh(spark, state_dir, batch_id, compact_every)
+        if shards > 1:
+            _compact_sharded(
+                spark,
+                state_dir,
+                batch_id,
+                compact_every,
+                shards,
+                _LSH_SCHEMA,
+                lambda df: df.groupBy("band", "band_sig").agg(
+                    F.min("min_id").alias("min_id")
+                ),
+            )
+        else:
+            _compact_lsh(spark, state_dir, batch_id, compact_every)
         # ordering-contract detector (ADVICE r8): the emitted-set
         # equivalence to the batch NOT-EXISTS predicate needs ids
         # nondecreasing across batches; a violation must fail loudly,
@@ -612,8 +689,7 @@ def lsh_dedup_dfs_sink(
             F.max(F.col(id_col).cast("long")).alias("hi"),
         ).first()
         batch_lo, batch_hi = lo_hi["lo"], lo_hi["hi"]
-        paths, _, _ = _state_parts(spark, state_dir, batch_id)
-        raw = _read_state(spark, paths, _LSH_SCHEMA).persist()
+        raw = _lsh_raw(spark, state_dir, batch_id, shards).persist()
         # try/finally (ADVICE r9): a raise from sink() or any
         # intermediate action must not leak the cached state relation
         # into the retried micro-batch — the executor block-manager
@@ -705,9 +781,14 @@ def lsh_dedup_dfs_sink(
                         F.lit(-int(batch_hi)).cast("long").alias("min_id"),
                     )
                 )
-            delta.write.mode("overwrite").parquet(
-                f"{state_dir}/delta_v{batch_id}"
-            )
+            if shards > 1:
+                delta.withColumn("shard", _shard_col()).write.partitionBy(
+                    "shard"
+                ).mode("overwrite").parquet(f"{state_dir}/delta_v{batch_id}")
+            else:
+                delta.write.mode("overwrite").parquet(
+                    f"{state_dir}/delta_v{batch_id}"
+                )
         finally:
             raw.unpersist()
 

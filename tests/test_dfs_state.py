@@ -373,3 +373,57 @@ def test_sharded_bloom_rejects_bad_shards(spark, tmp_path):
                 lambda df, b: None, "k", str(tmp_path / "x"),
                 compact_every=8, shards=bad,
             )
+
+
+def test_sharded_lsh_equals_unsharded(spark, tmp_path):
+    """shards=2 LSH: identical emitted survivors, bucket state, and id
+    watermark as the unsharded layout across staggered compactions —
+    the sentinel rides its hash shard and survives per-shard folds."""
+    from faust_spark.streaming.dfs_state import (
+        lsh_bucket_state,
+        lsh_dedup_dfs_sink,
+        lsh_id_watermark,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old barn "
+        "door while the cat sleeps in the warm afternoon sun"
+    )
+    texts = [
+        base,
+        "spark structured streaming state stores watermarks checkpoints "
+        "and exactly once sinks for large scale event pipelines",
+        "red orange yellow green blue indigo violet colors of light "
+        "bend through falling rain to paint the evening sky arc",
+        base + " extra tail words",
+    ]
+    flat_out, shard_out = [], []
+    flat = lsh_dedup_dfs_sink(
+        lambda df, b: flat_out.append((b, {r.doc_id for r in df.collect()})),
+        str(tmp_path / "flat"), compact_every=3,
+    )
+    shrd = lsh_dedup_dfs_sink(
+        lambda df, b: shard_out.append((b, {r.doc_id for r in df.collect()})),
+        str(tmp_path / "shrd"), compact_every=3, shards=2,
+    )
+    for b in range(8):  # staggered folds at 1,3,4,6,7 (shards=2, ce=3)
+        rows = [(b * 10 + i, texts[(b + i) % len(texts)]) for i in range(3)]
+        flat(_docs(spark, rows), b)
+        shrd(_docs(spark, rows), b)
+    assert flat_out == shard_out
+    fc = {(r.band, r.band_sig, r.min_id) for r in
+          lsh_bucket_state(spark, str(tmp_path / "flat")).collect()}
+    sc = {(r.band, r.band_sig, r.min_id) for r in
+          lsh_bucket_state(spark, str(tmp_path / "shrd"),
+                           shards=2).collect()}
+    assert fc == sc and fc
+    assert (
+        lsh_id_watermark(spark, str(tmp_path / "flat"))
+        == lsh_id_watermark(spark, str(tmp_path / "shrd"), shards=2)
+        == 72
+    )
+    # both shards grew bases and stale deltas were pruned
+    names = sorted(p.name for p in (tmp_path / "shrd").iterdir())
+    assert any(n.startswith("base_s0_v") for n in names)
+    assert any(n.startswith("base_s1_v") for n in names)
+    assert "delta_v0" not in names

@@ -73,7 +73,9 @@ def drive(
         (compacting if is_compacting else plain).append(dt)
     state_files_mb = sum(
         os.path.getsize(p)
-        for p in glob.glob(os.path.join(state, "*", "*.parquet"))
+        for p in glob.glob(
+            os.path.join(state, "**", "*.parquet"), recursive=True
+        )
     ) / (1 << 20)
     return {
         "label": label,
