@@ -482,14 +482,25 @@ def _prune_sharded(
 # ---------------------------------------------------------------------
 
 
+_CMS_SCHEMA = "d int, bucket bigint, cnt long"
+
+
 def cms_state_cells(
-    spark: SparkSession, state_dir: str, before: int = 1 << 62
+    spark: SparkSession,
+    state_dir: str,
+    before: int = 1 << 62,
+    shards: int = 1,
 ) -> DataFrame:
     """The merged (d, bucket, cnt) CMS relation from versions <
     ``before`` — CMS is linear, so merge is a per-cell SUM. Feed
-    directly to ``operators.sketch.cms_estimate``."""
-    paths, _, _ = _state_parts(spark, state_dir, before)
-    raw = _read_state(spark, paths, "d int, bucket bigint, cnt long")
+    directly to ``operators.sketch.cms_estimate``. ``shards`` must
+    match the sink's (the layout is fixed for a state dir's
+    lifetime)."""
+    if shards <= 1:
+        paths, _, _ = _state_parts(spark, state_dir, before)
+        raw = _read_state(spark, paths, _CMS_SCHEMA)
+    else:
+        raw = _sharded_raw(spark, state_dir, before, shards, _CMS_SCHEMA)
     return raw.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -499,20 +510,53 @@ def cms_dfs_sink(
     depth: int = 4,
     width: int = 1024,
     compact_every: int = 8,
+    shards: int = 1,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` callback accumulating a CMS as DFS-sharded
     (d, bucket, cnt) deltas (the scale path of ``cms_agg.cms_batch_sink``
     — bit-identical accumulated sketch, state off-driver; the depth
     rows are natural shards and per-cell SUM is the shard-local merge).
-    Read back with :func:`cms_state_cells`."""
+    Read back with :func:`cms_state_cells`. ``shards > 1``: same
+    staggered key-sharded compaction as the Bloom/LSH sinks — cells
+    hash-shard on the ``(d, bucket)`` SUM-merge key, so per-shard
+    folds are exact."""
     from faust_spark.operators.sketch import cms_counts
+
+    if shards < 1 or shards > compact_every:
+        raise ValueError(
+            f"shards must be in [1, compact_every]; got {shards}"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _compact_cms(spark, state_dir, batch_id, compact_every)
-        cms_counts(batch_df, key_col, depth, width).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/delta_v{batch_id}")
+        if shards > 1:
+            _compact_sharded(
+                spark,
+                state_dir,
+                batch_id,
+                compact_every,
+                shards,
+                _CMS_SCHEMA,
+                lambda df: df.groupBy("d", "bucket").agg(
+                    F.sum("cnt").alias("cnt")
+                ),
+            )
+        else:
+            _compact_cms(spark, state_dir, batch_id, compact_every)
+        counts = cms_counts(batch_df, key_col, depth, width)
+        if shards > 1:
+            counts.withColumn(
+                "shard",
+                F.pmod(
+                    F.xxhash64(F.col("d"), F.col("bucket")), F.lit(shards)
+                ).cast("int"),
+            ).write.partitionBy("shard").mode("overwrite").parquet(
+                f"{state_dir}/delta_v{batch_id}"
+            )
+        else:
+            counts.write.mode("overwrite").parquet(
+                f"{state_dir}/delta_v{batch_id}"
+            )
 
     return sink
 

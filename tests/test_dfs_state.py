@@ -427,3 +427,27 @@ def test_sharded_lsh_equals_unsharded(spark, tmp_path):
     assert any(n.startswith("base_s0_v") for n in names)
     assert any(n.startswith("base_s1_v") for n in names)
     assert "delta_v0" not in names
+
+
+def test_sharded_cms_equals_unsharded(spark, tmp_path):
+    """shards=4 CMS: the accumulated sketch relation is identical to
+    the unsharded layout across staggered compactions (SUM is the
+    shard-local merge; cells hash-shard on the merge key)."""
+    from faust_spark.streaming.dfs_state import cms_dfs_sink, cms_state_cells
+
+    flat = cms_dfs_sink("k", str(tmp_path / "flat"), width=64,
+                        compact_every=4)
+    shrd = cms_dfs_sink("k", str(tmp_path / "shrd"), width=64,
+                        compact_every=4, shards=4)
+    for b in range(11):
+        batch = _df(spark, [b % 5, b % 7, b % 3, 42])
+        flat(batch, b)
+        shrd(batch, b)
+    fc = {(r.d, r.bucket): r.cnt for r in
+          cms_state_cells(spark, str(tmp_path / "flat")).collect()}
+    sc = {(r.d, r.bucket): r.cnt for r in
+          cms_state_cells(spark, str(tmp_path / "shrd"),
+                          shards=4).collect()}
+    assert fc == sc and fc
+    names = sorted(p.name for p in (tmp_path / "shrd").iterdir())
+    assert any(n.startswith("base_s") for n in names)
