@@ -242,3 +242,32 @@ def test_pq_encode_is_narrow(spark, sf_dir):
     books = pq_codebooks(emb, m=8, ksub=16, iters=1)
     enc = pq_encode(emb, books).select("vec_id", "codes")
     assert "Exchange" not in plan_of(enc)
+
+
+def test_label_propagation_argmax_has_no_window_sort(
+    spark, sf_dir, monkeypatch
+):
+    """r10: the per-round LPA argmax is a partially-aggregable struct
+    MIN, not a row_number window — the round's plan must carry
+    partial_min (map-side combine) and no Window/sort stage for the
+    vote argmax. materialize is stubbed to identity so the plan shows
+    the round's operators instead of a checkpoint scan."""
+    from pyspark.sql import functions as F
+
+    import faust_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "materialize", lambda df, **kw: df)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").cast("string").alias("src"),
+        F.col("l_suppkey").cast("string").alias("dst"),
+    )
+    df = g.label_propagation(edges, iters=1)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
