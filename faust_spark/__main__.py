@@ -88,10 +88,91 @@ def main(argv: list[str] | None = None) -> int:
         "repeatable",
     )
 
+    for verb, help_ in (
+        ("agents", "list an app's registered agents (reference "
+                   "`faust agents`, faust/cli/agents.py)"),
+        ("tables", "list an app's tables (reference `faust tables`, "
+                   "faust/cli/tables.py)"),
+    ):
+        p = sub.add_parser(verb, help=help_)
+        p.add_argument(
+            "-A",
+            "--app",
+            required=True,
+            metavar="MOD",
+            dest="app_module",
+            help="module exposing `app` (an App instance) or a "
+            "build_app()/build() factory — the reference's -A pattern",
+        )
+
     args = ap.parse_args(argv)
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
+
+    if args.cmd in ("agents", "tables"):
+        import importlib
+
+        from faust_spark.app import App
+
+        try:
+            mod = importlib.import_module(args.app_module)
+        except Exception as e:  # noqa: BLE001 — surfaced to the user
+            print(
+                f"cannot import {args.app_module!r}: {e}", file=sys.stderr
+            )
+            return 2
+        app = getattr(mod, "app", None)
+        if not isinstance(app, App):
+            for factory in ("build_app", "build"):
+                fn = getattr(mod, factory, None)
+                if not callable(fn):
+                    continue
+                try:
+                    built = fn()
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"{args.app_module}.{factory}() raised: {e}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                # factories may return the app or (app, ...) fixtures
+                cands = built if isinstance(built, tuple) else (built,)
+                app = next(
+                    (c for c in cands if isinstance(c, App)), None
+                )
+                if app is not None:
+                    break
+        if not isinstance(app, App):
+            print(
+                f"{args.app_module!r} exposes no `app` App instance and "
+                "no build_app()/build() factory returning one",
+                file=sys.stderr,
+            )
+            return 2
+        if args.cmd == "agents":
+            # reference layout: name | topic | help (sorted by name);
+            # here the "topic" analogue is the declared sink count
+            for name in sorted(app.agents):
+                a = app.agents[name]
+                doc = (a.fun.__doc__ or "").strip().splitlines()
+                print(
+                    f"{name:32s} sinks={len(a.sinks):<2d} "
+                    f"{doc[0] if doc else ''}"
+                )
+            if not app.agents:
+                print("(no agents registered)")
+        else:
+            for name in sorted(app.tables):
+                t = app.tables[name]
+                window = getattr(t, "window", None)
+                print(
+                    f"{name:32s} {type(t).__name__:10s} "
+                    f"window={type(window).__name__ if window else '-'}"
+                )
+            if not app.tables:
+                print("(no tables registered)")
+        return 0
 
     if args.cmd == "queries":
         oracles = entry.oracle_sql()

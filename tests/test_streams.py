@@ -368,3 +368,23 @@ def test_as_ansitable_renders_sorted(spark, capsys):
     # sort=False keeps the raw show() behavior (no orderBy injected)
     Table.as_ansitable(df, sort=False)
     assert "apple" in capsys.readouterr().out
+
+
+def test_cli_agents_and_tables(spark, capsys):
+    """r10: `agents` / `tables` verbs (reference faust/cli/agents.py,
+    tables.py) — resolve the app via the module's `app` attr or a
+    build_app()/build() factory (-A pattern) and print sorted rows."""
+    from faust_spark.__main__ import main as cli_main
+
+    rc = cli_main(["agents", "-A", "examples.bank"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "track_user_withdrawals" in out
+    rc = cli_main(["tables", "-A", "examples.bank"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "no tables registered" in out
+    # build() factories returning (app, fixtures...) resolve too
+    rc = cli_main(["tables", "-A", "examples.word_count"])
+    assert rc == 0
+    capsys.readouterr()
+    assert cli_main(["agents", "-A", "no.such.module"]) == 2
+    assert "cannot import" in capsys.readouterr().err
