@@ -748,3 +748,27 @@ def test_simhash_64bit_duckdb_oracle_parity(spark):
         }
         assert got == want, f"bits={bits}"
     assert any(v < 0 for v in got.values())  # 64-bit run hit the sign bit
+
+
+def test_simhash_params_sql_rule_matches_python():
+    """The oracle computes simhash_params in SQL from COUNT(*); the two
+    engines' double math (log2 + ceil) must agree at every corpus size
+    — a drift at some n would silently hash-mismatch the gate. Sweep
+    powers of two (the exactness boundary cases), their neighbors, and
+    the fixture sizes."""
+    import duckdb
+
+    from faust_spark.operators.dedup import simhash_params
+
+    ns = {500, 5000, 1, 2, 3, 4096, 4097, 20000}
+    for p in range(1, 31):
+        ns.update({2**p - 1, 2**p, 2**p + 1, 4 * 2**p})
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT n, 4 * LEAST(16, GREATEST(8, CAST(ceil(log2("
+        "GREATEST(n, 2) / 4.0)) AS INT))) AS bits FROM (SELECT "
+        "unnest($ns) AS n)",
+        params={"ns": sorted(ns)},
+    ).fetchall()
+    for n, sql_bits in rows:
+        assert sql_bits == simhash_params(n), n
