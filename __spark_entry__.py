@@ -5014,13 +5014,14 @@ def rp_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TypeError on an empty corpus and cost a second job per call)
     stats = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        F.first(F.size("embedding")).alias("dim"),
+        F.first(F.size("embedding"), ignorenulls=True).alias("dim"),
     ).first()
     n, dim = stats["n"], stats["dim"]
     if not n or dim is None:
         raise ValueError(
-            f"rp_topk: embeddings table at {sf_dir} is empty — cannot "
-            "derive corpus-scaled RP parameters"
+            f"rp_topk: embeddings table at {sf_dir} is empty (or every "
+            "embedding is NULL) — cannot derive corpus-scaled RP "
+            "parameters"
         )
     proj_dim, shortlist = _rp_params(n, dim)
     return rp_shortlist_topk(

@@ -2,7 +2,9 @@
 
 Mapping (reference ``faust/cli/faust.py:16-29`` command set):
   worker          → ``run``: execute a registered query/agent to a sink
-  agents / tables → ``queries``: list the declared query inventory
+  agents / tables → ``agents`` / ``tables``: list a user app's
+                    registered agents / tables (``-A`` module pattern);
+                    ``queries`` lists the engine's own query inventory
   models          → ``models``: print a Record schema
   send            → ``send``: produce one message to a topic
   bench           → ``bench``: run the benchmark harness
@@ -108,9 +110,12 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as entry
 
     if args.cmd in ("agents", "tables"):
+        # handled BEFORE the __spark_entry__ import: these verbs never
+        # touch the query registry, and the entry module is ~8k lines
+        # of registrations — pure startup latency (and an unrelated
+        # failure mode) for a verb that lists a user app's objects
         import importlib
 
         from faust_spark.app import App
@@ -173,6 +178,8 @@ def main(argv: list[str] | None = None) -> int:
             if not app.tables:
                 print("(no tables registered)")
         return 0
+
+    import __spark_entry__ as entry
 
     if args.cmd == "queries":
         oracles = entry.oracle_sql()

@@ -32,8 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
-
 from faust_spark.operators.mat import materialize
 
 __all__ = [

@@ -40,6 +40,7 @@ the checkpoint DFS path" means operationally.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -151,6 +152,44 @@ def _read_state(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _check_layout(spark: SparkSession, state_dir: str, shards: int) -> None:
+    """Fail loudly when a reader's ``shards`` doesn't match the state
+    dir's committed base layout — a mismatch is trivially detectable
+    from the base dir names, and reading through it would SILENTLY drop
+    every key already folded into the other layout's bases (the deltas
+    those bases superseded are pruned, so the wrong-layout read returns
+    plausible-but-incomplete state, the worst failure mode a dedup
+    screen can have)."""
+    fs, path, _ = _fs(spark, state_dir)
+    if not fs.exists(path):
+        return
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        m = re.match(r"base(?:_s(\d+))?_v\d+$", name)
+        if not m:
+            continue
+        s = m.group(1)
+        if shards <= 1 and s is not None:
+            raise ValueError(
+                f"state dir {state_dir} holds sharded base {name!r} but "
+                "is being read with shards=1 — pass the shards= value "
+                "the sink was created with (a shards=1 read would "
+                "silently drop all compacted state)"
+            )
+        if shards > 1 and s is None:
+            raise ValueError(
+                f"state dir {state_dir} holds unsharded base {name!r} "
+                f"but is being read with shards={shards} — the layout "
+                "is fixed for a state dir's lifetime"
+            )
+        if shards > 1 and s is not None and int(s) >= shards:
+            raise ValueError(
+                f"state dir {state_dir} holds base {name!r} for shard "
+                f"{s} but is being read with shards={shards} — shard "
+                "count must match the sink's"
+            )
+
+
 def bloom_state_words(
     spark: SparkSession,
     state_dir: str,
@@ -165,6 +204,7 @@ def bloom_state_words(
     keeps one base per key-range shard (``base_s{s}_v*``) plus
     hive-partitioned deltas, so each shard's read set is its own base
     and only the delta slices newer than it."""
+    _check_layout(spark, state_dir, shards)
     if shards <= 1:
         paths, _, _ = _state_parts(spark, state_dir, before)
         raw = _read_state(spark, paths, "w long, bits long")
@@ -496,6 +536,7 @@ def cms_state_cells(
     directly to ``operators.sketch.cms_estimate``. ``shards`` must
     match the sink's (the layout is fixed for a state dir's
     lifetime)."""
+    _check_layout(spark, state_dir, shards)
     if shards <= 1:
         paths, _, _ = _state_parts(spark, state_dir, before)
         raw = _read_state(spark, paths, _CMS_SCHEMA)
@@ -601,6 +642,7 @@ def _lsh_raw(
 ) -> DataFrame:
     """Unmerged contributing LSH state rows below ``before``, either
     layout."""
+    _check_layout(spark, state_dir, shards)
     if shards <= 1:
         paths, _, _ = _state_parts(spark, state_dir, before)
         return _read_state(spark, paths, _LSH_SCHEMA)

@@ -686,12 +686,13 @@ def test_simhash_params_rule():
 
 
 def test_simhash_near_pairs_default_uses_scaled_width(spark):
-    """bits=None (the default) must resolve to simhash_params(n): on a
-    corpus just past the 4096-doc threshold the default output equals
-    the explicit wider-width run, not the legacy 32-bit family."""
+    """bits=None (the default) must resolve to simhash_params(n) — on a
+    tiny corpus that's the 32-bit family, and on a corpus past the
+    4096-doc threshold the default must match the explicit WIDER run
+    (44-bit), proving the count-derived rule is actually applied."""
     import random
 
-    from faust_spark.operators.dedup import simhash_params
+    from faust_spark.operators.dedup import simhash_near_pairs, simhash_params
 
     rng = random.Random(7)
     n = 40
@@ -701,8 +702,6 @@ def test_simhash_near_pairs_default_uses_scaled_width(spark):
     ]
     assert simhash_params(n) == 32  # tiny corpus -> default == legacy
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    from faust_spark.operators.dedup import simhash_near_pairs
-
     default = {
         (r.doc1, r.doc2)
         for r in simhash_near_pairs(docs, max_hamming=3).collect()
@@ -712,6 +711,25 @@ def test_simhash_near_pairs_default_uses_scaled_width(spark):
         for r in simhash_near_pairs(docs, max_hamming=3, bits=32).collect()
     }
     assert default == explicit
+
+    # past the threshold: 4200 docs -> simhash_params picks 44 bits;
+    # JVM-built corpus (a Python-list createDataFrame of 4200 rows
+    # plans a slow local scan). Planted twins keep the output nonempty.
+    assert simhash_params(4200) == 44
+    big = spark.range(4200).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', 'w' || (id % 2100), 'x' || ((id * 7) % 2100), "
+        "'y' || ((id * 13) % 2100), 'z' || ((id * 29) % 2100)) AS text",
+    )
+    d44 = {
+        (r.doc1, r.doc2)
+        for r in simhash_near_pairs(big, max_hamming=3, bits=44).collect()
+    }
+    dflt = {
+        (r.doc1, r.doc2)
+        for r in simhash_near_pairs(big, max_hamming=3).collect()
+    }
+    assert dflt == d44 and d44  # ids i and i+2100 share all 4 words
 
 
 def test_simhash_64bit_duckdb_oracle_parity(spark):
