@@ -2728,6 +2728,126 @@ def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_dedup_oracle_sql(
+    n_tables: int = 2, n_planes: int = 12, dim: int = 64
+) -> str:
+    """Batch NOT-EXISTS replica of embedding_dedup_dfs_sink: per table,
+    the sign-bit bucket string over the SAME md5-derived hyperplanes
+    (seeds 1..n_tables, embedded as double literals — the ann_lsh_topk
+    precedent, where list_sum/list_transform sign parity with Spark's
+    F.aggregate fold is already gate-proven at both sfs); a vector
+    survives iff no lower-id vector shares any table's bucket."""
+    from faust_spark.operators.similarity import _deterministic_planes
+
+    def arr(row: list[float]) -> str:
+        return "[" + ",".join(repr(v) for v in row) + "]"
+
+    table_ctes = []
+    for t in range(n_tables):
+        planes = _deterministic_planes(n_planes, dim, seed=t + 1)
+        bits = ",\n             ".join(
+            "CASE WHEN list_sum(list_transform(list_zip(v, {}), "
+            "x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END".format(arr(p))
+            for p in planes
+        )
+        table_ctes.append(
+            f"""sig{t} AS (
+      SELECT vec_id, {t} AS band, concat({bits}) AS band_sig FROM e)"""
+        )
+    sigs_union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM sig{t}" for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    {", ".join(table_ctes)},
+    band AS ({sigs_union})
+    SELECT em.vec_id FROM embeddings em
+    WHERE NOT EXISTS (
+      SELECT 1 FROM band b2
+      JOIN band b1 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+                  AND b1.vec_id < b2.vec_id
+      WHERE b2.vec_id = em.vec_id)
+    """
+
+
+@_q("stream_embedding_dedup", _embedding_dedup_oracle_sql())
+def stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate suppression for the EMBEDDING modality
+    (streaming/dfs_state.py embedding_dedup_dfs_sink) — hyperplane-LSH
+    sign-bit signatures (2 independent md5-derived plane families ×
+    12 planes, the ann_lsh_topk family) riding the same DFS-sharded
+    bucket-claim state as stream_lsh_dedup: a vector surfaces iff NO
+    lower-id vector (any earlier batch, or this one) shares a table's
+    signature. Completes the streaming dedup matrix: exact keys
+    (stream_everseen_dedup, Bloom), text near-dups (stream_lsh_dedup,
+    MinHash), embedding near-dups (this gate, cosine LSH). The
+    embeddings table replays as 4 range-partitioned micro-batches (ids
+    nondecreasing — the documented ordering contract); the emitted set
+    then equals the batch-agnostic NOT-EXISTS predicate the oracle
+    computes, regardless of batch boundaries."""
+    import glob
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+
+    from faust_spark.catalog import load_table
+    from faust_spark.streaming.dfs_state import embedding_dedup_dfs_sink
+    from faust_spark.streaming.runner import stream_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    work = tempfile.mkdtemp(prefix="embdedup_")
+    src = os.path.join(work, "src")
+    # ascending id ranges + strictly increasing mtimes in path order so
+    # FileStreamSource delivers batches in nondecreasing vec_id order
+    # (it orders by MODIFICATION TIME; see stream_lsh_dedup)
+    emb.repartitionByRange(4, "vec_id").write.mode("overwrite").parquet(src)
+    t0 = _time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+
+    emitted: list = []
+
+    # GATE-HARNESS ONLY: collect() funnels survivors into the comparable
+    # DataFrame the driver hashes — production pipelines point `sink` at
+    # a parquet/Kafka writer and nothing ever reaches the driver.
+    def sink(df: DataFrame, bid: int) -> None:
+        emitted.extend(int(r.vec_id) for r in df.select("vec_id").collect())
+
+    wrapped = embedding_dedup_dfs_sink(
+        sink,
+        os.path.join(work, "ckpt", "emb_state"),
+        n_tables=2,
+        n_planes=12,
+    )
+    stream = stream_parquet(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(wrapped)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # awaitTermination returns False on timeout — a partial emitted
+        # set must fail loudly, never pose as the gate answer
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_embedding_dedup: query still running after 300s; "
+                f"partial emitted set ({len(emitted)} ids) discarded"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": pd.Series(emitted, dtype="int64")})
+    )
+
+
 @_q(
     "stream_hopping",
     """
@@ -8083,7 +8203,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-10 window policy (VERDICT r9 items 1+3 — fourth consecutive
 # rotation): positions 1-50 carry changed-this-round first, then the
 # stalest driver evidence oldest-cohort-first.
-#   Positions 1-4: the queries whose code changes in r10 —
+#   Position 1: stream_embedding_dedup — NEW in r10 (hyperplane-LSH
+#     embedding near-dup suppression on the DFS bucket-claim state),
+#     zero driver evidence of any kind, so it outranks every
+#     re-verification row.
+#   Positions 2-5: the queries whose code changes in r10 —
 #     simhash_near_pairs (fingerprint width is now the corpus-scaled
 #     simhash_params rule, with a matching dynamic-bits oracle; the
 #     one r9 weak-shape), stream_lsh_dedup (try/finally unpersist in
@@ -8091,18 +8215,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     public kwarg, ADVICE r9), rp_topk (single-job n/dim stats +
 #     empty-corpus guard, ADVICE r9). Changed-this-round outranks
 #     re-verification.
-#   Positions 5-8: the four rows whose newest driver evidence is
+#   Positions 6-9: the four rows whose newest driver evidence is
 #     ROUND 4 — multimodal_features, multimodal_resize,
 #     multires_rollup, value_percentiles (displaced from the r9 window
 #     by the late-r9-changed gates; VERDICT r9 item 3 says they lead).
-#   Positions 9-37: the full r5 cohort of 29 (validator battery, the
+#   Positions 10-38: the full r5 cohort of 29 (validator battery, the
 #     sketch block hll/theta/kll, weighted_sample, the r4-era text/
 #     embedding blocks re-greened in r5: simhash_fp, ann_*, hybrid,
 #     hard_negatives, knn_label, substring/span dedup, zorder,
 #     bigram_logprob, q12, temperature_mix, retrieval_eval).
-#   Positions 38-50: the 13 oldest r7 rows in list order (knn_label_ivf
-#     through purchase_communities — the latter deliberately in-window
-#     while its r9 bench regression is under profile).
+#   Positions 39-50: the 12 oldest r7 rows in list order (knn_label_ivf
+#     through bpe_merges; bpe_segment_words and purchase_communities
+#     follow immediately after the window edge and stay covered by the
+#     full local gate).
 # After this window completes, NO registry query's newest driver
 # evidence predates r5 (the target r9 missed by exactly the four r4
 # rows). Every row displaced past 50 has driver-green >= r7 AND stays
@@ -8111,6 +8236,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rest of r7's 45, then r8's 48, then r9's 50) so the next rotation
 # is a straight prefix shift.
 _PRIORITY: list[str] = [
+    "stream_embedding_dedup",
     "simhash_near_pairs",
     "stream_lsh_dedup",
     "semantic_dedup",

@@ -737,6 +737,109 @@ def lsh_dedup_dfs_sink(
     """
     from faust_spark.operators.dedup import lsh_bands, minhash_signatures
 
+    def bands_fn(batch_df: DataFrame) -> DataFrame:
+        return lsh_bands(
+            minhash_signatures(
+                batch_df, num_hashes, n, text_col=text_col, id_col=id_col
+            ),
+            band_size,
+            id_col=id_col,
+        )
+
+    return _banded_dedup_dfs_sink(
+        bands_fn,
+        sink,
+        state_dir,
+        id_col=id_col,
+        compact_every=compact_every,
+        shards=shards,
+        op_name="lsh_dedup_dfs_sink",
+    )
+
+
+def embedding_dedup_dfs_sink(
+    sink: Callable[[DataFrame, int], None],
+    state_dir: str,
+    n_tables: int = 4,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int = 8,
+    shards: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` wrapper: streaming near-duplicate suppression
+    for the EMBEDDING modality — the hyperplane-LSH pendant of
+    :func:`lsh_dedup_dfs_sink`'s MinHash text screen, riding the
+    identical banded bucket-claim state machinery (same ordering
+    contract, id-watermark sentinel, replay idempotence, and
+    ``shards=`` staggered compaction).
+
+    A vector is emitted iff NO table's sign-bit signature
+    (``operators.similarity.hyperplane_signature`` — deterministic
+    md5-derived hyperplanes, seeds 1..n_tables, the same family as the
+    batch ``ann_lsh_topk`` gate) was claimed by a LOWER-id vector, in
+    this batch or any earlier one. Multi-table OR-banding is standard
+    cosine-LSH dedup: near-identical embeddings agree on every table's
+    signature w.h.p., while a random pair collides per table with
+    probability ``(1 - θ/π)^n_planes``. State is (band=table,
+    band_sig=bit-string, min_id) — model-sized relative to the corpus.
+
+    Scale shape: signatures are a narrow codegen map (no shuffle); the
+    screen is the same bucket equi-join as the text sink. At corpus
+    scale grow ``n_planes`` with log2(n) (bucket balance — the same
+    rule family as ``simhash_params``) and ``n_tables`` with the
+    recall you need.
+    """
+    from faust_spark.operators.similarity import hyperplane_signature
+
+    def bands_fn(batch_df: DataFrame) -> DataFrame:
+        rels = []
+        for t in range(n_tables):
+            sig = hyperplane_signature(
+                batch_df,
+                n_planes=n_planes,
+                dim=dim,
+                vec_col=vec_col,
+                seed=t + 1,
+            )
+            rels.append(
+                sig.select(
+                    F.col(id_col),
+                    F.lit(t).cast("int").alias("band"),
+                    F.col("bucket").alias("band_sig"),
+                )
+            )
+        out = rels[0]
+        for r in rels[1:]:
+            out = out.unionByName(r)
+        return out
+
+    return _banded_dedup_dfs_sink(
+        bands_fn,
+        sink,
+        state_dir,
+        id_col=id_col,
+        compact_every=compact_every,
+        shards=shards,
+        op_name="embedding_dedup_dfs_sink",
+    )
+
+
+def _banded_dedup_dfs_sink(
+    bands_fn: Callable[[DataFrame], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    state_dir: str,
+    id_col: str,
+    compact_every: int,
+    shards: int,
+    op_name: str,
+) -> Callable[[DataFrame, int], None]:
+    """Shared engine of the banded bucket-claim sinks: ``bands_fn``
+    maps a batch to its ``(id_col, band int, band_sig string)`` rows;
+    everything else — MIN-merged claims, ordering-contract watermark,
+    screen, idempotent delta write, (sharded) compaction — is
+    modality-independent."""
     if shards < 1 or shards > compact_every:
         raise ValueError(
             f"shards must be in [1, compact_every]; got {shards}"
@@ -798,7 +901,7 @@ def lsh_dedup_dfs_sink(
                 and batch_lo < prev_max
             ):
                 raise ValueError(
-                    "lsh_dedup_dfs_sink: ordering contract violated — "
+                    f"{op_name}: ordering contract violated — "
                     f"batch {batch_id} min {id_col}={batch_lo} is below the "
                     f"running max {prev_max} of earlier batches; emitted "
                     "set would silently diverge from the batch NOT-EXISTS "
@@ -809,13 +912,7 @@ def lsh_dedup_dfs_sink(
                 .groupBy("band", "band_sig")
                 .agg(F.min("min_id").alias("min_id"))
             )
-            bands = lsh_bands(
-                minhash_signatures(
-                    batch_df, num_hashes, n, text_col=text_col, id_col=id_col
-                ),
-                band_size,
-                id_col=id_col,
-            )
+            bands = bands_fn(batch_df)
             batch_claims = bands.groupBy("band", "band_sig").agg(
                 F.min(id_col).alias("batch_min")
             )

@@ -482,3 +482,72 @@ def test_layout_mismatch_reads_fail_loudly(spark, tmp_path):
         flat(_df(spark, [b]), b)
     with pytest.raises(ValueError, match="unsharded base"):
         bloom_state_words(spark, str(tmp_path / "f"), shards=2)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+
+def test_embedding_dedup_matches_batch_not_exists(spark, tmp_path):
+    """embedding_dedup_dfs_sink across micro-batches equals the batch
+    NOT-EXISTS predicate over the same hyperplane signatures — exact
+    duplicate vectors are suppressed cross-batch, distinct directions
+    survive, and batch boundaries don't change the answer."""
+    import numpy as np
+
+    from faust_spark.operators.similarity import _deterministic_planes
+    from faust_spark.streaming.dfs_state import embedding_dedup_dfs_sink
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 8).astype(np.float32)
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(v) for v in base[i]]))
+    # exact twins of vectors 0..4 with higher ids (cross-batch dups)
+    for j in range(5):
+        rows.append((20 + j, [float(v) for v in base[j]]))
+    n_tables, n_planes, dim = 2, 8, 8
+
+    # brute-force oracle over the same signatures
+    sigs = {}
+    for vid, v in rows:
+        key = []
+        for t in range(n_tables):
+            planes = _deterministic_planes(n_planes, dim, seed=t + 1)
+            bits = "".join(
+                "1" if float(np.dot(np.float64(v), np.float64(p))) >= 0
+                else "0"
+                for p in planes
+            )
+            key.append((t, bits))
+        sigs[vid] = key
+    want = {
+        vid
+        for vid, key in sigs.items()
+        if not any(
+            set(key) & set(okey)
+            for ovid, okey in sigs.items()
+            if ovid < vid
+        )
+    }
+
+    emitted: list[tuple[int, set]] = []
+    wrapped = embedding_dedup_dfs_sink(
+        lambda df, b: emitted.append(
+            (b, {int(r.vec_id) for r in df.collect()})
+        ),
+        str(tmp_path / "s"),
+        n_tables=n_tables,
+        n_planes=n_planes,
+        dim=dim,
+        compact_every=2,
+    )
+    batches = [rows[:6], rows[6:10], rows[10:]]
+    for b, rs in enumerate(batches):
+        wrapped(_vecs(spark, rs), b)
+    got = set().union(*(s for _, s in emitted))
+    assert got == want
+    assert all(20 + j not in got for j in range(5))  # twins suppressed
+    assert emitted[0][1] >= {0}  # the first vector always survives
