@@ -131,6 +131,9 @@ PROBES_EMB = [
     "ivfpq_topk_serve",  # r8: PQ serve path, same contract
     "rp_topk",  # r9: JL shortlist now partial-top-k per batch before the
     # qid exchange (VERDICT r8 item 2); gate includes the recall contract
+    "stream_embedding_dedup",  # r10: hyperplane-LSH bucket-claim replay;
+    # replicas are EXACT vector copies, so every replica is suppressed
+    # by its base twin and output stays ~flat while input grows
 ]
 
 
