@@ -2729,26 +2729,43 @@ def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_dedup_oracle_sql(
-    n_tables: int = 2, n_planes: int = 12, dim: int = 64
+    n_tables: int = 2, max_planes: int = 16, dim: int = 64
 ) -> str:
     """Batch NOT-EXISTS replica of embedding_dedup_dfs_sink: per table,
     the sign-bit bucket string over the SAME md5-derived hyperplanes
     (seeds 1..n_tables, embedded as double literals — the ann_lsh_topk
     precedent, where list_sum/list_transform sign parity with Spark's
     F.aggregate fold is already gate-proven at both sfs); a vector
-    survives iff no lower-id vector shares any table's bucket."""
+    survives iff no lower-id vector shares any table's bucket.
+
+    The signature WIDTH is the corpus-scaled rule
+    ``similarity.hyperplane_params`` (r10 discipline: widths are rules,
+    not constants) — the SQL computes it from COUNT(*) and builds each
+    bucket as a PREFIX of the ``max_planes`` embedded plane family
+    (bit p contributes only when ``p < width``), so one static oracle
+    string verifies the gate at the width the rule picks at ANY sf."""
     from faust_spark.operators.similarity import _deterministic_planes
 
     def arr(row: list[float]) -> str:
         return "[" + ",".join(repr(v) for v in row) + "]"
 
-    table_ctes = []
+    # hyperplane_params(n, lo=8, hi=16, target_bucket=4) in SQL —
+    # identical double math (log2 + ceil) to the Python rule
+    width_sql = """params AS (
+      SELECT LEAST(16, GREATEST(8,
+               CAST(ceil(log2(GREATEST(COUNT(*), 2) / 4.0)) AS INT)))
+             AS w
+      FROM embeddings)"""
+    table_ctes = [width_sql]
     for t in range(n_tables):
-        planes = _deterministic_planes(n_planes, dim, seed=t + 1)
+        planes = _deterministic_planes(max_planes, dim, seed=t + 1)
         bits = ",\n             ".join(
-            "CASE WHEN list_sum(list_transform(list_zip(v, {}), "
-            "x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END".format(arr(p))
-            for p in planes
+            "CASE WHEN {p} >= (SELECT w FROM params) THEN '' "
+            "WHEN list_sum(list_transform(list_zip(v, {a}), "
+            "x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END".format(
+                p=p, a=arr(plane)
+            )
+            for p, plane in enumerate(planes)
         )
         table_ctes.append(
             f"""sig{t} AS (
@@ -2776,17 +2793,24 @@ def _embedding_dedup_oracle_sql(
 def stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate suppression for the EMBEDDING modality
     (streaming/dfs_state.py embedding_dedup_dfs_sink) — hyperplane-LSH
-    sign-bit signatures (2 independent md5-derived plane families ×
-    12 planes, the ann_lsh_topk family) riding the same DFS-sharded
-    bucket-claim state as stream_lsh_dedup: a vector surfaces iff NO
-    lower-id vector (any earlier batch, or this one) shares a table's
-    signature. Completes the streaming dedup matrix: exact keys
-    (stream_everseen_dedup, Bloom), text near-dups (stream_lsh_dedup,
-    MinHash), embedding near-dups (this gate, cosine LSH). The
-    embeddings table replays as 4 range-partitioned micro-batches (ids
-    nondecreasing — the documented ordering contract); the emitted set
-    then equals the batch-agnostic NOT-EXISTS predicate the oracle
-    computes, regardless of batch boundaries."""
+    sign-bit signatures (2 independent md5-derived plane families, the
+    ann_lsh_topk family) riding the same DFS-sharded bucket-claim
+    state as stream_lsh_dedup: a vector surfaces iff NO lower-id
+    vector (any earlier batch, or this one) shares a table's
+    signature. The signature WIDTH is the corpus-scaled rule
+    similarity.hyperplane_params — a streaming sink's width is part of
+    its state layout and must be fixed at CREATION, so the gate sizes
+    it from the corpus count the way a deployer sizes it from the
+    expected stream volume; the oracle computes the identical rule
+    from COUNT(*) and prefixes the max-width plane family, verifying
+    at the chosen width at any sf. Completes the streaming dedup
+    matrix: exact keys (stream_everseen_dedup, Bloom), text near-dups
+    (stream_lsh_dedup, MinHash), embedding near-dups (this gate,
+    cosine LSH). The embeddings table replays as 4 range-partitioned
+    micro-batches (ids nondecreasing — the documented ordering
+    contract); the emitted set then equals the batch-agnostic
+    NOT-EXISTS predicate the oracle computes, regardless of batch
+    boundaries."""
     import glob
     import tempfile
     import time as _time
@@ -2818,11 +2842,13 @@ def stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(df: DataFrame, bid: int) -> None:
         emitted.extend(int(r.vec_id) for r in df.select("vec_id").collect())
 
+    from faust_spark.operators.similarity import hyperplane_params
+
     wrapped = embedding_dedup_dfs_sink(
         sink,
         os.path.join(work, "ckpt", "emb_state"),
         n_tables=2,
-        n_planes=12,
+        n_planes=hyperplane_params(emb.count()),
     )
     stream = stream_parquet(spark, src, max_files_per_trigger=1)
     q = (

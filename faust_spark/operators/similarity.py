@@ -20,6 +20,7 @@ no Python, no UDF, vectorizable by codegen.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -98,6 +99,23 @@ def _deterministic_planes(
             row.append(int(h[:8], 16) / float(2**31) - 1.0)
         planes.append(row)
     return planes
+
+
+def hyperplane_params(
+    n: int, lo: int = 8, hi: int = 16, target_bucket: float = 4.0
+) -> int:
+    """Signature width (planes per table) for hyperplane-LSH bucketing,
+    scaled with the corpus — the same rules-not-constants discipline as
+    ``dedup.simhash_params``: ``2^planes`` buckets per table, so
+    holding the width fixed makes expected bucket population (and with
+    it candidate/claim volume) grow linearly in n. Targeting ~
+    ``target_bucket`` rows per bucket gives ``ceil(log2(n / target))``,
+    clamped to [lo, hi]. For STREAMING sinks the width is part of the
+    state layout and must be fixed at sink creation — size it with
+    this rule from the EXPECTED corpus (the batch gates apply it to
+    the actual count; the oracle computes the identical rule from
+    COUNT(*) in SQL)."""
+    return min(hi, max(lo, math.ceil(math.log2(max(n, 2) / target_bucket))))
 
 
 def hyperplane_signature(

@@ -786,10 +786,13 @@ def embedding_dedup_dfs_sink(
     band_sig=bit-string, min_id) — model-sized relative to the corpus.
 
     Scale shape: signatures are a narrow codegen map (no shuffle); the
-    screen is the same bucket equi-join as the text sink. At corpus
-    scale grow ``n_planes`` with log2(n) (bucket balance — the same
-    rule family as ``simhash_params``) and ``n_tables`` with the
-    recall you need.
+    screen is the same bucket equi-join as the text sink. ``n_planes``
+    is part of the STATE LAYOUT (prior claims are signatures at that
+    width), so it must be fixed at sink creation — size it with
+    ``operators.similarity.hyperplane_params(expected_corpus_size)``
+    (the same rules-not-constants family as ``simhash_params``; the
+    gate applies it to the actual count), and grow ``n_tables`` with
+    the recall you need.
     """
     from faust_spark.operators.similarity import hyperplane_signature
 

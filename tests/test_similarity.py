@@ -589,3 +589,28 @@ def test_kmeans_fit_vectors_only_frame(spark):
     # full-precision path also works without ids
     c = kmeans_fit(no_id, k=3, iters=1)
     assert len(c) == 2 and len(c[1]) == 3
+
+
+def test_hyperplane_params_sql_rule_matches_python():
+    """The stream_embedding_dedup oracle computes hyperplane_params in
+    SQL from COUNT(*); the engines' double math must agree at every
+    corpus size (same cross-engine pin as simhash_params)."""
+    import duckdb
+
+    from faust_spark.operators.similarity import hyperplane_params
+
+    ns = {500, 1000, 2000, 5000, 1, 2, 3}
+    for p in range(1, 31):
+        ns.update({2**p - 1, 2**p, 2**p + 1, 4 * 2**p})
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT n, LEAST(16, GREATEST(8, CAST(ceil(log2("
+        "GREATEST(n, 2) / 4.0)) AS INT))) AS w FROM (SELECT "
+        "unnest($ns) AS n)",
+        params={"ns": sorted(ns)},
+    ).fetchall()
+    for n, sql_w in rows:
+        assert sql_w == hyperplane_params(n), n
+    assert hyperplane_params(500) == 8      # sf0.001 / tiny corpora
+    assert hyperplane_params(2000) == 9     # sf0.1 embeddings
+    assert hyperplane_params(10**9) == 16   # capped
