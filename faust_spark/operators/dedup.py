@@ -168,8 +168,8 @@ def jaccard_pairs_prefix(
 ) -> DataFrame:
     """EXACT Jaccard near-dup pairs via prefix filtering (PPJoin family,
     Xiao, Wang, Lin, Yu, "Efficient Similarity Joins for Near Duplicate
-    Detection", WWW 2008 — prefix + length filters only; implemented
-    from the published description).
+    Detection", WWW 2008 — prefix + length + positional filters;
+    implemented from the published description).
 
     Returns exactly :func:`jaccard_pairs` with NO ``max_shingle_freq``
     cap — same pairs, same jaccard values — but never joins full
@@ -182,8 +182,14 @@ def jaccard_pairs_prefix(
     LAST in every document's order, and enters a prefix only when it is
     among that document's rarest ~(1-t) fraction — so the join's key
     histogram holds the rare tail, not the hubs, and the shuffle volume
-    is the prefix fraction of the shingle table. Candidates then pass a
-    length filter (``min >= t * max``) and are verified with an exact
+    is the prefix fraction of the shingle table. Candidate join rows
+    then pass the POSITIONAL filter — sharing a prefix shingle at sorted
+    ranks ``i``/``j`` bounds the overlap by ``1 + min(|x|-i, |y|-j)``,
+    which must reach the required ``ceil(t/(1+t)·(|x|+|y|))``; exact
+    because the globally-minimal shared shingle of any qualifying pair
+    lies in BOTH prefixes (anything canonically before it in either doc
+    is unshared) and witnesses the bound — plus the length filter
+    (``min >= t * max``), and survivors are verified with an exact
     intersection count over the full sets.
 
     Shuffle budget: df-count (shingle-keyed agg) + df join back +
@@ -211,12 +217,39 @@ def jaccard_pairs_prefix(
             - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
             + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "rn", "n_sh")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # required overlap alpha = ceil(t/(1+t)·(|x|+|y|)); both epsilons
+    # bias toward ADMITTING borderline rows — the verification join is
+    # what decides, the filters may only discard provably-failing pairs
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|)
+        .filter(
+            F.least("a.n_sh", "b.n_sh")
+            >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+            - F.lit(1e-9)
+        )
+        # positional filter: this shared shingle (sorted rank rn of
+        # n_sh) caps the overlap at 1 + min(|x|-i, |y|-j); a qualifying
+        # pair always has a witnessing row (its globally-minimal shared
+        # shingle, in both prefixes), so dropping non-witnesses loses
+        # no pair — it only shrinks the distinct + verification input
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a.n_sh") - F.col("a.rn"),
+                F.col("b.n_sh") - F.col("b.rn"),
+            )
+            >= alpha
+        )
         .select(
             F.col(f"a.{id_col}").alias("doc1"),
             F.col(f"b.{id_col}").alias("doc2"),
@@ -225,16 +258,6 @@ def jaccard_pairs_prefix(
     )
     s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
-    cand = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|);
-        # epsilon again only ADMITS borderline candidates
-        .filter(
-            F.least("n1", "n2")
-            >= F.lit(threshold) * F.greatest("n1", "n2") - F.lit(1e-9)
-        )
-    )
     # exact verification: count the full-set intersection per candidate
     sa = sh.select(F.col(id_col).alias("doc1"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc2"), "shingle")

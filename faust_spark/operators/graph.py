@@ -61,33 +61,48 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     e = materialize(e)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes carry their dangling flag from day one (r10): the per-round
+    # dangling mass is then a filtered SUM over the checkpointed rank
+    # iterate — the anti-join against outdeg (which re-ran the degree
+    # agg every round) leaves the loop entirely. Partitioned by node
+    # ONCE so each round's update join reuses the exchange.
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            outdeg.select(
+                F.col("src").alias("node"), F.lit(1).alias("__o")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__o").isNull().alias("dang"))
+        .repartition("node")
     )
     n = nodes.count()
     if n == 0:
         raise ValueError(
             "pagerank: empty edge relation — no nodes to rank"
         )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges annotated once with the donor's out-degree
-    eo = materialize(e.join(outdeg, "src"))
+    # edges annotated once with the donor's out-degree, partitioned by
+    # the loop's join key ONCE — the checkpointed blocks keep that
+    # partitioning, so each round's contribution join shuffles only the
+    # |V| rank side, never the |E| edge side
+    eo = materialize(e.join(outdeg, "src").repartition("src"))
 
     # initial rank rounded IN-ENGINE (F.round is HALF_UP like DuckDB's
     # ROUND; Python's round() is banker's — a tie would diverge)
     ranks = nodes.select(
         "node",
+        "dang",
         F.round(F.lit(1.0) / F.lit(float(n)), round_dp).alias("rank"),
     )
     base = (1.0 - damping) / n
     for _ in range(iters):
-        dangling = (
-            ranks.join(
-                outdeg, ranks["node"] == outdeg["src"], "left_anti"
-            )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.filter(F.col("dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
             eo.join(
@@ -107,6 +122,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "dang",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
@@ -120,7 +136,7 @@ def pagerank(
             eager=True,
             iterative=True,
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def personalized_pagerank(
@@ -163,28 +179,39 @@ def personalized_pagerank(
     ns = sd.count()
     if ns == 0:
         raise ValueError("no seed nodes present in the edge relation")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # teleport weight + dangling flag annotated ONCE, partitioned by
+    # node once — same loop discipline as pagerank (r10): the per-round
+    # dangling mass is a filtered SUM over the checkpointed iterate,
+    # and the update join reuses this exchange every round
     wnodes = materialize(
         nodes.join(
             sd.withColumn("__s", F.lit(1)), "node", "left"
-        ).select(
+        )
+        .join(
+            outdeg.select(
+                F.col("src").alias("node"), F.lit(1).alias("__o")
+            ),
+            "node",
+            "left",
+        )
+        .select(
             "node",
             F.when(F.col("__s").isNotNull(), F.lit(1.0) / F.lit(float(ns)))
             .otherwise(F.lit(0.0))
             .alias("w"),
+            F.col("__o").isNull().alias("dang"),
         )
+        .repartition("node")
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    eo = materialize(e.join(outdeg, "src"))
+    eo = materialize(e.join(outdeg, "src").repartition("src"))
 
     ranks = wnodes.select(
-        "node", F.round(F.col("w"), round_dp).alias("rank")
+        "node", "dang", F.round(F.col("w"), round_dp).alias("rank")
     )
     for _ in range(iters):
-        dangling = (
-            ranks.join(
-                outdeg, ranks["node"] == outdeg["src"], "left_anti"
-            )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.filter(F.col("dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
             eo.join(
@@ -204,6 +231,7 @@ def personalized_pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "dang",
                 F.round(
                     F.lit(1.0 - damping) * F.col("w")
                     + F.lit(damping)
@@ -217,7 +245,7 @@ def personalized_pagerank(
             eager=True,
             iterative=True,
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def hits(
@@ -251,20 +279,32 @@ def hits(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
     e = materialize(e)
+    # the |E| relation is checkpointed pre-partitioned by EACH
+    # half-step's join key (r10): the auth step joins on src, the hub
+    # step on dst — two partitioned copies mean neither half-step ever
+    # shuffles the edges again, only the |V| score side. nodes keep a
+    # node partitioning for the same reason (the update joins).
+    es = materialize(e.repartition("src"))
+    ed = materialize(e.repartition("dst"))
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
     for _ in range(iters):
-        araw = (
-            e.join(
+        # materialized (lazily) because TWO actions consume it — the
+        # one-row total broadcast and the update join; without the
+        # lineage cut the |E| join + agg would run twice per half-step
+        araw = materialize(
+            es.join(
                 hubs.select(F.col("node").alias("src"), "hub"), "src"
             )
             .groupBy("dst")
-            .agg(F.sum("hub").alias("raw"))
+            .agg(F.sum("hub").alias("raw")),
+            iterative=True,
         )
         atot = araw.agg(F.sum("raw").alias("t"))
         auths = materialize(
@@ -284,12 +324,13 @@ def hits(
             eager=True,
             iterative=True,
         )
-        hraw = (
-            e.join(
+        hraw = materialize(
+            ed.join(
                 auths.select(F.col("node").alias("dst"), "auth"), "dst"
             )
             .groupBy("src")
-            .agg(F.sum("auth").alias("raw"))
+            .agg(F.sum("auth").alias("raw")),
+            iterative=True,
         )
         htot = hraw.agg(F.sum("raw").alias("t"))
         hubs = materialize(
