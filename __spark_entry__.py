@@ -8250,10 +8250,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     embedding blocks re-greened in r5: simhash_fp, ann_*, hybrid,
 #     hard_negatives, knn_label, substring/span dedup, zorder,
 #     bigram_logprob, q12, temperature_mix, retrieval_eval).
-#   Positions 39-50: the 12 oldest r7 rows in list order (knn_label_ivf
-#     through bpe_merges; bpe_segment_words and purchase_communities
-#     follow immediately after the window edge and stay covered by the
-#     full local gate).
+#   Positions 39-50: the oldest r7 rows in list order (knn_label_ivf
+#     through supplier_hits), then purchase_communities and
+#     trusted_supplier_ppr — their loop shapes changed late in r10
+#     (exchange-reuse + dangling-flag commits), so they take the last
+#     two window slots for fresh driver evidence; the bpe pair they
+#     displace sits immediately after the edge with driver-green r7
+#     evidence and full-local-gate coverage.
 # After this window completes, NO registry query's newest driver
 # evidence predates r5 (the target r9 missed by exactly the four r4
 # rows). Every row displaced past 50 has driver-green >= r7 AND stays
@@ -8309,12 +8312,12 @@ _PRIORITY: list[str] = [
     "mmr_rerank",
     "quality_logreg_fit",
     "supplier_pagerank",
-    "kmeans_fit",
     "supplier_hits",
-    "bpe_merges",
-    "bpe_segment_words",
     "purchase_communities",
     "trusted_supplier_ppr",
+    "kmeans_fit",
+    "bpe_merges",
+    "bpe_segment_words",
     "quality_adaboost_fit",
     "lang_nb_classify",
     "split_by_cluster",
