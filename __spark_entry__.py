@@ -8125,7 +8125,11 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage — the fixture derives from events via two shuffles, and
     # recomputing it for one MAX costs more than rescanning the single
     # small file just written
-    (hi,) = spark.read.parquet(src).agg(F.max("ts")).first()
+    (hi, n_rows) = (
+        spark.read.parquet(src)
+        .agg(F.max("ts"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
     import time as _time
 
     # distinct mtimes order the two files for the file source; modern
@@ -8170,14 +8174,20 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted: list = []
     # GATE-HARNESS ONLY collect; production writes decided verdicts to
     # a sink (the operator itself never collects).
-    # 8 state-store partitions: the audit state is hundreds of keys, so
-    # the default 32/200 shuffle partitions just multiply per-batch
-    # state-store task overhead across the replay's micro-batches (the
-    # windowed streaming bench sizes its state the same way). The
+    # State-store partitions sized to the fixture (r10, same rule shape
+    # as the windowed streaming bench): small replays want few
+    # partitions (per-batch state-store task overhead dominates,
+    # 3 micro-batches multiply it), large replays want the Arrow state
+    # work spread wide. Swept at sf0.1 (7.5k rows, 3 rounds, fresh
+    # checkpoints): 8 parts 5.1-5.3s, 16 3.9-4.7s, 24-25 3.8-4.4s,
+    # 32 3.8-4.6s — n//300 lands 8 at sf0.01 and 25 at sf0.1. The
     # setting binds at stream start via the fresh checkpoint; restored
     # after.
     default_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(32, max(8, int(n_rows) // 300))),
+    )
     try:
         q = (
             decided.writeStream.foreachBatch(
