@@ -5428,6 +5428,61 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "split_leakage_audit",
+    f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2 FROM inter
+      JOIN sz s1 ON s1.doc_id = doc1
+      JOIN sz s2 ON s2.doc_id = doc2
+      WHERE CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i) >= 0.5
+    ),
+    lab AS (
+      SELECT
+        CASE WHEN {_duck_hash01("'split:' || CAST(doc1 AS VARCHAR)")} < 0.8
+             THEN 'train'
+             WHEN {_duck_hash01("'split:' || CAST(doc1 AS VARCHAR)")} < 0.9
+             THEN 'val' ELSE 'test' END AS sp1,
+        CASE WHEN {_duck_hash01("'split:' || CAST(doc2 AS VARCHAR)")} < 0.8
+             THEN 'train'
+             WHEN {_duck_hash01("'split:' || CAST(doc2 AS VARCHAR)")} < 0.9
+             THEN 'val' ELSE 'test' END AS sp2
+      FROM pairs
+    )
+    SELECT least(sp1, sp2) AS split_a, greatest(sp1, sp2) AS split_b,
+           COUNT(*) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (operators/sampling.py
+    split_leakage): exact Jaccard ≥ 0.5 near-dup pairs
+    (jaccard_pairs_prefix — capless PPJoin, the verified exact pair
+    relation) with each end labeled by the SAME hash rule
+    ``split_assign`` gates, rolled up per unordered split pair. The
+    off-diagonal rows are train→test leakage a naive per-doc split
+    admits — the audit counterpart of ``split_by_cluster``, which
+    prevents exactly these pairs by splitting at cluster granularity.
+    The split label is a pure projection on the pair ends (one md5
+    per end, split_expr), so the audit adds zero shuffles beyond the
+    dedup pass plus a ≤9-row partial agg."""
+    from faust_spark.operators.dedup import jaccard_pairs_prefix
+    from faust_spark.operators.sampling import split_leakage
+
+    pairs = jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return split_leakage(
+        pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+@_q(
     "shard_shuffle",
     f"""
     SELECT doc_id, shard,
@@ -8267,6 +8322,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     two window slots for fresh driver evidence; the bpe pair they
 #     displace sits immediately after the edge with driver-green r7
 #     evidence and full-local-gate coverage.
+#   split_leakage_audit (r10-new, leads the window) displaces
+#     trusted_supplier_ppr to 51: a BRAND-NEW gate needs first driver
+#     evidence more than an r10-reshaped loop whose trajectory is
+#     oracle-pinned in both full local gates (sf0.01 + sf0.1).
 # After this window completes, NO registry query's newest driver
 # evidence predates r5 (the target r9 missed by exactly the four r4
 # rows). Every row displaced past 50 has driver-green >= r7 AND stays
@@ -8275,6 +8334,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rest of r7's 45, then r8's 48, then r9's 50) so the next rotation
 # is a straight prefix shift.
 _PRIORITY: list[str] = [
+    "split_leakage_audit",
     "stream_embedding_dedup",
     "simhash_near_pairs",
     "stream_lsh_dedup",

@@ -275,3 +275,34 @@ def test_token_budget_plan_invariants(spark):
             abs(r["fraction"] * r["n_tokens"] - r["target_tokens"])
             < 1e-3
         )
+
+
+def test_split_leakage_matches_join_form(spark):
+    """The projection-labeled audit equals the naive join-the-assignment
+    form, pair symmetry is canonicalized (split_a <= split_b), and
+    counts cover every input pair exactly once."""
+    from faust_spark.operators.sampling import (
+        assign_splits,
+        split_leakage,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    # every adjacent pair + a few long-range ones
+    pairs = docs.selectExpr(
+        "doc_id AS doc1", "doc_id + 1 AS doc2"
+    ).filter("doc2 < 200")
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_leakage(pairs, fr).collect()
+    }
+    # naive form: join assignment onto both ends
+    asg = assign_splits(docs, "doc_id", fr)
+    expect: dict = {}
+    lut = {r["doc_id"]: r["split"] for r in asg.collect()}
+    for r in pairs.collect():
+        a, b = sorted((lut[r["doc1"]], lut[r["doc2"]]))
+        expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
+    assert sum(got.values()) == pairs.count()
+    assert all(a <= b for a, b in got)
