@@ -54,6 +54,8 @@ PROBES_DOCS_PAIRWISE = [
     # land at small Hamming distances so true output grows with C(mult,2)
     "stream_lsh_dedup",  # r9: micro-batch replay of the DFS bucket-claim
     # sink; replicas multiply both docs and band buckets
+    "split_leakage_audit",  # r10: PPJoin pairs + projection split labels;
+    # output stays <=9 rows but the pair relation under it grows C(mult,2)
 ]
 # linear doc ops probe at the FULL multiplier (r3 verdict item 5: these
 # previously probed at 4x or not at all)
