@@ -6676,8 +6676,19 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges = bpe_learn(word_counts(d), n_merges=10)
+    import pandas as _pd
+
+    # pandas re-entry (Arrow): the row-list createDataFrame form plans
+    # a Python-runner local scan costing seconds per downstream action
     return spark.createDataFrame(
-        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        _pd.DataFrame(
+            {
+                "step": [i + 1 for i in range(len(merges))],
+                "lhs": [a for a, _, _ in merges],
+                "rhs": [b for _, b, _ in merges],
+                "freq": [f for _, _, f in merges],
+            }
+        ),
         "step int, lhs string, rhs string, freq bigint",
     )
 

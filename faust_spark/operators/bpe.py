@@ -131,14 +131,87 @@ def bpe_learn(
     return bpe_fit(words, n_merges)[0]
 
 
+def _bpe_fit_driver(
+    dic_rows: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, list[str]]]]:
+    """Pure-Python :func:`bpe_fit` over a collected dictionary — the
+    SAME integer semantics as the distributed loop (overlap-counted
+    adjacent-pair stats, argmax tie-broken (freq DESC, left ASC, right
+    ASC) — Python string comparison equals Spark's UTF8 binary order on
+    these ASCII symbols — and greedy left-to-right non-overlapping
+    application), so the two paths are interchangeable bit-for-bit
+    (pinned by test_bpe_driver_path_matches_distributed). Used when the
+    dictionary fits on the driver; n_merges iterations of Spark jobs
+    over a model-sized relation are pure scheduler overhead."""
+    dic = [(w, int(c), list(w) + [END]) for w, c in dic_rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for _w, c, syms in dic:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        (a, b), f = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, int(f)))
+        ab = a + b
+        for idx, (w, c, syms) in enumerate(dic):
+            if a not in syms:
+                continue
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            dic[idx] = (w, c, out)
+    return merges, dic
+
+
 def bpe_fit(
-    words: DataFrame, n_merges: int = 10
+    words: DataFrame,
+    n_merges: int = 10,
+    driver_dict_max: int = 200_000,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """:func:`bpe_learn` that also returns the final segmented
     dictionary (word, cnt, syms) — the tokenizer APPLY artifact: at
     corpus scale, tokenization is split-to-words + a broadcast join
     against this model-sized relation (the corpus text itself is never
-    re-segmented row by row)."""
+    re-segmented row by row).
+
+    Dictionaries with at most ``driver_dict_max`` distinct words run
+    the merge loop driver-side (:func:`_bpe_fit_driver`) — the same
+    model-sized-state discipline as connected_components' union-find
+    guard: the corpus pass that BUILT the dictionary stays distributed,
+    and ~3 Spark jobs per merge over a relation that fits in one pandas
+    frame buy nothing but scheduler overhead. Bigger dictionaries (a
+    100 TB corpus under Heaps' law can exceed any driver bound) take
+    the distributed loop below — identical trajectory, property-pinned.
+    Set ``driver_dict_max=0`` to force the distributed path."""
+    if driver_dict_max and words.count() <= driver_dict_max:
+        pdf = words.select("word", "cnt").toPandas()
+        merges, dic = _bpe_fit_driver(
+            list(zip(pdf["word"], pdf["cnt"])), n_merges
+        )
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "word": [w for w, _, _ in dic],
+                "cnt": [c for _, c, _ in dic],
+                "syms": [s for _, _, s in dic],
+            }
+        )
+        sym = words.sparkSession.createDataFrame(
+            out, "word string, cnt long, syms array<string>"
+        )
+        return merges, sym
     sym = materialize(
         words.select(
             "word",

@@ -124,3 +124,47 @@ def test_bpe_segment_frozen_merges(spark):
     (seg,) = bpe_segment(new, merges).collect()
     assert "est" + END in seg["syms"] or "est" in seg["syms"]
     assert seg["syms"][0] in ("lo", "l")
+
+
+def test_bpe_driver_path_matches_distributed(spark):
+    """The driver-side fast path (_bpe_fit_driver) and the distributed
+    merge loop produce IDENTICAL merge trajectories and final
+    segmentations — including overlap counting (a-runs), the
+    (freq DESC, lexicographic) argmax, and greedy non-overlapping
+    application."""
+    import random
+
+    from faust_spark.operators.bpe import bpe_fit
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    for trial in range(3):
+        words = [
+            (
+                "".join(
+                    rng.choice(alpha)
+                    for _ in range(rng.randint(1, 8))
+                ),
+                rng.randint(1, 9),
+            )
+            for _ in range(30)
+        ]
+        # dedup words, keep first cnt
+        seen: dict = {}
+        for w, c in words:
+            seen.setdefault(w, c)
+        df = spark.createDataFrame(
+            list(seen.items()), "word string, cnt long"
+        )
+        m_drv, s_drv = bpe_fit(df, n_merges=6)
+        m_dist, s_dist = bpe_fit(df, n_merges=6, driver_dict_max=0)
+        assert m_drv == m_dist, f"trial {trial}"
+        d1 = {
+            r["word"]: (r["cnt"], list(r["syms"]))
+            for r in s_drv.collect()
+        }
+        d2 = {
+            r["word"]: (r["cnt"], list(r["syms"]))
+            for r in s_dist.collect()
+        }
+        assert d1 == d2, f"trial {trial}"
