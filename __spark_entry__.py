@@ -2616,8 +2616,12 @@ def stream_everseen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    import pandas as _pd
+
     return spark.createDataFrame(
-        [(int(u),) for u in emitted], "user_id bigint"
+        _pd.DataFrame(
+            {"user_id": _pd.Series(sorted(emitted), dtype="int64")}
+        )
     )
 
 
@@ -6853,8 +6857,13 @@ def kmeans_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, cent in enumerate(cents)
         for p, v in enumerate(cent)
     ]
+    import pandas as _pd
+
+    # pandas re-entry (Arrow) — a row-list createDataFrame plans a
+    # Python-runner local scan costing ~seconds per downstream action
     return spark.createDataFrame(
-        rows, "step int, cell int, pos int, v double"
+        _pd.DataFrame(rows, columns=["step", "cell", "pos", "v"]),
+        "step int, cell int, pos int, v double",
     )
 
 
@@ -7166,11 +7175,16 @@ def quality_adaboost_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stumps = adaboost_fit(
         feat, ["f1", "f2", "f3"], "y", rounds=4, n_bins=8
     )
+    import pandas as _pd
+
     return spark.createDataFrame(
-        [
-            (i + 1, j, b, pol, alpha, eps)
-            for i, (j, b, pol, alpha, eps) in enumerate(stumps)
-        ],
+        _pd.DataFrame(
+            [
+                (i + 1, j, b, pol, alpha, eps)
+                for i, (j, b, pol, alpha, eps) in enumerate(stumps)
+            ],
+            columns=["round", "feat", "bin", "pol", "alpha", "eps"],
+        ),
         "round int, feat int, bin int, pol int, "
         "alpha double, eps double",
     )
@@ -7264,8 +7278,13 @@ def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj = logreg_fit(
         feat, ["f1", "f2", "f3"], "y", steps=4, lr=1.0, round_dp=7
     )
+    import pandas as _pd
+
     return spark.createDataFrame(
-        [(i, *w) for i, w in enumerate(traj)],
+        _pd.DataFrame(
+            [(i, *w) for i, w in enumerate(traj)],
+            columns=["step", "w0", "w1", "w2", "w3"],
+        ),
         "step int, w0 double, w1 double, w2 double, w3 double",
     )
 
@@ -7901,8 +7920,13 @@ def _livecheck_fixture(spark: SparkSession, sf_dir: str):
             "ts",
         )
     )
+    import pandas as _pd
+
     specs = spark.createDataFrame(
-        _LIVECHECK_SPEC_ROWS,
+        _pd.DataFrame(
+            _LIVECHECK_SPEC_ROWS,
+            columns=["case_name", "signal_name", "sig_index"],
+        ),
         "case_name string, signal_name string, sig_index int",
     )
     return execs, sigs, specs
