@@ -8198,18 +8198,19 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="lc_stream_")
     src = os.path.join(work, "src")
-    # Replay shape (r8, VERDICT r7 item 3): ONE data pass, then the
-    # sentinel. All real rows land in the first micro-batch, where the
-    # initial watermark is still unset — so no deadline timer can fire
-    # before the in-time signals it governs are processed, and every
-    # complete execution is decided PASS/FAIL there. The sentinel batch
-    # then advances the watermark past the data (firing the early
-    # deadline timers), and the trailing no-data batch — watermark now
-    # past EVERY deadline — fires the rest. Verdicts are
-    # batching-invariant (per-execution state only accumulates
-    # first-arrivals), so this hash-matches the batch oracle exactly as
-    # the previous early/late/sentinel three-pass replay did, at one
-    # fewer micro-batch and one fewer mtime-ordering sleep.
+    # Replay shape (r10, down from r8's two data batches): data AND
+    # sentinel share ONE micro-batch. The initial watermark is unset
+    # during it, so no deadline timer can fire before the in-time
+    # signals it governs are processed and every complete execution is
+    # decided PASS/FAIL there; the trailing no-data batch then carries
+    # the watermark to sentinel−1s — past EVERY deadline (TTLs ≤ 72h,
+    # sentinel = max ts + 80h) — and fires all TIMEOUT timers at once.
+    # Batching-invariance makes this safe: per-execution state keeps
+    # min-by-event-time first arrivals (row order within the batch is
+    # irrelevant) and the fixture emits exactly one exec row per key,
+    # so the verdict set hash-matches the batch oracle exactly as the
+    # r8 three-batch replay did, at one fewer micro-batch and no
+    # mtime-ordering sleep.
     unified.coalesce(1).write.mode("overwrite").parquet(src)
     # hi from the written file, not a second agg over the fixture
     # lineage — the fixture derives from events via two shuffles, and
@@ -8220,11 +8221,8 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts"), F.count(F.lit(1)).alias("n"))
         .first()
     )
-    import time as _time
-
-    # distinct mtimes order the two files for the file source; modern
-    # filesystems stamp at ns resolution, so a short pause suffices
-    _time.sleep(0.3)
+    # (no mtime-ordering sleep: both files ride one micro-batch, and
+    # within a batch the state fn is row-order-invariant — see above)
     # sentinel = max fixture time + 80h: strictly past every deadline
     # (TTLs are <= 72h) at ANY scale factor, so the oracle's
     # everything-incomplete-is-TIMEOUT tail holds by construction — a
@@ -8253,7 +8251,7 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         case_signals.setdefault(case, []).append(sig)
 
-    s = stream_parquet(spark, src, max_files_per_trigger=1).withWatermark(
+    s = stream_parquet(spark, src, max_files_per_trigger=2).withWatermark(
         "ts", "1 second"
     )
     decided = audit_updates(
