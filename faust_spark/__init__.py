@@ -30,11 +30,19 @@ from faust_spark.windows import (  # noqa: F401
     SlidingWindow,
 )
 from faust_spark.app import App  # noqa: F401
+from faust_spark.auth import (  # noqa: F401
+    GSSAPICredentials,
+    SASLCredentials,
+    SSLCredentials,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "App",
+    "SASLCredentials",
+    "GSSAPICredentials",
+    "SSLCredentials",
     "Field",
     "Record",
     "ValidationError",

@@ -40,6 +40,30 @@ class Topic:
     path: Optional[str] = None  # file-backed topic (parquet dir)
     names: Optional[tuple] = None  # multi-topic subscription (faust app.topic('a','b'))
     assign: Optional[str] = None  # explicit partition assignment (JSON)
+    # verbatim kafka.* passthrough, applied last (after credentials) so a
+    # topic can override any generated option; analogue of the reference's
+    # producer/consumer extra-config settings (faust/types/settings/
+    # settings.py broker_* family)
+    kafka_extra_options: Optional[dict] = None
+
+    def _auth_and_extra_options(self) -> dict:
+        """Credential-derived kafka.* options (app-level,
+        ``broker_credentials`` — reference faust/auth.py:15-110 wired via
+        app.conf.broker_credentials) overlaid with this topic's verbatim
+        ``kafka_extra_options``."""
+        opts: dict = {}
+        creds = getattr(self.app, "broker_credentials", None)
+        if creds is not None:
+            opts.update(creds.kafka_options())
+        if self.kafka_extra_options:
+            for k in self.kafka_extra_options:
+                if not isinstance(k, str) or not k.startswith("kafka."):
+                    raise ValueError(
+                        "kafka_extra_options keys must be 'kafka.'-prefixed "
+                        f"client settings; got {k!r}"
+                    )
+            opts.update(self.kafka_extra_options)
+        return opts
 
     # --- batch / test surface ---------------------------------------------
     def batch_df(self) -> DataFrame:
@@ -86,6 +110,7 @@ class Topic:
             # reader-side parallelism floor: one Spark partition per Kafka
             # partition is automatic; minPartitions raises it further
             opts["minPartitions"] = str(self.partitions)
+        opts.update(self._auth_and_extra_options())
         return opts
 
     def kafka_sink_options(self) -> dict:
@@ -93,10 +118,12 @@ class Topic:
         key/value[/headers/partition] columns)."""
         if not self.name:
             raise ValueError("a sink topic needs a concrete name")
-        return {
+        opts = {
             "kafka.bootstrap.servers": self.app.broker,
             "topic": self.name,
         }
+        opts.update(self._auth_and_extra_options())
+        return opts
 
     # --- streaming surface --------------------------------------------------
     def stream_df(self, starting_offsets: str = "earliest") -> DataFrame:
@@ -225,10 +252,16 @@ class App:
         *,
         spark: Optional[SparkSession] = None,
         broker: str = "localhost:9092",
+        broker_credentials=None,
     ) -> None:
+        from faust_spark.auth import to_credentials
+
         self.id = id
         self._spark = spark
         self.broker = broker
+        # reference: app.conf.broker_credentials (faust/types/settings/
+        # settings.py), consumed by every topic's option matrix
+        self.broker_credentials = to_credentials(broker_credentials)
         self.topics: dict[str, Topic] = {}
         self.tables: dict[str, Table] = {}
         self.agents: dict[str, Agent] = {}
@@ -255,6 +288,7 @@ class App:
         partitions: Optional[int] = None,
         path: Optional[str] = None,
         assign: Optional[str] = None,
+        kafka_extra_options: Optional[dict] = None,
     ) -> Topic:
         """Reference ``app.topic('t1', 't2', ...)`` — one or more names, a
         regex ``pattern``, or an explicit ``assign`` JSON; mutually
@@ -269,6 +303,7 @@ class App:
             partitions=partitions,
             path=path,
             assign=assign,
+            kafka_extra_options=kafka_extra_options,
         )
         for n in names:
             self.topics[n] = t
