@@ -6962,12 +6962,13 @@ def nb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     model, priors, _ = nb_fit(d, text_col="text", class_col="lang")
-    preds = nb_classify(
-        d, model, priors, text_col="text", id_col="doc_id"
-    ).select("id", "pred")
-    truth = d.select(
-        F.col("doc_id").alias("id"), F.col("lang").alias("truth")
-    ).join(preds, "id")
+    # carry= threads the truth label through the classifier's one
+    # id-partitioned corpus pass — no second corpus-side truth join
+    # (r10 verdict: classify+eval now share one (doc) partitioning)
+    truth = nb_classify(
+        d, model, priors, text_col="text", id_col="doc_id",
+        carry=["lang"],
+    ).select("id", "pred", F.col("lang").alias("truth"))
     # Confusion counts WITHOUT the |classes| x |docs| cross join: one
     # corpus-side agg to (truth, pred) pair counts (a class-squared
     # relation), then each pair contributes tp/fn to its truth class

@@ -194,24 +194,38 @@ def bpe_fit(
     100 TB corpus under Heaps' law can exceed any driver bound) take
     the distributed loop below — identical trajectory, property-pinned.
     Set ``driver_dict_max=0`` to force the distributed path."""
-    if driver_dict_max and words.count() <= driver_dict_max:
-        pdf = words.select("word", "cnt").toPandas()
-        merges, dic = _bpe_fit_driver(
-            list(zip(pdf["word"], pdf["cnt"])), n_merges
+    if driver_dict_max:
+        # ONE action decides the branch AND fetches the dictionary: pull
+        # at most driver_dict_max+1 rows — the corpus-sized aggregation
+        # that built `words` runs once, never count()-then-toPandas()
+        pdf = (
+            words.select("word", "cnt")
+            .limit(driver_dict_max + 1)
+            .toPandas()
         )
-        import pandas as pd
+        if len(pdf) <= driver_dict_max:
+            merges, dic = _bpe_fit_driver(
+                list(zip(pdf["word"], pdf["cnt"])), n_merges
+            )
+            import pandas as pd
 
-        out = pd.DataFrame(
-            {
-                "word": [w for w, _, _ in dic],
-                "cnt": [c for _, c, _ in dic],
-                "syms": [s for _, _, s in dic],
-            }
-        )
-        sym = words.sparkSession.createDataFrame(
-            out, "word string, cnt long, syms array<string>"
-        )
-        return merges, sym
+            out = pd.DataFrame(
+                {
+                    "word": [w for w, _, _ in dic],
+                    "cnt": [c for _, c, _ in dic],
+                    "syms": [s for _, _, s in dic],
+                }
+            )
+            # eager materialize for parity with the distributed branch:
+            # callers re-traversing the returned relation must not
+            # re-plan the (Arrow-local but per-action) pandas scan
+            sym = materialize(
+                words.sparkSession.createDataFrame(
+                    out, "word string, cnt long, syms array<string>"
+                ),
+                eager=True,
+            )
+            return merges, sym
     sym = materialize(
         words.select(
             "word",

@@ -405,9 +405,12 @@ def nb_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_dp: int = 9,
+    carry: Optional[list] = None,
 ) -> DataFrame:
     """Score every document against every class and pick the argmax;
-    returns (id, pred, score).
+    returns (id, pred, score) plus any ``carry`` columns of ``docs``
+    passed through unchanged (so an evaluator can keep the truth label
+    without a second corpus join).
 
     Per-class score = prior + Σ lp(w, class) over the doc's tokens
     (multinomial — duplicates count), summed in DECIMAL so the result
@@ -418,8 +421,15 @@ def nb_classify(
     the likelihood term is empty, so its score is the bare prior and
     the prediction is the prior-argmax class — documents never silently
     vanish from the output (downstream routing and eval populations
-    stay complete). Shape: one explode + one broadcast join + one
-    (doc, class) partial agg.
+    stay complete).
+
+    ONE corpus shuffle: docs are hash-partitioned by id up front, and
+    every later doc-keyed step reuses that distribution —
+    HashPartitioning(id) satisfies the (id, cls) grouping's clustered
+    requirement, the argmax is a partial-agg struct MIN over the same
+    keys (no window sort), and the id-population left join sees two
+    id-partitioned sides. The plan is explode + broadcast model join +
+    two co-partitioned aggs + one co-partitioned join.
 
     EAGER: the prior-argmax fallback is resolved with a one-row
     collect() when this function is CALLED, so a (model-sized) Spark
@@ -427,18 +437,22 @@ def nb_classify(
     are frozen as literals then. Raises ValueError on an empty priors
     table.
     """
-    from pyspark.sql import Window as W
-
     # decimal(20,9): sum -> decimal(30,9), + prior -> decimal(31,9) —
     # inside Spark's 38-digit cap, so the 9-digit SCALE IS PRESERVED.
     # decimal(28,9) would make the final addition need precision 39 and
     # Spark silently reduces scale to 8, truncating the score's last
     # digit (found by the oracle hash mismatch).
     dec = "decimal(20,9)"
-    toks = docs.select(
+    carry = list(carry or [])
+    base = docs.select(
         F.col(id_col).alias("id"),
+        F.col(text_col).alias("__txt"),
+        *[F.col(c) for c in carry],
+    ).repartition(F.col("id"))
+    toks = base.select(
+        "id",
         F.explode(
-            F.split(F.lower(F.col(text_col)), " ")
+            F.split(F.lower(F.col("__txt")), " ")
         ).alias("w"),
     ).filter(F.col("w").rlike("^[a-z]+$"))
     scored = (
@@ -452,13 +466,24 @@ def nb_classify(
             (F.col("prior").cast(dec) + F.col("s")).alias("total"),
         )
     )
-    wd = W.partitionBy("id").orderBy(
-        F.desc("total"), F.col("cls")
-    )
+    # argmax as a partial-aggregable struct MIN (desc total, asc cls ==
+    # lexicographic min of (-total, cls)); decimal negation is exact,
+    # so -(-total) round-trips bit-for-bit
     winner = (
-        scored.withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .select("id", "cls", "total")
+        scored.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("total")).alias("nt"),
+                    F.col("cls").alias("cls"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "id",
+            F.col("b.cls").alias("cls"),
+            (-F.col("b.nt")).alias("total"),
+        )
     )
     # all-OOV fallback: empty likelihood ⇒ score = prior; prior-argmax
     # class, same tie-break. priors is class-count-sized, so the
@@ -482,7 +507,7 @@ def nb_classify(
         )
     fb = fb_rows[0]
     return (
-        docs.select(F.col(id_col).alias("id"))
+        base.drop("__txt")
         .join(winner, "id", "left")
         .select(
             F.col("id"),
@@ -492,5 +517,6 @@ def nb_classify(
             )
             .cast("double")
             .alias("score"),
+            *[F.col(c) for c in carry],
         )
     )

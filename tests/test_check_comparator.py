@@ -8,9 +8,12 @@ change the hash) AND its intended insensitivities (row order, column
 order under name-sorting, -0.0 vs 0.0 handled by repr).
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
 
 from check import norm_cell, table_hash, type_parity_problems  # noqa: E402
 

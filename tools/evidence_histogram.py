@@ -34,22 +34,36 @@ def main() -> int:
     import __spark_entry__ as entry
 
     keys = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+    # hash-verified evidence and rows-only evidence tracked SEPARATELY:
+    # a hash_match=false rows_match=true row is full evidence only for
+    # queries that declare no oracle (the driver's weaker rows-only
+    # check is all they can ever get); for oracle-backed queries it
+    # must not refresh the histogram.
     newest: dict[str, int] = {}
+    newest_rows_only: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1))
         data = json.load(open(path))
         for k, row in data.items():
-            ok = (
-                row.get("hash_match")
-                or (row.get("rows_match") and row.get("err") is None)
-            )
-            if ok and k in keys:
+            if k not in keys:
+                continue
+            if row.get("hash_match"):
                 newest[k] = max(newest.get(k, 0), rnd)
+            elif row.get("rows_match") and row.get("err") is None:
+                newest_rows_only[k] = max(newest_rows_only.get(k, 0), rnd)
+                if k not in oracles:
+                    newest[k] = max(newest.get(k, 0), rnd)
 
     hist: dict[int, int] = {}
     for k in keys:
         hist[newest.get(k, 0)] = hist.get(newest.get(k, 0), 0) + 1
+    overstated = sorted(
+        k
+        for k in keys
+        if k in oracles and newest_rows_only.get(k, 0) > newest.get(k, 0)
+    )
     window = keys[: args.window]
     # simulate: windowed keys get evidence at (max seen round + 1)
     nxt = max((r for r in hist if r), default=0) + 1
@@ -68,6 +82,7 @@ def main() -> int:
             {"query": k, "newest_round": newest.get(k, 0)} for k in stale
         ],
         "window_head": window[:10],
+        "rows_only_newer_than_hash": overstated,
         "simulated_after_next_round": {
             str(r): sim_hist[r] for r in sorted(sim_hist)
         },
