@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from faust_spark.operators.mat import materialize
+from faust_spark.operators.mat import materialize, materialize_partitioned
 
 __all__ = [
     "pagerank",
@@ -67,7 +67,7 @@ def pagerank(
     # iterate — the anti-join against outdeg (which re-ran the degree
     # agg every round) leaves the loop entirely. Partitioned by node
     # ONCE so each round's update join reuses the exchange.
-    nodes = materialize(
+    nodes = materialize_partitioned(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
@@ -78,8 +78,8 @@ def pagerank(
             "node",
             "left",
         )
-        .select("node", F.col("__o").isNull().alias("dang"))
-        .repartition("node")
+        .select("node", F.col("__o").isNull().alias("dang")),
+        "node",
     )
     n = nodes.count()
     if n == 0:
@@ -90,7 +90,7 @@ def pagerank(
     # the loop's join key ONCE — the checkpointed blocks keep that
     # partitioning, so each round's contribution join shuffles only the
     # |V| rank side, never the |E| edge side
-    eo = materialize(e.join(outdeg, "src").repartition("src"))
+    eo = materialize_partitioned(e.join(outdeg, "src"), "src")
 
     # initial rank rounded IN-ENGINE (F.round is HALF_UP like DuckDB's
     # ROUND; Python's round() is banker's — a tie would diverge)
@@ -184,7 +184,7 @@ def personalized_pagerank(
     # node once — same loop discipline as pagerank (r10): the per-round
     # dangling mass is a filtered SUM over the checkpointed iterate,
     # and the update join reuses this exchange every round
-    wnodes = materialize(
+    wnodes = materialize_partitioned(
         nodes.join(
             sd.withColumn("__s", F.lit(1)), "node", "left"
         )
@@ -201,10 +201,10 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("w"),
             F.col("__o").isNull().alias("dang"),
-        )
-        .repartition("node")
+        ),
+        "node",
     )
-    eo = materialize(e.join(outdeg, "src").repartition("src"))
+    eo = materialize_partitioned(e.join(outdeg, "src"), "src")
 
     ranks = wnodes.select(
         "node", "dang", F.round(F.col("w"), round_dp).alias("rank")
@@ -254,6 +254,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     round_dp: int = 9,
+    low_memory: bool = False,
 ) -> DataFrame:
     """HITS hubs & authorities over distinct directed edges; returns
     (node, hub, auth).
@@ -283,14 +284,19 @@ def hits(
     # half-step's join key (r10): the auth step joins on src, the hub
     # step on dst — two partitioned copies mean neither half-step ever
     # shuffles the edges again, only the |V| score side. nodes keep a
-    # node partitioning for the same reason (the update joins).
-    es = materialize(e.repartition("src"))
-    ed = materialize(e.repartition("dst"))
-    nodes = materialize(
+    # node partitioning for the same reason (the update joins). The
+    # second copy DOUBLES the checkpointed edge bytes (2x|E| state);
+    # low_memory=True keeps one src-partitioned copy and pays one |E|
+    # dst re-exchange per hub half-step instead — the time/space knob
+    # for edge sets near executor-storage limits (DEPLOYMENT.md sizing
+    # table has the row).
+    es = materialize_partitioned(e, "src")
+    ed = es if low_memory else materialize_partitioned(e, "dst")
+    nodes = materialize_partitioned(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .repartition("node")
+        .distinct(),
+        "node",
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
@@ -392,14 +398,14 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    und = materialize(
+    und = materialize_partitioned(
         e.unionByName(
             e.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .distinct()
-        .repartition("dst")
+        .distinct(),
+        "dst",
     )
     nodes = materialize(
         und.select(F.col("src").alias("node")).distinct()

@@ -84,4 +84,43 @@ def materialize(
     return p
 
 
-__all__ = ["materialize"]
+def materialize_partitioned(
+    df: DataFrame,
+    *key_cols: str,
+    num_partitions: int = None,
+    eager: bool = True,
+    iterative: bool = False,
+) -> DataFrame:
+    """Checkpoint ``df`` hash-partitioned by ``key_cols`` with the
+    partitioning VISIBLE to downstream plans.
+
+    The trap this exists for (found r11): under AQE,
+    ``df.repartition(k).localCheckpoint()`` loses its output
+    partitioning — ``AdaptiveSparkPlanExec`` reports unknown
+    partitioning to the ``LogicalRDD`` wrapper, so every later join or
+    aggregation on ``k`` re-exchanges the checkpointed relation. For a
+    loop-invariant edge list that is a per-iteration |E| shuffle the
+    r10 design believed it had removed. Disabling AQE for just the
+    checkpoint-building query (a bare repartition — AQE has nothing to
+    optimize there) makes ``LogicalRDD`` carry ``HashPartitioning``,
+    and downstream AQE-on queries then satisfy their clustering
+    requirements without an Exchange (verified by plan tests).
+
+    ``num_partitions`` defaults to ``spark.sql.shuffle.partitions`` so
+    the preserved partitioning is co-partitionable with the exchanges
+    Catalyst inserts on the other (|V|-sized) join sides.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    rep = df.repartition(n, *[df[c] for c in key_cols])
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return materialize(rep, eager=eager, iterative=iterative)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+__all__ = ["materialize", "materialize_partitioned"]

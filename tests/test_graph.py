@@ -317,3 +317,23 @@ def test_hits_requires_at_least_one_iteration(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iters"):
         hits(df, iters=0)
+
+
+def test_hits_low_memory_identical_trajectory(spark):
+    """low_memory=True keeps one edge copy (1x|E| checkpointed state,
+    one dst re-exchange per hub half-step) — the VALUES must be
+    bit-identical to the two-copy default."""
+    edges = [
+        ("a", "x"), ("a", "y"), ("b", "y"), ("b", "z"),
+        ("c", "y"), ("c", "x"), ("d", "z"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    full = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, iters=3).collect()
+    }
+    lean = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, iters=3, low_memory=True).collect()
+    }
+    assert full == lean
