@@ -6,6 +6,8 @@ Mapping (reference ``faust/cli/faust.py:16-29`` command set):
                     registered agents / tables (``-A`` module pattern);
                     ``queries`` lists the engine's own query inventory
   models          → ``models``: print a Record schema
+  model           → ``model``: one model's field/type/default table
+                    (``faust/cli/model.py``)
   send            → ``send``: produce one message to a topic
   bench           → ``bench``: run the benchmark harness
 
@@ -88,6 +90,23 @@ def main(argv: list[str] | None = None) -> int:
         help="import MOD before resolving, to register a user app's "
         "models (the reference's `-A app` pattern, faust/cli/base.py); "
         "repeatable",
+    )
+
+    model_p = sub.add_parser(
+        "model",
+        help="show ONE model's fields/types/defaults (reference "
+        "`faust model`, faust/cli/model.py)",
+    )
+    model_p.add_argument(
+        "name",
+        help="dotted path (pkg.mod.Class) or bare registered class name",
+    )
+    model_p.add_argument(
+        "--module",
+        action="append",
+        default=[],
+        metavar="MOD",
+        help="import MOD before resolving (repeatable)",
     )
 
     for verb, help_ in (
@@ -268,6 +287,62 @@ def main(argv: list[str] | None = None) -> int:
         print(f"deleted {ck}; the query will reprocess from scratch "
               "(Kafka-EOS markers bound to this checkpoint's lineage id "
               "stop matching, so sinks re-deliver rather than skip)")
+        return 0
+
+    if args.cmd == "model":
+        # reference faust/cli/model.py: one model's field/type/default
+        # table; required fields render as '*' exactly like the
+        # reference's `self.dark('*' if field.required else ...)`
+        import importlib
+
+        from faust_spark.models import Record, _MISSING
+
+        for mod in ("examples.bank", "examples.word_count"):
+            try:
+                importlib.import_module(mod)
+            except Exception:
+                pass  # the singular verb only needs the named model
+        for mod in args.module:
+            try:
+                importlib.import_module(mod)
+            except Exception as e:
+                print(f"cannot import --module {mod!r}: {e}", file=sys.stderr)
+                return 2
+        if "." in args.name:
+            mod_name, _, cls_name = args.name.rpartition(".")
+            try:
+                cls = getattr(importlib.import_module(mod_name), cls_name)
+            except (ImportError, AttributeError) as e:
+                print(f"cannot import {args.name!r}: {e}", file=sys.stderr)
+                return 2
+        else:
+            cls = Record._registry.get(args.name)
+            if cls is None:
+                print(
+                    f"No model {args.name!r}. Please run "
+                    "`python -m faust_spark models` for a list.",
+                    file=sys.stderr,
+                )
+                return 2
+        rows = []
+        for fname in getattr(cls, "_field_order", ()):
+            d = getattr(cls, fname)
+            rows.append(
+                (
+                    fname,
+                    d.dtype.simpleString()
+                    + ("" if d.nullable else " not null"),
+                    "*" if d.default is _MISSING else repr(d.default),
+                )
+            )
+        headers = ("field", "type", "default")
+        widths = [
+            max(len(r[i]) for r in rows + [headers]) for i in range(3)
+        ]
+        print(f"{cls.__module__}.{cls.__name__}")
+        print("  ".join(h.ljust(w) for h, w in zip(headers, widths)))
+        for r in rows:
+            print("  ".join(c.ljust(w) for c, w in zip(r, widths)))
         return 0
 
     if args.cmd == "models":

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from faust_spark.operators.mat import materialize
+from faust_spark.operators.mat import materialize, materialize_partitioned
 
 
 # --------------------------------------------------------------------------
@@ -902,15 +902,19 @@ def connected_components(
     # twice; eager localCheckpoint both forces the materialization and
     # lets the blocks free on GC (a persist here was never unpersisted)
     pairs = materialize(pairs, eager=True)  # once, not per-round
-    edges = (
+    # checkpointed pre-partitioned by dst, the distributed loop's join
+    # key (r11: materialize_partitioned, not persist — under AQE a plain
+    # checkpoint/persist loses the partitioning and every propagation
+    # round re-shuffles the |E| side)
+    edges = materialize_partitioned(
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .unionByName(
             pairs.select(
                 F.col("doc2").alias("src"), F.col("doc1").alias("dst")
             )
         )
-        .distinct()
-        .persist()
+        .distinct(),
+        "dst",
     )
     # only edge-connected nodes participate in propagation; isolated nodes
     # are their own component and join back at the end (in a dedup corpus
@@ -939,7 +943,6 @@ def connected_components(
                 parent[rb] = ra
         spark = nodes.sparkSession
         comp_rows = [(n, find(n)) for n in parent]
-        edges.unpersist()
         active.unpersist()
         if comp_rows:
             resolved = spark.createDataFrame(
@@ -995,7 +998,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     active.unpersist()
     out = labels.unionByName(
         isolated.select("node", F.col("node").alias("label"))

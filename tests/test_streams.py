@@ -388,3 +388,28 @@ def test_cli_agents_and_tables(spark, capsys):
     capsys.readouterr()
     assert cli_main(["agents", "-A", "no.such.module"]) == 2
     assert "cannot import" in capsys.readouterr().err
+
+
+def test_cli_model_detail_verb(capsys):
+    """`python -m faust_spark model <Name>` prints one model's
+    field/type/default table (reference faust/cli/model.py): required
+    fields render '*', defaults render repr, unknown names get the
+    didyoumean-style pointer at `models`."""
+    from faust_spark.__main__ import main as cli_main
+    from faust_spark.models import Record
+
+    class PaymentDetail(Record):
+        user: str
+        amount: float = 0.5
+
+    assert cli_main(["model", "PaymentDetail"]) == 0
+    out = capsys.readouterr().out
+    assert "PaymentDetail" in out
+    lines = [ln.split() for ln in out.splitlines()[2:]]
+    rows = {ln[0]: ln[1:] for ln in lines}
+    assert rows["user"][0] == "string" and rows["user"][-1] == "*"
+    assert rows["amount"][0] == "double" and rows["amount"][-1] == "0.5"
+
+    assert cli_main(["model", "NoSuchModel"]) == 2
+    err = capsys.readouterr().err
+    assert "No model 'NoSuchModel'" in err and "models" in err
