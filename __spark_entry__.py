@@ -8325,109 +8325,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-10 window policy (VERDICT r9 items 1+3 — fourth consecutive
+# Round-11 window policy (VERDICT r10 item 5 — fifth consecutive
 # rotation): positions 1-50 carry changed-this-round first, then the
-# stalest driver evidence oldest-cohort-first.
-#   Position 1: stream_embedding_dedup — NEW in r10 (hyperplane-LSH
-#     embedding near-dup suppression on the DFS bucket-claim state),
-#     zero driver evidence of any kind, so it outranks every
-#     re-verification row.
-#   Positions 2-5: the queries whose code changes in r10 —
-#     simhash_near_pairs (fingerprint width is now the corpus-scaled
-#     simhash_params rule, with a matching dynamic-bits oracle; the
-#     one r9 weak-shape), stream_lsh_dedup (try/finally unpersist in
-#     the DFS sink, ADVICE r9), semantic_dedup (max_cell_rows now a
-#     public kwarg, ADVICE r9), rp_topk (single-job n/dim stats +
-#     empty-corpus guard, ADVICE r9). Changed-this-round outranks
-#     re-verification.
-#   Positions 6-9: the four rows whose newest driver evidence is
-#     ROUND 4 — multimodal_features, multimodal_resize,
-#     multires_rollup, value_percentiles (displaced from the r9 window
-#     by the late-r9-changed gates; VERDICT r9 item 3 says they lead).
-#   Positions 10-38: the full r5 cohort of 29 (validator battery, the
-#     sketch block hll/theta/kll, weighted_sample, the r4-era text/
-#     embedding blocks re-greened in r5: simhash_fp, ann_*, hybrid,
-#     hard_negatives, knn_label, substring/span dedup, zorder,
-#     bigram_logprob, q12, temperature_mix, retrieval_eval).
-#   Positions 39-50: the oldest r7 rows in list order (knn_label_ivf
-#     through supplier_hits), then purchase_communities and
-#     trusted_supplier_ppr — their loop shapes changed late in r10
-#     (exchange-reuse + dangling-flag commits), so they take the last
-#     two window slots for fresh driver evidence; the bpe pair they
-#     displace sits immediately after the edge with driver-green r7
-#     evidence and full-local-gate coverage.
-#   split_leakage_audit (r10-new, leads the window) displaces
-#     trusted_supplier_ppr to 51: a BRAND-NEW gate needs first driver
-#     evidence more than an r10-reshaped loop whose trajectory is
-#     oracle-pinned in both full local gates (sf0.01 + sf0.1).
-# After this window completes, NO registry query's newest driver
-# evidence predates r5 (the target r9 missed by exactly the four r4
-# rows). Every row displaced past 50 has driver-green >= r7 AND stays
-# covered by the per-round full local gate (tools/check.py ->
-# artifacts/check_all_r10.json). Tail order is oldest-evidence-first
-# (rest of r7's 45, then r8's 48, then r9's 50) so the next rotation
-# is a straight prefix shift.
+# ENTIRE r7 evidence band, then r8 fill.
+#   Positions 1-12: the queries whose operator code changed in r11 —
+#     nb_eval + lang_nb_classify (nb_classify one-partitioning rewrite,
+#     struct-MIN argmax, carry= truth pass-through), the four graph
+#     gates (materialize_partitioned: checkpoints now genuinely keep
+#     their hash partitioning under AQE, so rounds stop re-shuffling
+#     |E|), dedup_components + split_by_cluster (connected_components
+#     edge checkpoint, same fix), bpe_merges + bpe_segment_words
+#     (single-action driver-branch decision), kmeans_fit +
+#     quality_adaboost_fit (plan-pinned this round; also r7-stale).
+#     Changed-this-round outranks re-verification.
+#   Positions 13-37: the REST of the r7 cohort (the r10 verdict's
+#     34-row histogram band, minus the nine already in the head) —
+#     after this window completes, NO registry query's newest driver
+#     evidence predates r8.
+#   Positions 38-50: r8 fill in list order (pack_sequences ..
+#     word_count).
+# Every row displaced past 50 has driver-green >= r8 AND stays covered
+# by the per-round full local gates at sf0.01 AND sf0.1
+# (artifacts/check_all_r11*.json). Tail order is oldest-evidence-first
+# (rest of r8's cohort, then r9's, then r10's) so the next rotation is
+# a straight prefix shift.
 _PRIORITY: list[str] = [
-    "split_leakage_audit",
-    "stream_embedding_dedup",
-    "simhash_near_pairs",
-    "stream_lsh_dedup",
-    "semantic_dedup",
-    "rp_topk",
-    "multimodal_features",
-    "multimodal_resize",
-    "multires_rollup",
-    "value_percentiles",
-    "ivf2_topk",
-    "validate_orders",
-    "weighted_sample",
-    "distinct_rollup_hll",
-    "audience_overlap_theta",
-    "value_quantiles_kll",
-    "q12_late_shipping",
-    "hybrid_search",
-    "hard_negatives",
-    "knn_label",
-    "temperature_mix",
-    "retrieval_eval",
-    "substring_dedup",
-    "remove_dup_spans",
-    "winnow_fingerprint",
-    "zorder_layout",
-    "bigram_logprob",
-    "edit_distance_pairs",
-    "dedup_exact",
-    "dedup_keep_best",
-    "simhash_fp",
-    "embedding_dup_pairs",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_centroids",
-    "text_tokens",
-    "text_quality",
-    "lang_id",
-    "gopher_rules",
-    "knn_label_ivf",
-    "livecheck_audit",
-    "livecheck_latency",
-    "dedup_jaccard_prefix",
-    "kn_logprob",
-    "livecheck_case_stats",
-    "mmr_rerank",
-    "quality_logreg_fit",
+    "nb_eval",
+    "lang_nb_classify",
     "supplier_pagerank",
+    "trusted_supplier_ppr",
     "supplier_hits",
     "purchase_communities",
-    "trusted_supplier_ppr",
-    "kmeans_fit",
+    "dedup_components",
+    "split_by_cluster",
     "bpe_merges",
     "bpe_segment_words",
+    "kmeans_fit",
     "quality_adaboost_fit",
-    "lang_nb_classify",
-    "split_by_cluster",
     "token_budget_plan",
     "corpus_datasheet",
-    "nb_eval",
     "stream_everseen_dedup",
     "stream_heavy_hitters",
     "dsir_score",
@@ -8439,7 +8375,6 @@ _PRIORITY: list[str] = [
     "dedup_containment",
     "dedup_incremental",
     "dedup_minhash_lsh",
-    "dedup_components",
     "vocab_build",
     "tokenize_ids",
     "perplexity_buckets",
@@ -8546,6 +8481,53 @@ _PRIORITY: list[str] = [
     "null_safe_join",
     "session_windows",
     "doc_fingerprint",
+    "split_leakage_audit",
+    "stream_embedding_dedup",
+    "simhash_near_pairs",
+    "stream_lsh_dedup",
+    "semantic_dedup",
+    "rp_topk",
+    "multimodal_features",
+    "multimodal_resize",
+    "multires_rollup",
+    "value_percentiles",
+    "ivf2_topk",
+    "validate_orders",
+    "weighted_sample",
+    "distinct_rollup_hll",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
+    "q12_late_shipping",
+    "hybrid_search",
+    "hard_negatives",
+    "knn_label",
+    "temperature_mix",
+    "retrieval_eval",
+    "substring_dedup",
+    "remove_dup_spans",
+    "winnow_fingerprint",
+    "zorder_layout",
+    "bigram_logprob",
+    "edit_distance_pairs",
+    "dedup_exact",
+    "dedup_keep_best",
+    "simhash_fp",
+    "embedding_dup_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "text_tokens",
+    "text_quality",
+    "lang_id",
+    "gopher_rules",
+    "knn_label_ivf",
+    "livecheck_audit",
+    "livecheck_latency",
+    "dedup_jaccard_prefix",
+    "kn_logprob",
+    "livecheck_case_stats",
+    "mmr_rerank",
+    "quality_logreg_fit",
 ]
 
 
