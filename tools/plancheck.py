@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -187,6 +188,26 @@ def main() -> int:
             df.collect()  # finalize AQE plan
             plan = df._jdf.queryExecution().executedPlan().toString()
             out[key] = metrics(plan)
+            # toString prints a shared subtree once PER CONSUMER (a
+            # diamond lineage double-counts its exchanges), so also
+            # record the deduplicated SHUFFLE operator count from
+            # formatted mode, where each physical operator appears
+            # exactly once: reuse shows as ReusedExchange (not
+            # counted), BroadcastExchange doesn't match (not a
+            # shuffle), and after AQE finalizes the output carries
+            # BOTH "Final Plan" and "Initial Plan" sections — only the
+            # final (executed) section counts
+            fmt = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            final = fmt.split("== Initial Plan ==")[0]
+            out[key]["exchange_ops"] = len(
+                re.findall(
+                    r"(?<!Reused)(?<!Broadcast)Exchange \(\d+\)", final
+                )
+            )
         except Exception as e:
             out[key] = {"error": str(e)[:120]}
     print(json.dumps(out, indent=1, sort_keys=True))
