@@ -26,7 +26,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from faust_spark.operators.mat import materialize, materialize_partitioned
+from faust_spark.operators.mat import (
+    loop_partitions,
+    materialize,
+    materialize_partitioned,
+)
 
 
 # --------------------------------------------------------------------------
@@ -905,7 +909,10 @@ def connected_components(
     # checkpointed pre-partitioned by dst, the distributed loop's join
     # key (r11: materialize_partitioned, not persist — under AQE a plain
     # checkpoint/persist loses the partitioning and every propagation
-    # round re-shuffles the |E| side)
+    # round re-shuffles the |E| side); width scaled to the edge count
+    # (r11 rule, mat.loop_partitions — the count doubles as the
+    # union-find guard input below)
+    parts = loop_partitions(pairs.sparkSession, 2 * pairs.count())
     edges = materialize_partitioned(
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .unionByName(
@@ -915,6 +922,7 @@ def connected_components(
         )
         .distinct(),
         "dst",
+        num_partitions=parts,
     )
     # only edge-connected nodes participate in propagation; isolated nodes
     # are their own component and join back at the end (in a dedup corpus

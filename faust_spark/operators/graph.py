@@ -32,7 +32,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from faust_spark.operators.mat import materialize, materialize_partitioned
+from faust_spark.operators.mat import (
+    loop_partitions,
+    materialize,
+    materialize_partitioned,
+)
 
 __all__ = [
     "pagerank",
@@ -60,7 +64,12 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    e = materialize(e)
+    e = materialize(e, eager=True)
+    # loop-invariant partition width scaled to |E| (r11 rule — see
+    # mat.loop_partitions): the count is one cheap scan of the
+    # checkpoint just built, and every per-round map-side scan below
+    # inherits this width
+    parts = loop_partitions(e.sparkSession, e.count())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # nodes carry their dangling flag from day one (r10): the per-round
     # dangling mass is then a filtered SUM over the checkpointed rank
@@ -80,6 +89,7 @@ def pagerank(
         )
         .select("node", F.col("__o").isNull().alias("dang")),
         "node",
+        num_partitions=parts,
     )
     n = nodes.count()
     if n == 0:
@@ -90,7 +100,9 @@ def pagerank(
     # the loop's join key ONCE — the checkpointed blocks keep that
     # partitioning, so each round's contribution join shuffles only the
     # |V| rank side, never the |E| edge side
-    eo = materialize_partitioned(e.join(outdeg, "src"), "src")
+    eo = materialize_partitioned(
+        e.join(outdeg, "src"), "src", num_partitions=parts
+    )
 
     # initial rank rounded IN-ENGINE (F.round is HALF_UP like DuckDB's
     # ROUND; Python's round() is banker's — a tie would diverge)
@@ -165,7 +177,9 @@ def personalized_pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    e = materialize(e)
+    e = materialize(e, eager=True)
+    # loop-invariant partition width scaled to |E| (r11 rule)
+    parts = loop_partitions(e.sparkSession, e.count())
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -203,8 +217,11 @@ def personalized_pagerank(
             F.col("__o").isNull().alias("dang"),
         ),
         "node",
+        num_partitions=parts,
     )
-    eo = materialize_partitioned(e.join(outdeg, "src"), "src")
+    eo = materialize_partitioned(
+        e.join(outdeg, "src"), "src", num_partitions=parts
+    )
 
     ranks = wnodes.select(
         "node", "dang", F.round(F.col("w"), round_dp).alias("rank")
@@ -279,7 +296,9 @@ def hits(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    e = materialize(e)
+    e = materialize(e, eager=True)
+    # loop-invariant partition width scaled to |E| (r11 rule)
+    parts = loop_partitions(e.sparkSession, e.count())
     # the |E| relation is checkpointed pre-partitioned by EACH
     # half-step's join key (r10): the auth step joins on src, the hub
     # step on dst — two partitioned copies mean neither half-step ever
@@ -290,13 +309,18 @@ def hits(
     # dst re-exchange per hub half-step instead — the time/space knob
     # for edge sets near executor-storage limits (DEPLOYMENT.md sizing
     # table has the row).
-    es = materialize_partitioned(e, "src")
-    ed = es if low_memory else materialize_partitioned(e, "dst")
+    es = materialize_partitioned(e, "src", num_partitions=parts)
+    ed = (
+        es
+        if low_memory
+        else materialize_partitioned(e, "dst", num_partitions=parts)
+    )
     nodes = materialize_partitioned(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct(),
         "node",
+        num_partitions=parts,
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
@@ -398,6 +422,10 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # (the |2E| checkpoint width stays at the session default here: the
+    # row count isn't known before the checkpoint is built, and a
+    # pre-count would cost an extra |E| pass — unlike pagerank/hits,
+    # where e is checkpointed anyway and the count is a cheap rescan)
     und = materialize_partitioned(
         e.unionByName(
             e.select(

@@ -123,4 +123,33 @@ def materialize_partitioned(
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
-__all__ = ["materialize", "materialize_partitioned"]
+def loop_partitions(
+    spark,
+    n_rows: int,
+    rows_per_partition: int = 250_000,
+    floor: int = 8,
+) -> int:
+    """Partition-count RULE for loop-invariant checkpoint relations
+    (rules-not-constants, DEPLOYMENT.md "Parameter scaling discipline").
+
+    A checkpointed loop invariant keeps its partition count for every
+    round's map-side scan — AQE can coalesce post-shuffle partitions
+    but cannot merge checkpoint blocks without a new exchange. Sizing
+    the checkpoint by ``spark.sql.shuffle.partitions`` alone means a
+    1.6k-node graph scans 32 near-empty blocks per stage per round;
+    sizing by rows means: one partition per ``rows_per_partition``
+    rows, floored at ``floor`` (keep some parallelism), capped at the
+    session's ``shuffle.partitions`` — at cluster scale the admin's
+    configured width governs exactly as before, the rule only prevents
+    tiny-relation overpartitioning.
+    """
+    import math
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(
+        floor,
+        min(default, math.ceil(max(int(n_rows), 1) / rows_per_partition)),
+    )
+
+
+__all__ = ["materialize", "materialize_partitioned", "loop_partitions"]
