@@ -951,6 +951,10 @@ def connected_components(
                 parent[rb] = ra
         spark = nodes.sparkSession
         comp_rows = [(n, find(n)) for n in parent]
+        # no-op under the checkpoint strategies; under "persist" it
+        # releases the pinned |2E| cache (a long-lived session running
+        # many dedup corpora would otherwise accumulate one per call)
+        edges.unpersist()
         active.unpersist()
         if comp_rows:
             resolved = spark.createDataFrame(
@@ -1006,6 +1010,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()  # see the union-find branch note
     active.unpersist()
     out = labels.unionByName(
         isolated.select("node", F.col("node").alias("label"))

@@ -26,9 +26,17 @@ between jobs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _VALID = ("local", "reliable", "persist")
+
+#: serializes the AQE on/off/restore window in materialize_partitioned —
+#: the conf is session-global, so two interleaved callers could each read
+#: the other's "off" as the value to restore and leave AQE disabled for
+#: every later query in the session
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def _strategy(df: DataFrame) -> str:
@@ -115,12 +123,19 @@ def materialize_partitioned(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     rep = df.repartition(n, *[df[c] for c in key_cols])
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return materialize(rep, eager=eager, iterative=iterative)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # the toggle window is held under a lock: the conf is session-global,
+    # and without it a second caller entering between set and restore
+    # reads "false" as its restore value — AQE would stay off for the
+    # rest of the session. Queries planned by OTHER threads during the
+    # window still lose AQE for that one plan (unavoidable with a global
+    # conf); the lock guarantees the setting always RESTORES correctly.
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return materialize(rep, eager=eager, iterative=iterative)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def loop_partitions(

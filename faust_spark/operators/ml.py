@@ -444,6 +444,16 @@ def nb_classify(
     # digit (found by the oracle hash mismatch).
     dec = "decimal(20,9)"
     carry = list(carry or [])
+    # carry columns ride through the internal lineage and the final
+    # join — a name collision would either throw AMBIGUOUS_REFERENCE
+    # deep in the plan or silently duplicate an output column
+    reserved = {"id", "__txt", "cls", "total", "pred", "score"}
+    clash = reserved.intersection(carry)
+    if clash:
+        raise ValueError(
+            f"nb_classify: carry column(s) {sorted(clash)} collide with "
+            f"internal/output names {sorted(reserved)}; alias them first"
+        )
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__txt"),

@@ -245,6 +245,26 @@ def test_nb_classifies_separable_vocab(spark):
     assert all(out[i] == "bb" for i in range(30, 60))
 
 
+def test_nb_classify_carry_collision_raises(spark):
+    """carry= columns that collide with the classifier's internal or
+    output names must fail loudly at call time, not as an ambiguous-
+    reference error deep in the plan (r11 review finding)."""
+    import pytest
+
+    from faust_spark.operators.ml import nb_classify, nb_fit
+
+    docs = spark.createDataFrame(
+        [(1, "aa", "alpha beta"), (2, "bb", "delta zeta")],
+        "doc_id long, lang string, text string",
+    )
+    model, priors, _ = nb_fit(docs)
+    with pytest.raises(ValueError, match="carry column"):
+        nb_classify(docs, model, priors, carry=["pred"])
+    # a non-colliding carry still rides through
+    out = nb_classify(docs, model, priors, carry=["lang"]).columns
+    assert "lang" in out and "pred" in out
+
+
 def test_nb_matches_python_reference(spark):
     """Exact score parity with a pure-python replica (add-one
     smoothing, rounded-at-source logprobs, decimal sums)."""

@@ -171,7 +171,9 @@ def main() -> int:
             drive_banded(
                 spark,
                 f"stream_lsh_dedup_{scale}",
-                lambda s, st: lsh_dedup_dfs_sink(s, st),
+                lambda s, st: lsh_dedup_dfs_sink(
+                    s, st, compact_every=COMPACT_EVERY
+                ),
                 d_src,
             )
         )
@@ -183,7 +185,9 @@ def main() -> int:
             drive_banded(
                 spark,
                 f"stream_embedding_dedup_{scale}",
-                lambda s, st: embedding_dedup_dfs_sink(s, st),
+                lambda s, st: embedding_dedup_dfs_sink(
+                    s, st, compact_every=COMPACT_EVERY
+                ),
                 e_src,
             )
         )
