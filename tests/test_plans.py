@@ -434,3 +434,21 @@ def test_materialize_partitioned_preserves_partitioning(spark):
     agg = ck.groupBy("k").count()
     assert "Exchange" not in plan_of(agg)
     assert agg.count() == 7
+
+
+def test_loop_partitions_rule(spark):
+    """r11 rule: one partition per 250k rows, floored at 8, capped at
+    the session's shuffle.partitions — cluster sizing governs at scale,
+    tiny relations stop inheriting the full session width."""
+    from faust_spark.operators.mat import loop_partitions
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert loop_partitions(spark, 0) == min(8, default) or default <= 8
+    assert loop_partitions(spark, 1_600) == max(
+        8, min(default, 1)
+    )  # floor binds
+    assert loop_partitions(spark, 250_000 * default + 1) == default  # cap
+    # between floor and cap: exact ceil
+    mid_rows = 250_000 * 8 + 1
+    expect = max(8, min(default, 9))
+    assert loop_partitions(spark, mid_rows) == expect
