@@ -157,13 +157,20 @@ def loop_partitions(
     session's ``shuffle.partitions`` — at cluster scale the admin's
     configured width governs exactly as before, the rule only prevents
     tiny-relation overpartitioning.
+
+    The cap applies AFTER the floor: a result above the session width
+    would break co-partitioning with the Catalyst-inserted exchanges
+    on the loop's |V| sides (their width is the session conf), and a
+    mismatched join side re-exchanges the checkpointed relation — the
+    exact per-round |E| shuffle this rule exists to prevent (caught by
+    the round-plan pins when a session ran with shuffle.partitions=4).
     """
     import math
 
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(
-        floor,
-        min(default, math.ceil(max(int(n_rows), 1) / rows_per_partition)),
+    return min(
+        default,
+        max(floor, math.ceil(max(int(n_rows), 1) / rows_per_partition)),
     )
 
 

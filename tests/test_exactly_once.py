@@ -47,8 +47,12 @@ def test_rocksdb_state_backend(tmp_path):
     from faust_spark.streaming.runner import run_to_memory
 
     spark = get_spark("rocks-test", rocksdb_state=True, shuffle_partitions=4)
-    # getOrCreate reuses the shared test session; the provider conf is a
-    # runtime conf, so set/restore explicitly
+    # getOrCreate reuses the shared test session AND applies builder
+    # configs to it — shuffle_partitions=4 would leak into every later
+    # test (it broke the graph round-plan pins once loop_partitions
+    # keyed off the session width); restore it too
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # the provider conf is a runtime conf, so set/restore explicitly
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -65,6 +69,7 @@ def test_rocksdb_state_backend(tmp_path):
         out = run_to_memory(agg, output_mode="complete")
         assert out.count() == 15
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev:
             spark.conf.set(key, prev)
         else:

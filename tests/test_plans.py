@@ -438,17 +438,24 @@ def test_materialize_partitioned_preserves_partitioning(spark):
 
 def test_loop_partitions_rule(spark):
     """r11 rule: one partition per 250k rows, floored at 8, capped at
-    the session's shuffle.partitions — cluster sizing governs at scale,
-    tiny relations stop inheriting the full session width."""
+    the session's shuffle.partitions — and the cap applies AFTER the
+    floor: exceeding the session width breaks co-partitioning with the
+    |V|-side exchanges and re-shuffles the checkpointed loop invariant
+    (found by the round-plan pins under a shuffle.partitions=4
+    session)."""
     from faust_spark.operators.mat import loop_partitions
 
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert loop_partitions(spark, 0) == min(8, default) or default <= 8
-    assert loop_partitions(spark, 1_600) == max(
-        8, min(default, 1)
-    )  # floor binds
-    assert loop_partitions(spark, 250_000 * default + 1) == default  # cap
+    # tiny relations: the floor binds, but never above the session cap
+    assert loop_partitions(spark, 1_600) == min(default, 8)
+    # huge relations: the session cap binds
+    assert loop_partitions(spark, 250_000 * (default + 8)) == default
     # between floor and cap: exact ceil
-    mid_rows = 250_000 * 8 + 1
-    expect = max(8, min(default, 9))
-    assert loop_partitions(spark, mid_rows) == expect
+    assert loop_partitions(spark, 250_000 * 9) == min(default, max(8, 9))
+    # the floor-over-cap case that caused the re-exchange
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        assert loop_partitions(spark, 1_600) == 4
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
