@@ -614,3 +614,46 @@ def test_hyperplane_params_sql_rule_matches_python():
     assert hyperplane_params(500) == 8      # sf0.001 / tiny corpora
     assert hyperplane_params(2000) == 9     # sf0.1 embeddings
     assert hyperplane_params(10**9) == 16   # capped
+
+
+def test_serve_cache_bit_parity_with_inline(spark, sf_dir):
+    """The r11 serve-index cache must be invisible in the results: the
+    cached path (fit artifacts + materialized assigned/codes relations)
+    returns exactly the rows of the inline fit-per-call path — same
+    deterministic fit, same encode, same tie-breaks."""
+    import __spark_entry__ as entry
+    from faust_spark.catalog import load_table
+    from faust_spark.operators.similarity import cosine_topk  # noqa: F401
+    from faust_spark.operators.similarity import ivf_topk, ivfpq_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    cached = sorted(
+        (r.qid, r.nid)
+        for r in entry.ivf_topk_serve_raw(spark, sf_dir).collect()
+    )
+    inline = sorted(
+        (r.qid, r.nid)
+        for r in ivf_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4
+        ).select("qid", "nid").collect()
+    )
+    assert cached == inline
+
+    n = emb.count()
+    cached_pq = sorted(
+        (r.qid, r.nid)
+        for r in entry.ivfpq_topk_serve_raw(spark, sf_dir).collect()
+    )
+    inline_pq = sorted(
+        (r.qid, r.nid)
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16,
+            shortlist=max(50, n // 10),
+        ).select("qid", "nid").collect()
+    )
+    assert cached_pq == inline_pq
