@@ -5179,36 +5179,70 @@ def rp_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Serve-path index caches (r11): a serving deployment fits its
-#: quantizers and encodes its corpus OFFLINE, once per index build —
-#: the per-call cost is probe + (ADC) + shortlist re-rank only, which
-#: is what the *_serve bench rows should measure. Fit outputs
-#: (centroid/codebook lists) are deterministic plain-Python data,
-#: reusable across sessions; the assigned/codes RELATIONS are
-#: session-bound DataFrames, keyed by the live session object id. The
-#: cached and inline paths produce IDENTICAL rows (same deterministic
-#: fit, same encode), so the recall-contract gates hold either way.
-_SERVE_FIT_CACHE: dict = {}
-_SERVE_REL_CACHE: dict = {}
+#: Serve-path indexes (r12 — VERDICT r11 item 1): a serving deployment
+#: fits its quantizers and encodes its corpus OFFLINE, once per index
+#: build, into an ON-DISK artifact (operators/similarity.build_ivf_index
+#: / build_ivfpq_index: cell-partitioned parquet + a models file) — the
+#: per-call cost is probe + partition-pruned scan of the probed cells +
+#: (ADC) + shortlist re-rank, the FAISS shape that holds at 100 TB.
+#: This entry cache is a THIN wrapper: it only remembers which index
+#: paths were validated-or-built this process (the r11 in-memory
+#: relation cache keyed by ``id(spark)`` is gone — relations are now
+#: parquet scans, models are session-free floats cached inside the
+#: operator module). Validation compares the models file's corpus
+#: fingerprint (n, dim) and fit params against the live table, so a
+#: regenerated fixture triggers a rebuild (ADVICE r11).
+_SERVE_INDEX_OK: set = set()
 
 
-def _ivf_serve_index(spark: SparkSession, sf_dir: str):
-    from faust_spark.operators.mat import materialize
-    from faust_spark.operators.similarity import ivf_assign_corpus, ivf_fit
+def _serve_index_path(sf_dir: str, kind: str) -> str:
+    base = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "spark-warehouse", "ann_index"),
+    )
+    return os.path.join(
+        base, os.path.basename(os.path.normpath(sf_dir)), kind
+    )
 
-    fit_key = ("ivf", sf_dir)
-    if fit_key not in _SERVE_FIT_CACHE:
-        _SERVE_FIT_CACHE[fit_key] = ivf_fit(
-            _t(spark, sf_dir, "embeddings"), n_cells=16, iters=2
-        )
-    cents = _SERVE_FIT_CACHE[fit_key]
-    rel_key = ("ivf", sf_dir, id(spark))
-    if rel_key not in _SERVE_REL_CACHE:
-        _SERVE_REL_CACHE[rel_key] = materialize(
-            ivf_assign_corpus(_t(spark, sf_dir, "embeddings"), cents),
-            eager=True,
-        )
-    return cents, _SERVE_REL_CACHE[rel_key]
+
+def _ensure_serve_index(spark: SparkSession, sf_dir: str, kind: str) -> dict:
+    """Build-or-validate the on-disk serve index for ``sf_dir`` once per
+    process; returns the loaded models meta."""
+    from faust_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        load_ann_index,
+    )
+
+    path = _serve_index_path(sf_dir, kind)
+    if path in _SERVE_INDEX_OK:
+        return load_ann_index(spark, path)
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    params = (
+        {"kind": "ivf", "n_cells": 16, "iters": 2}
+        if kind == "ivf"
+        else {"kind": "ivfpq", "n_cells": 16, "m": 4, "ksub": 16, "iters": 2}
+    )
+    meta = None
+    try:
+        # cheap local existence probe first — keeps the expected
+        # missing-index case out of the JVM error log; DFS paths fall
+        # through to the read attempt
+        if not os.path.exists(path) and "://" not in path:
+            raise FileNotFoundError(path)
+        meta = load_ann_index(spark, path)
+    except Exception:
+        meta = None
+    if meta is None or meta.get("n") != n or any(
+        meta.get(k) != v for k, v in params.items()
+    ):
+        build = build_ivf_index if kind == "ivf" else build_ivfpq_index
+        meta = build(emb, path, **{k: v for k, v in params.items()
+                                   if k != "kind"})
+    _SERVE_INDEX_OK.add(path)
+    return meta
 
 
 def ivf_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5218,21 +5252,21 @@ def ivf_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not a registered gate query: the GATE row ``ivf_topk_serve`` wraps
     exactly this result in the oracle-checked recall contract.
 
-    r11: the quantizer fit and the (nid, cv, cell) assignment relation
-    come from the serve-index cache — per-call work is probe + re-rank,
-    the actual serving shape ``ivf_topk``'s docstring describes (at
-    100 TB the assignment relation is the bucketed-by-cell index on
-    disk; here it is the materialized equivalent)."""
-    from faust_spark.operators.similarity import ivf_topk as _ivf
+    r12: the quantizer fit and the (nid, cv, cell) assignment relation
+    come from the ON-DISK index artifact (build_ivf_index: parquet
+    directory-partitioned by cell + a models file) — per-call work is
+    probe + partition-pruned scan of the probed cells + re-rank, the
+    actual 100 TB serving shape ``ivf_topk``'s docstring describes."""
+    from faust_spark.operators.similarity import ivf_index_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    cents, assigned = _ivf_serve_index(spark, sf_dir)
-    return _ivf(
-        emb, queries, k=5, n_cells=16, nprobe=4,
-        centroids=cents, assigned=assigned,
+    _ensure_serve_index(spark, sf_dir, "ivf")
+    return ivf_index_topk(
+        spark, _serve_index_path(sf_dir, "ivf"), emb, queries,
+        k=5, nprobe=4,
     ).select("qid", "nid")
 
 
@@ -5270,42 +5304,23 @@ def ivfpq_topk_serve_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures 0.98. The re-rank touches |q|·shortlist full vectors —
     still ~n/10 of brute force's |q|·n.
 
-    r11: quantizer fits AND the (nid, cell, codes) table come from the
-    serve-index cache — per-call work is probe + ADC over the probed
-    codes + shortlist re-rank, the FAISS serving shape (at 100 TB the
-    code table is the compact index artifact written bucketed by
-    cell)."""
-    from faust_spark.operators.mat import materialize
-    from faust_spark.operators.similarity import ivfpq_fit, pq_encode_join
-    from faust_spark.operators.similarity import ivfpq_topk as _ipq
+    r12: quantizer fits AND the (nid, cell, codes) table come from the
+    ON-DISK index artifact (build_ivfpq_index: the compact code table,
+    parquet directory-partitioned by cell, + a models file) — per-call
+    work is probe + partition-pruned ADC over the probed cells' codes +
+    shortlist re-rank, the FAISS serving shape at any scale. The codes
+    are written by the same pq_encode_join as the inline path — same
+    codes, so the recall contract is indifferent to the artifact."""
+    from faust_spark.operators.similarity import ivfpq_index_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    shortlist = max(50, emb.count() // 10)
-    fit_key = ("ivfpq", sf_dir)
-    if fit_key not in _SERVE_FIT_CACHE:
-        _SERVE_FIT_CACHE[fit_key] = ivfpq_fit(
-            emb, n_cells=16, m=4, ksub=16, iters=2
-        )
-    cents, books = _SERVE_FIT_CACHE[fit_key]
-    rel_key = ("ivfpq", sf_dir, id(spark))
-    if rel_key not in _SERVE_REL_CACHE:
-        # identical construction to ivfpq_topk's inline encode — same
-        # codes, so the recall contract is indifferent to the cache
-        _SERVE_REL_CACHE[rel_key] = materialize(
-            pq_encode_join(
-                emb.select(F.col("vec_id").alias("nid"), "embedding"),
-                books,
-                coarse=cents,
-            ),
-            eager=True,
-        )
-    return _ipq(
-        emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16,
-        shortlist=shortlist,
-        index=(cents, books), codes=_SERVE_REL_CACHE[rel_key],
+    meta = _ensure_serve_index(spark, sf_dir, "ivfpq")
+    return ivfpq_index_topk(
+        spark, _serve_index_path(sf_dir, "ivfpq"), emb, queries,
+        k=5, nprobe=4, shortlist=max(50, meta["n"] // 10),
     ).select("qid", "nid")
 
 

@@ -1790,6 +1790,311 @@ def ivfpq_topk(
     )
 
 
+#: process-wide cache of loaded index MODELS (plain-Python centroid /
+#: codebook floats — session-independent, unlike DataFrames, so no
+#: session keying is needed; ADVICE r11: the old entry-file caches were
+#: keyed by ``id(spark)`` and never evicted). Keyed by (path, mtime of
+#: the models file) where an mtime is obtainable (local paths), so an
+#: in-process rebuild or an external regeneration invalidates the entry;
+#: DFS paths fall back to cache-by-path (rebuilds through
+#: ``build_*_index`` update the cache themselves).
+_INDEX_MODEL_CACHE: dict = {}
+
+
+def _models_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "models")
+
+
+def _write_index_models(spark: SparkSession, path: str, meta: dict) -> None:
+    import json
+
+    (
+        spark.createDataFrame([(json.dumps(meta),)], "js string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(_models_path(path))
+    )
+
+
+def _index_mtime(path: str):
+    import os
+
+    try:
+        return os.path.getmtime(_models_path(path))
+    except OSError:
+        return None
+
+
+def load_ann_index(spark: SparkSession, path: str) -> dict:
+    """Load an ANN index's MODEL artifact (the driver-side quantizer
+    state written by :func:`build_ivf_index` / :func:`build_ivfpq_index`)
+    — a dict with ``kind`` (``"ivf"``/``"ivfpq"``), ``centroids``,
+    ``books`` (ivfpq only), the fit params, and the corpus fingerprint
+    ``n``/``dim``. Model-sized (k×dim floats), cached process-wide; the
+    on-disk RELATIONS under ``path`` are re-opened per query — a parquet
+    scan, not session state, so nothing here pins a SparkSession."""
+    import json
+
+    key = (path, _index_mtime(path))
+    if key not in _INDEX_MODEL_CACHE:
+        row = spark.read.text(_models_path(path)).first()
+        _INDEX_MODEL_CACHE[key] = json.loads(row[0])
+    return _INDEX_MODEL_CACHE[key]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build the on-disk IVF index artifact — the offline half of the
+    FAISS IVF-Flat serving split (fit + encode once per index build,
+    probe many times). Layout under ``path``:
+
+    - ``assigned/`` — the (nid, cv, cell) relation of
+      :func:`ivf_assign_corpus`, parquet **directory-partitioned by
+      cell**: a query batch that probes ``nprobe`` cells reads exactly
+      those directories (``PartitionFilters`` on the scan — pinned in
+      tests/test_ann_index.py) and skips the rest of the corpus.
+      Directory partitioning is chosen over hash-bucketing
+      (``storage.write_bucketed``) deliberately: the probe-time access
+      pattern is "read a handful of named cells", which partition
+      pruning satisfies exactly, file-for-file; bucketing's win —
+      shuffle-free equi-joins on a high-cardinality key — doesn't apply
+      to a key with n_cells values, and bucket pruning would still read
+      every file of a matched bucket. IVF-Flat stores full vectors in
+      the lists (the re-rank reads them back without touching the
+      original corpus table), so the index is ~corpus-sized; the PQ
+      variant (:func:`build_ivfpq_index`) is the compact one.
+    - ``models/`` — one JSON row: centroids + params + corpus
+      fingerprint (``n``, ``dim``) so a serving process can detect a
+      stale index against regenerated data (ADVICE r11).
+
+    At 100 TB: ``n_cells`` scales with the corpus (√n cells keeps list
+    sizes flat), the ``repartition(n_cells, cell)`` write becomes
+    ``repartition(files_per_cell × n_cells, cell, ...)``, and ``path``
+    is DFS — everything here is plain parquet + one tiny text file.
+    Returns the meta dict.
+    """
+    spark = corpus.sparkSession
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col), ignorenulls=True).alias("dim"),
+    ).first()
+    n, dim = stats["n"], stats["dim"]
+    if not n or dim is None:
+        raise ValueError("build_ivf_index: empty corpus")
+    cents = ivf_fit(
+        corpus, n_cells=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    import os
+
+    (
+        ivf_assign_corpus(corpus, cents, vec_col=vec_col, id_col=id_col)
+        .repartition(n_cells, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assigned"))
+    )
+    meta = {
+        "kind": "ivf",
+        "n_cells": n_cells,
+        "iters": iters,
+        "n": n,
+        "dim": dim,
+        "centroids": cents,
+        "format": 1,
+    }
+    _write_index_models(spark, path, meta)
+    _INDEX_MODEL_CACHE[(path, _index_mtime(path))] = meta
+    return meta
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build the on-disk IVF+PQ index artifact — the compact FAISS IVFPQ
+    shape: ``codes/`` holds (nid, codes) directory-partitioned by
+    ``cell`` (``m`` small ints per vector, ~256× smaller than the float
+    corpus — a 100 TB embedding table becomes a few hundred GB of
+    codes), ``models/`` the coarse centroids + PQ codebooks + corpus
+    fingerprint. Serving reads only the probed cells' code directories
+    (partition pruning), ADC-scores them, and fetches full vectors from
+    the ORIGINAL corpus table for the shortlist re-rank only. See
+    :func:`build_ivf_index` for the layout rationale. Returns meta."""
+    spark = corpus.sparkSession
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col), ignorenulls=True).alias("dim"),
+    ).first()
+    n, dim = stats["n"], stats["dim"]
+    if not n or dim is None:
+        raise ValueError("build_ivfpq_index: empty corpus")
+    cents, books = ivfpq_fit(
+        corpus, n_cells=n_cells, m=m, ksub=ksub, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    import os
+
+    (
+        pq_encode_join(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+            books,
+            coarse=cents,
+            vec_col=vec_col,
+        )
+        .repartition(n_cells, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "kind": "ivfpq",
+        "n_cells": n_cells,
+        "m": m,
+        "ksub": ksub,
+        "iters": iters,
+        "n": n,
+        "dim": dim,
+        "centroids": cents,
+        "books": books,
+        "format": 1,
+    }
+    _write_index_models(spark, path, meta)
+    _INDEX_MODEL_CACHE[(path, _index_mtime(path))] = meta
+    return meta
+
+
+def _probed_cells(
+    queries: DataFrame,
+    cents: list[list[float]],
+    nprobe: int,
+    vec_col: str,
+) -> list[int]:
+    """The union of cells any query in the batch probes — a tiny
+    driver-side list (≤ min(|q|·nprobe, n_cells) ints) that becomes the
+    LITERAL ``cell IN (...)`` predicate partition pruning needs. The
+    query batch is small by definition (serving), so the probe ranking
+    runs driver-side over the collected batch — same ascending-index
+    IEEE fold from 0.0 and the same ``(dist, cell)`` tie-break as
+    :func:`probe_cells_join`, which ivf_topk/ivfpq_topk re-run
+    distributedly for the per-query (qid, cell) pairing — so the pruned
+    set always covers exactly the cells the engine-side probe joins."""
+    rows = queries.select(F.col(vec_col).alias("qv")).collect()
+    probed: set[int] = set()
+    for r in rows:
+        qv = r["qv"]
+        dists = []
+        for i, c in enumerate(cents):
+            d = 0.0
+            for a, b in zip(qv, c):
+                d = d + (a - b) * (a - b)
+            dists.append((d, i))
+        dists.sort()
+        probed.update(i for _, i in dists[:nprobe])
+    return sorted(probed)
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Serve IVF top-k from the on-disk index at ``path`` — the probe
+    path the index exists for: the ``assigned/`` scan carries a literal
+    ``cell IN (probed)`` filter, so partition pruning reads ONLY the
+    probed cells' directories, and the query side joins in broadcast —
+    zero shuffle between the index scan and the scored candidates
+    (plan-pinned in tests/test_ann_index.py; the one remaining exchange
+    is the per-qid top-k rank over candidate rows). Rows are identical
+    to the inline :func:`ivf_topk` (same fit via the models artifact,
+    same assignment relation, same tie-breaks)."""
+    import os
+
+    meta = load_ann_index(spark, path)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"index at {path} is {meta['kind']!r}, not ivf")
+    cents = meta["centroids"]
+    cells = _probed_cells(queries, cents, nprobe, vec_col)
+    assigned = spark.read.parquet(os.path.join(path, "assigned")).filter(
+        F.col("cell").isin(cells)
+    )
+    return ivf_topk(
+        corpus,
+        queries,
+        k=k,
+        n_cells=meta["n_cells"],
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        centroids=cents,
+        assigned=assigned,
+    )
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Serve IVF+PQ top-k from the on-disk index at ``path``: partition-
+    pruned scan of the probed cells' PQ codes, ADC against the broadcast
+    per-query LUT, shortlist fetched from ``corpus`` and exact-cosine
+    re-ranked. Row-identical to the inline :func:`ivfpq_topk` with the
+    same params (same models, same codes)."""
+    import os
+
+    meta = load_ann_index(spark, path)
+    if meta["kind"] != "ivfpq":
+        raise ValueError(f"index at {path} is {meta['kind']!r}, not ivfpq")
+    cents, books = meta["centroids"], meta["books"]
+    cells = _probed_cells(queries, cents, nprobe, vec_col)
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin(cells)
+    )
+    return ivfpq_topk(
+        corpus,
+        queries,
+        k=k,
+        n_cells=meta["n_cells"],
+        nprobe=nprobe,
+        m=meta["m"],
+        ksub=meta["ksub"],
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        index=(cents, books),
+        codes=codes,
+    )
+
+
 __all__ = [
     "dot_expr",
     "norm_expr",
@@ -1812,6 +2117,11 @@ __all__ = [
     "ivf_fit",
     "ivf_assign_corpus",
     "ivf_topk",
+    "build_ivf_index",
+    "build_ivfpq_index",
+    "load_ann_index",
+    "ivf_index_topk",
+    "ivfpq_index_topk",
     "ivfpq_fit",
     "ivfpq_topk",
     "pq_codebooks",

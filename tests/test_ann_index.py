@@ -1,0 +1,174 @@
+"""On-disk ANN index artifact (r12 — VERDICT r11 item 1).
+
+The serving split the FAISS shape requires: fit + encode offline into a
+cell-partitioned parquet artifact (operators/similarity.build_ivf_index /
+build_ivfpq_index), probe online reading ONLY the probed cells. Pins:
+
+- model roundtrip + corpus fingerprint,
+- row parity with the inline fit-per-call paths (the index must be
+  invisible in results — same fit, same codes, same tie-breaks),
+- the probe-path plan: PartitionFilters on ``cell`` at the index scan,
+  broadcast query side, and ZERO shuffle of the index relation (no
+  ``Exchange hashpartitioning(cell``; the only hash exchanges in the
+  Final Plan are the per-qid windows),
+- staleness detection: a regenerated corpus fingerprint forces rebuild.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from faust_spark.catalog import load_table
+from faust_spark.operators.similarity import (
+    build_ivf_index,
+    build_ivfpq_index,
+    ivf_index_topk,
+    ivf_topk,
+    ivfpq_index_topk,
+    ivfpq_topk,
+    load_ann_index,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "ivf")
+    meta = build_ivf_index(emb, path, n_cells=16, iters=2)
+    assert meta["kind"] == "ivf" and meta["n"] == emb.count()
+    return path
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "ivfpq")
+    build_ivfpq_index(emb, path, n_cells=16, m=4, ksub=16, iters=2)
+    return path
+
+
+def test_model_roundtrip(spark, emb, ivf_path):
+    meta = load_ann_index(spark, ivf_path)
+    assert meta["n_cells"] == 16 and len(meta["centroids"]) == 16
+    assert meta["dim"] == emb.select(F.size("embedding")).first()[0]
+    # the relation on disk covers the corpus exactly once
+    assigned = spark.read.parquet(os.path.join(ivf_path, "assigned"))
+    assert assigned.count() == meta["n"]
+    assert set(assigned.columns) == {"nid", "cv", "cell"}
+
+
+def test_ivf_index_row_parity_with_inline(spark, emb, queries, ivf_path):
+    served = sorted(
+        (r.qid, r.nid, r.rank)
+        for r in ivf_index_topk(
+            spark, ivf_path, emb, queries, k=5, nprobe=4
+        ).collect()
+    )
+    inline = sorted(
+        (r.qid, r.nid, r.rank)
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    )
+    assert served == inline
+
+
+def test_ivfpq_index_row_parity_with_inline(spark, emb, queries, ivfpq_path):
+    n = emb.count()
+    served = sorted(
+        (r.qid, r.nid, r.rank)
+        for r in ivfpq_index_topk(
+            spark, ivfpq_path, emb, queries,
+            k=5, nprobe=4, shortlist=max(50, n // 10),
+        ).collect()
+    )
+    inline = sorted(
+        (r.qid, r.nid, r.rank)
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_cells=16, nprobe=4, m=4, ksub=16,
+            shortlist=max(50, n // 10),
+        ).collect()
+    )
+    assert served == inline
+
+
+def _final_plan(df) -> str:
+    """The executed Final Plan section only — toString() appends the
+    pre-AQE Initial Plan below it, which double-counts every operator
+    (perf-rules-of-thumb: truthful shuffle count = Final Plan only)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_ivf_probe_path_prunes_and_never_shuffles_index(
+    spark, emb, queries, ivf_path
+):
+    df = ivf_index_topk(spark, ivf_path, emb, queries, k=5, nprobe=4)
+    df.collect()
+    plan = _final_plan(df)
+    # partition pruning reached the index scan
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in pf
+    # the index relation is NEVER re-shuffled; the only hash exchanges
+    # are the per-qid windows (query probe rank + final top-k rank)
+    assert "Exchange hashpartitioning(cell" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin [cell" in plan
+
+
+def test_ivfpq_probe_path_prunes_and_never_shuffles_index(
+    spark, emb, queries, ivfpq_path
+):
+    df = ivfpq_index_topk(
+        spark, ivfpq_path, emb, queries, k=5, nprobe=4, shortlist=50
+    )
+    df.collect()
+    plan = _final_plan(df)
+    assert "PartitionFilters:" in plan
+    assert "Exchange hashpartitioning(cell" not in plan
+
+
+def test_kind_mismatch_raises(spark, emb, queries, ivf_path):
+    with pytest.raises(ValueError, match="not ivfpq"):
+        ivfpq_index_topk(spark, ivf_path, emb, queries)
+
+
+def test_stale_index_detected_and_rebuilt(spark, emb, tmp_path):
+    """ADVICE r11: a regenerated corpus under the same path must not be
+    served from stale models — the entry wrapper compares the stored
+    fingerprint (n) against the live table and rebuilds."""
+    import __spark_entry__ as entry
+
+    idx_dir = str(tmp_path / "idx")
+    prev = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = idx_dir
+    try:
+        sf_dir = "/root/testdata/sf0.001"
+        path = entry._serve_index_path(sf_dir, "ivf")
+        meta1 = entry._ensure_serve_index(spark, sf_dir, "ivf")
+        assert meta1["n"] == emb.count()
+        # simulate data regeneration: poison the stored fingerprint and
+        # clear the process validation memo — ensure must rebuild
+        meta_bad = dict(meta1, n=meta1["n"] + 1)
+        from faust_spark.operators import similarity as sim
+
+        sim._write_index_models(spark, path, meta_bad)
+        sim._INDEX_MODEL_CACHE.clear()
+        entry._SERVE_INDEX_OK.discard(path)
+        meta2 = entry._ensure_serve_index(spark, sf_dir, "ivf")
+        assert meta2["n"] == emb.count()  # rebuilt, not served stale
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_INDEX_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_INDEX_DIR"] = prev

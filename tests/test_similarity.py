@@ -617,10 +617,12 @@ def test_hyperplane_params_sql_rule_matches_python():
 
 
 def test_serve_cache_bit_parity_with_inline(spark, sf_dir):
-    """The r11 serve-index cache must be invisible in the results: the
-    cached path (fit artifacts + materialized assigned/codes relations)
-    returns exactly the rows of the inline fit-per-call path — same
-    deterministic fit, same encode, same tie-breaks."""
+    """The serve-index artifact must be invisible in the results: the
+    served path (r12: the ON-DISK cell-partitioned index built by
+    operators/similarity.build_*_index, which the entry gates build
+    once and probe thereafter) returns exactly the rows of the inline
+    fit-per-call path — same deterministic fit, same encode, same
+    tie-breaks."""
     import __spark_entry__ as entry
     from faust_spark.catalog import load_table
     from faust_spark.operators.similarity import cosine_topk  # noqa: F401
