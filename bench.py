@@ -169,11 +169,20 @@ def main() -> None:
     # host-speed calibration: rounds run on fresh VMs whose clock speed
     # and disk vary; these fixed workloads let cross-round comparisons
     # normalize out the host (seconds here scale every wall time below).
-    t0 = time.time()
-    acc = 0
-    for i in range(20_000_000):
-        acc += i * i
-    calib_spin = round(time.time() - t0, 3)
+    # r12 (VERDICT r11 item 3): the spin runs BEFORE and AFTER the
+    # measurements — a run whose two phases diverge >20% was timed on a
+    # host that changed speed mid-run (noisy neighbor, thermal / cgroup
+    # throttling), and its per-query numbers are not comparable to
+    # anything; the output flags it so bench_compare (and a reader)
+    # refuses the comparison instead of chasing phantom regressions.
+    def _spin() -> float:
+        t0 = time.time()
+        acc = 0
+        for i in range(20_000_000):
+            acc += i * i
+        return round(time.time() - t0, 3)
+
+    calib_spin = _spin()
     t0 = time.time()
     with tempfile.TemporaryDirectory() as _d:
         _buf = b"\x5a" * (1 << 20)
@@ -321,6 +330,12 @@ def main() -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", _PROVIDERS["hdfs"]
     )
+    calib_spin_post = _spin()
+    phase_drift = round(
+        max(calib_spin, calib_spin_post)
+        / max(min(calib_spin, calib_spin_post), 1e-9),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -337,7 +352,17 @@ def main() -> None:
                 "stream_windowed_eps": windowed_eps,
                 "stream_windowed_state_partitions": state_parts,
                 "host_calib": {
-                    "python_spin_sec": calib_spin,
+                    # mean of pre/post — the value normalizations use
+                    # (and the one old-format readers expect)
+                    "python_spin_sec": round(
+                        (calib_spin + calib_spin_post) / 2, 3
+                    ),
+                    "python_spin_pre": calib_spin,
+                    "python_spin_post": calib_spin_post,
+                    # max/min of the two phases; >1.2 = the host changed
+                    # speed mid-run, treat every number above as suspect
+                    "phase_drift": phase_drift,
+                    "phase_stable": phase_drift <= 1.2,
                     "write_100mb_sec": calib_io,
                 },
             }

@@ -11,12 +11,24 @@ Usage:
     python tools/bench_compare.py OLD.json NEW.json [--top 15]
 Prints one JSON line: per-query normalized ratios (new/old), sorted by
 regression, plus the headline aggregates.
+
+r12 (VERDICT r11 item 3): bench.py now records the spin calibration
+BEFORE and AFTER the measurements. A run whose two phases diverge more
+than 20% was timed on a host that changed speed mid-run — its numbers
+can't be normalized by any single spin value, so this tool marks the
+whole comparison ``"unreliable": true`` (with the offending side's
+drift) instead of letting a phase shift masquerade as per-query
+regressions (r11 lost a full bench run to exactly that).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+
+#: intra-run pre/post spin divergence above which a run's timings are
+#: not attributable to the code (mirrors bench.py's phase_stable bound)
+PHASE_DRIFT_LIMIT = 1.2
 
 
 def load(path: str) -> dict:
@@ -28,6 +40,19 @@ def load(path: str) -> dict:
             f"{path}: no host_calib.python_spin_sec — cannot normalize"
         )
     return data
+
+
+def phase_drift(data: dict) -> float | None:
+    """The run's recorded pre/post spin divergence (None for pre-r12
+    artifacts, which carried a single mid-run spin)."""
+    hc = data.get("host_calib") or {}
+    d = hc.get("phase_drift")
+    if d is not None:
+        return d
+    pre, post = hc.get("python_spin_pre"), hc.get("python_spin_post")
+    if pre and post:
+        return round(max(pre, post) / min(pre, post), 3)
+    return None
 
 
 def main() -> int:
@@ -55,10 +80,21 @@ def main() -> int:
     rows.sort(key=lambda r: -(r["ratio"] or 0))
     tot_old = sum(old["queries"][k] for k in common) / so
     tot_new = sum(new["queries"][k] for k in common) / sn
+    drift_old, drift_new = phase_drift(old), phase_drift(new)
+    unreliable = any(
+        d is not None and d > PHASE_DRIFT_LIMIT
+        for d in (drift_old, drift_new)
+    )
     out = {
         "spin_old_s": so,
         "spin_new_s": sn,
         "host_speed_ratio": round(sn / so, 2),
+        # intra-run pre/post spin divergence per side (None = pre-r12
+        # artifact with a single spin sample); if either side exceeds
+        # PHASE_DRIFT_LIMIT the whole comparison is flagged
+        "phase_drift_old": drift_old,
+        "phase_drift_new": drift_new,
+        "unreliable": unreliable,
         # min-of-N runs (bench.py REPEATS) vs single-shot are not
         # noise-comparable — surface both sides' repeat counts so a
         # cross-round reader sees when that changed (r5: 1, r6+: 3)
