@@ -500,6 +500,24 @@ class App:
 
         return deco
 
+    def enable_prometheus(
+        self, monitor: "Any" = None, path: str = "/metrics/"
+    ) -> "Any":
+        """Mount a Prometheus text-format exposition of a
+        :class:`faust_spark.sensors.Monitor` at ``path`` (reference: the
+        Prometheus sensor backend, ``faust/sensors/prometheus.py``,
+        which faust exposes through its web server the same way). Pass
+        an existing monitor to expose one that's already attached, or
+        omit to create AND attach a fresh one to this app's session;
+        returns the monitor. Serve with :meth:`web_server`."""
+        from faust_spark.sensors import Monitor, metrics_page
+
+        if monitor is None:
+            monitor = Monitor()
+            self.spark.streams.addListener(monitor)
+        self.page(path)(metrics_page(monitor))
+        return monitor
+
     def web_server(self, port: int = 0) -> "Any":
         """Start serving registered pages; returns the started WebServer
         (``.url``, ``.stop()``). ``port=0`` picks an ephemeral port."""

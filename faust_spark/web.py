@@ -33,12 +33,29 @@ class Request:
     query: dict
 
 
+@dataclass
+class TextResponse:
+    """A non-JSON page payload (e.g. the Prometheus /metrics
+    exposition, which scrapers require as ``text/plain``)."""
+
+    body: str
+    content_type: str = "text/plain; charset=utf-8"
+
+
 class Web:
     """Handler toolkit (the ``web`` argument — reference ``faust.web``)."""
 
     @staticmethod
     def json(obj: Any, status: int = 200) -> tuple[int, Any]:
         return (status, obj)
+
+    @staticmethod
+    def text(
+        body: str,
+        status: int = 200,
+        content_type: str = "text/plain; charset=utf-8",
+    ) -> tuple[int, "TextResponse"]:
+        return (status, TextResponse(body, content_type))
 
 
 @dataclass
@@ -106,9 +123,14 @@ class WebServer:
                 self._send(404, {"error": f"no page for {parsed.path}"})
 
             def _send(self, status: int, obj: Any) -> None:
-                body = json.dumps(obj).encode()
+                if isinstance(obj, TextResponse):
+                    body = obj.body.encode()
+                    ctype = obj.content_type
+                else:
+                    body = json.dumps(obj).encode()
+                    ctype = "application/json"
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -129,4 +151,11 @@ class WebServer:
             self._thread.join(timeout=5)
 
 
-__all__ = ["Web", "Request", "PageRoute", "WebServer", "compile_route"]
+__all__ = [
+    "Web",
+    "Request",
+    "PageRoute",
+    "TextResponse",
+    "WebServer",
+    "compile_route",
+]
