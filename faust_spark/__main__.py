@@ -30,6 +30,24 @@ import argparse
 import sys
 
 
+def _example_modules() -> list[str]:
+    """Every bundled example module, discovered from disk (ADVICE r11:
+    the hardcoded two-module list silently dropped models defined in
+    newer examples from the `models`/`model` registry listing)."""
+    import os
+
+    ex_dir = os.path.join("/root/repo", "examples")
+    try:
+        names = sorted(os.listdir(ex_dir))
+    except OSError:
+        return []
+    return [
+        f"examples.{f[:-3]}"
+        for f in names
+        if f.endswith(".py") and not f.startswith("_")
+    ]
+
+
 def _import_model_modules(extra_modules: list[str]) -> int | None:
     """Populate the Record registry for the model verbs: best-effort
     imports of the bundled example apps (a broken example must be
@@ -39,7 +57,7 @@ def _import_model_modules(extra_modules: list[str]) -> int | None:
     import importlib
     import traceback
 
-    for mod in ("examples.bank", "examples.word_count"):
+    for mod in _example_modules():
         try:
             importlib.import_module(mod)
         except Exception:
@@ -56,6 +74,58 @@ def _import_model_modules(extra_modules: list[str]) -> int | None:
             print(f"cannot import --module {mod!r}: {e}", file=sys.stderr)
             return 2
     return None
+
+
+_VERBS = (
+    "queries run bench send reset models model agents tables "
+    "livecheck completion"
+)
+
+
+def _completion_script(shell: str) -> str:
+    """Shell completion for the CLI (reference `faust completion`,
+    faust/cli/completion.py — there click_completion emits the script;
+    argparse has no equivalent, so this emits a hand-rolled one). The
+    verb list is static; `run`'s query keys are baked in at generation
+    time from the registry (the import builds dicts only — no Spark
+    session). bash and zsh (via bashcompinit) share the script."""
+    try:
+        import __spark_entry__ as entry
+
+        keys = " ".join(entry.queries())
+    except Exception:
+        keys = ""
+    fn = f'''# faust_spark shell completion — eval or source this output:
+#   eval "$(python -m faust_spark completion)"
+# completes the `faust-spark` alias; define it as e.g.
+#   alias faust-spark='python -m faust_spark'
+_faust_spark_complete() {{
+    local cur prev verbs keys
+    cur="${{COMP_WORDS[COMP_CWORD]}}"
+    prev="${{COMP_WORDS[COMP_CWORD-1]}}"
+    verbs="{_VERBS}"
+    keys="{keys}"
+    if [ "$COMP_CWORD" -le 1 ]; then
+        COMPREPLY=( $(compgen -W "$verbs" -- "$cur") )
+    elif [ "$prev" = "run" ]; then
+        COMPREPLY=( $(compgen -W "$keys" -- "$cur") )
+    elif [ "$prev" = "--shell" ]; then
+        COMPREPLY=( $(compgen -W "bash zsh" -- "$cur") )
+    elif [ "$prev" = "-A" ] || [ "$prev" = "--app" ] || \\
+         [ "$prev" = "--module" ]; then
+        COMPREPLY=()  # module paths: leave to the user
+    else
+        COMPREPLY=( $(compgen -W "--sf --limit --explain --key --path \\
+--yes --module -A --app --shell" -- "$cur") )
+    fi
+}}'''
+    if shell == "zsh":
+        return (
+            "autoload -U +X bashcompinit && bashcompinit\n"
+            + fn
+            + "\ncomplete -F _faust_spark_complete faust-spark"
+        )
+    return fn + "\ncomplete -F _faust_spark_complete faust-spark"
 
 
 def _resolve_model(name: str):
@@ -167,6 +237,9 @@ def main(argv: list[str] | None = None) -> int:
                    "`faust agents`, faust/cli/agents.py)"),
         ("tables", "list an app's tables (reference `faust tables`, "
                    "faust/cli/tables.py)"),
+        ("livecheck", "report a LiveCheck suite's case states "
+                      "(reference `faust livecheck`, "
+                      "faust/cli/livecheck.py)"),
     ):
         p = sub.add_parser(verb, help=help_)
         p.add_argument(
@@ -179,11 +252,35 @@ def main(argv: list[str] | None = None) -> int:
             "build_app()/build() factory — the reference's -A pattern",
         )
 
+    comp_p = sub.add_parser(
+        "completion",
+        help="output shell completion to be evaluated by the shell "
+        "(reference `faust completion`, faust/cli/completion.py)",
+    )
+    comp_p.add_argument(
+        "--shell",
+        default=None,
+        choices=("bash", "zsh"),
+        help="target shell (default: the stem of $SHELL, like the "
+        "reference's shell() — bash assumed when unknown)",
+    )
+
     args = ap.parse_args(argv)
 
     sys.path.insert(0, "/root/repo")
 
-    if args.cmd in ("agents", "tables"):
+    if args.cmd == "completion":
+        # pure text emission — no app, no entry import (reference:
+        # require_app = False, faust/cli/completion.py)
+        import os
+
+        shell = args.shell or os.path.basename(
+            os.environ.get("SHELL", "bash")
+        )
+        print(_completion_script(shell))
+        return 0
+
+    if args.cmd in ("agents", "tables", "livecheck"):
         # handled BEFORE the __spark_entry__ import: these verbs never
         # touch the query registry, and the entry module is ~8k lines
         # of registrations — pure startup latency (and an unrelated
@@ -200,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         app = getattr(mod, "app", None)
+        built_objs: tuple = ()
         if not isinstance(app, App):
             for factory in ("build_app", "build"):
                 fn = getattr(mod, factory, None)
@@ -214,9 +312,9 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     return 2
                 # factories may return the app or (app, ...) fixtures
-                cands = built if isinstance(built, tuple) else (built,)
+                built_objs = built if isinstance(built, tuple) else (built,)
                 app = next(
-                    (c for c in cands if isinstance(c, App)), None
+                    (c for c in built_objs if isinstance(c, App)), None
                 )
                 if app is not None:
                     break
@@ -227,6 +325,51 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.cmd == "livecheck":
+            # reference faust/cli/livecheck.py swaps the command's app
+            # for app.livecheck and raises UsageError when absent; the
+            # analogue here is a suite REPORT (the worker loop is
+            # `run`'s job) — same data as livecheck.report_df, rendered
+            # without a Spark session (report_rows is driver-resident)
+            from faust_spark.livecheck import LiveCheck
+
+            lc = next(
+                (
+                    c
+                    for c in (getattr(app, "livecheck", None),)
+                    + tuple(built_objs)
+                    + tuple(vars(mod).values())
+                    if isinstance(c, LiveCheck)
+                ),
+                None,
+            )
+            if lc is None:
+                print(
+                    f"App {args.app_module!r} is not associated with "
+                    "LiveCheck",
+                    file=sys.stderr,
+                )
+                return 2
+            rows = lc.report_rows()
+            headers = (
+                "case", "status", "runs", "total_failures",
+                "consecutive_failures", "last_error",
+            )
+            srows = [tuple(str(c) for c in r) for r in rows]
+            widths = [
+                max(len(h), *(len(r[i]) for r in srows))
+                if srows
+                else len(h)
+                for i, h in enumerate(headers)
+            ]
+            print("  ".join(
+                h.ljust(w) for h, w in zip(headers, widths)
+            ))
+            for r in srows:
+                print("  ".join(c.ljust(w) for c, w in zip(r, widths)))
+            if not rows:
+                print("(no cases registered)")
+            return 0
         if args.cmd == "agents":
             # reference layout: name | topic | help (sorted by name);
             # here the "topic" analogue is the declared sink count
