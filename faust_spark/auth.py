@@ -233,6 +233,26 @@ class SASLCredentials(Credentials):
         return "org.apache.kafka.common.security.scram.ScramLoginModule"
 
     def kafka_options(self) -> dict:
+        """Compile to Spark Kafka source/sink options.
+
+        SECURITY (ADVICE r11): the password is embedded in plaintext in
+        ``kafka.sasl.jaas.config``, and Spark's redaction matches option
+        NAMES against ``spark.redaction.regex`` (default
+        ``(?i)secret|password|token|access[.]key``) — the name
+        ``kafka.sasl.jaas.config`` does not match, so the credential can
+        surface unredacted in the Spark UI's SQL/Environment tabs,
+        ``explain`` output, and any log that prints source options.
+        Deployments handling sensitive credentials should either extend
+        the redaction conf::
+
+            spark.redaction.regex  (?i)secret|password|token|jaas
+
+        or prefer keytab (GSSAPI) / SSL-certificate auth, which keep
+        secrets in files rather than option strings. This mirrors the
+        JVM Kafka client's own behavior (the JAAS string is plaintext
+        there too); the divergence worth knowing is Spark's extra
+        surfaces (UI/plans) that a bare consumer doesn't have.
+        """
         if self.username is None or self.password is None:
             raise ValueError("SASLCredentials needs username and password")
         jaas = (
@@ -274,6 +294,26 @@ class GSSAPICredentials(Credentials):
     ) -> None:
         self.kerberos_service_name = kerberos_service_name
         self.kerberos_domain_name = kerberos_domain_name
+        if kerberos_domain_name is not None:
+            # ADVICE r11: the reference's aiokafka client uses
+            # kerberos_domain_name to build the SASL server principal
+            # (service@domain); the JVM Kafka client has NO equivalent
+            # setting — it always derives the domain from the broker
+            # hostname. Accepting it silently would let a migrated app
+            # believe a custom domain is in effect, so warn loudly
+            # (kept as a parameter for API parity with faust/auth.py:50).
+            import warnings
+
+            warnings.warn(
+                "GSSAPICredentials.kerberos_domain_name is accepted for "
+                "reference API parity but has NO effect here: the JVM "
+                "Kafka client derives the Kerberos service principal's "
+                "domain from the broker hostname and exposes no override "
+                "(the aiokafka-only sasl_kerberos_domain_name setting). "
+                "Ensure broker hostnames resolve to the expected realm.",
+                UserWarning,
+                stacklevel=2,
+            )
         self.keytab = keytab
         self.principal = principal
         if keytab and not principal:

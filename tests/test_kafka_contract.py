@@ -211,3 +211,26 @@ def test_to_credentials_coercion():
 def test_unauthenticated_matrix_has_no_auth_keys(app):
     opts = app.topic("events").kafka_source_options()
     assert not [k for k in opts if k.startswith("kafka.s") and k != "kafka.bootstrap.servers"]
+
+
+def test_gssapi_domain_name_warns_not_silently_ignored():
+    """ADVICE r11: kerberos_domain_name is an aiokafka-only setting the
+    JVM client cannot honor — accepting it silently would let a migrated
+    app believe a custom domain is in effect. It must warn (and still
+    appear in repr for faust/auth.py:74-79 parity)."""
+    import warnings
+
+    from faust_spark.auth import GSSAPICredentials
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        creds = GSSAPICredentials(
+            kerberos_service_name="kafka", kerberos_domain_name="example.com"
+        )
+    assert any("kerberos_domain_name" in str(x.message) for x in w)
+    assert "example.com" in repr(creds)
+    # no domain → no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        GSSAPICredentials(kerberos_service_name="kafka")
+    assert not any("kerberos_domain_name" in str(x.message) for x in w)
