@@ -26,7 +26,12 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -137,6 +142,96 @@ def hyperplane_signature(
             )
         )
     return df.withColumn("bucket", F.concat(*bits))
+
+
+def hyperplane_bands_arrow(
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All ``n_tables`` hyperplane-LSH band signatures in ONE Arrow
+    pass: (id, band, band_sig) long form — the shape the banded
+    bucket-claim sinks consume.
+
+    Physical-plan swap of looping :func:`hyperplane_signature` per table
+    (r12): the expression form evaluates ``n_tables × n_planes``
+    INTERPRETED zip_with/aggregate dot products per row — profiled as
+    3–4s of the streaming embedding sink's ~5s per-batch cost at the
+    10× probe (the same HOF-interpreter trap ``assign_cells_arrow``
+    exists for). Here the identical flops run vectorized over Arrow
+    batches with the EXPLICIT fold order of the expression form and of
+    DuckDB's ``list_sum(list_transform(...))``: per plane, ``acc +=
+    v[j] * p[j]`` for j ascending from a 0.0 init — one IEEE double
+    multiply-add per term, so every sign bit (and with it every bucket
+    string) is bit-identical (pinned in tests/test_similarity.py). Rows
+    whose vector is NULL or whose length ≠ dim get all-zero bits,
+    matching the expression form's NULL-fold → ``otherwise("0")``
+    behavior. Plane families are the same md5-derived
+    ``_deterministic_planes(seed=t+1)`` the per-table loop uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(
+        [
+            _deterministic_planes(n_planes, dim, seed=t + 1)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (n_tables, n_planes, dim)
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type, True),
+            StructField("band", IntegerType(), False),
+            StructField("band_sig", StringType(), False),
+        ]
+    )
+
+    def bands(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vec = pdf[vec_col].to_numpy()
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vec], dtype=bool
+            )
+            n = len(pdf)
+            V = (
+                np.stack(vec[valid]).astype(np.float64)
+                if valid.any()
+                else np.zeros((0, dim))
+            )
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_band, out_sig = [], [], []
+            for t in range(n_tables):
+                # bit matrix for the valid rows: explicit ascending-j
+                # fold per plane (see docstring)
+                sigs = np.empty(n, dtype=object)
+                sigs[~valid] = "0" * n_planes
+                if valid.any():
+                    bits = np.empty((V.shape[0], n_planes), dtype="U1")
+                    for p in range(n_planes):
+                        acc = np.zeros(V.shape[0])
+                        for j in range(dim):
+                            acc += V[:, j] * P[t, p, j]
+                        bits[:, p] = np.where(acc >= 0, "1", "0")
+                    sigs[valid] = ["".join(r) for r in bits]
+                out_ids.append(ids)
+                out_band.append(np.full(n, t, dtype=np.int32))
+                out_sig.append(sigs)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "band": np.concatenate(out_band),
+                    "band_sig": np.concatenate(out_sig),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(bands, out_schema)
 
 
 def hyperplane_lsh_topk(
@@ -2106,6 +2201,7 @@ __all__ = [
     "knn_vote_ivf",
     "ranking_eval",
     "hyperplane_signature",
+    "hyperplane_bands_arrow",
     "hyperplane_lsh_topk",
     "kmeans_fit",
     "kmeans_centroids",

@@ -794,29 +794,24 @@ def embedding_dedup_dfs_sink(
     gate applies it to the actual count), and grow ``n_tables`` with
     the recall you need.
     """
-    from faust_spark.operators.similarity import hyperplane_signature
+    from faust_spark.operators.similarity import hyperplane_bands_arrow
 
     def bands_fn(batch_df: DataFrame) -> DataFrame:
-        rels = []
-        for t in range(n_tables):
-            sig = hyperplane_signature(
-                batch_df,
-                n_planes=n_planes,
-                dim=dim,
-                vec_col=vec_col,
-                seed=t + 1,
-            )
-            rels.append(
-                sig.select(
-                    F.col(id_col),
-                    F.lit(t).cast("int").alias("band"),
-                    F.col("bucket").alias("band_sig"),
-                )
-            )
-        out = rels[0]
-        for r in rels[1:]:
-            out = out.unionByName(r)
-        return out
+        # one Arrow pass for ALL tables' signatures (r12): the per-table
+        # hyperplane_signature loop evaluated n_tables x n_planes
+        # INTERPRETED zip_with/aggregate dots per row — profiled as 3-4s
+        # of the ~5s per-batch cost at the 10x probe. Bit-identical
+        # buckets (explicit ascending fold; parity pinned in
+        # tests/test_similarity.py), so existing state layouts and the
+        # gate's DuckDB oracle are untouched.
+        return hyperplane_bands_arrow(
+            batch_df,
+            n_tables=n_tables,
+            n_planes=n_planes,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
 
     return _banded_dedup_dfs_sink(
         bands_fn,

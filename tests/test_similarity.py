@@ -659,3 +659,49 @@ def test_serve_cache_bit_parity_with_inline(spark, sf_dir):
         ).select("qid", "nid").collect()
     )
     assert cached_pq == inline_pq
+
+
+def test_hyperplane_bands_arrow_bit_parity(spark, sf_dir):
+    """r12: the one-pass Arrow band signatures must be bit-identical to
+    the per-table hyperplane_signature expression form — same md5
+    planes, same ascending IEEE fold, same NULL/width handling — for
+    every vector and every table (the streaming embedding sink's state
+    layout and oracle depend on it)."""
+    from pyspark.sql import functions as F
+
+    from faust_spark.catalog import load_table
+    from faust_spark.operators.similarity import (
+        hyperplane_bands_arrow,
+        hyperplane_signature,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_tables, n_planes = 4, 12
+    expr = {}
+    for t in range(n_tables):
+        for r in hyperplane_signature(
+            emb, n_planes=n_planes, dim=64, seed=t + 1
+        ).select("vec_id", "bucket").collect():
+            expr[(r.vec_id, t)] = r.bucket
+    arrow = {
+        (r.vec_id, r.band): r.band_sig
+        for r in hyperplane_bands_arrow(
+            emb, n_tables=n_tables, n_planes=n_planes, dim=64
+        ).collect()
+    }
+    assert arrow == expr
+
+    # NULL / wrong-width vectors → all-zero bits, like the expression's
+    # NULL-fold -> otherwise("0") path
+    odd = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 10)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_id, r.band): r.band_sig
+        for r in hyperplane_bands_arrow(
+            odd, n_tables=2, n_planes=5, dim=64
+        ).collect()
+    }
+    assert set(got.values()) == {"00000"}
+    assert len(got) == 4
