@@ -8407,81 +8407,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-11 window policy (VERDICT r10 item 5 — fifth consecutive
+# Round-12 window policy (VERDICT r11 item 7 — sixth consecutive
 # rotation): positions 1-50 carry changed-this-round first, then the
-# ENTIRE r7 evidence band, then r8 fill.
-#   Positions 1-12: the queries whose operator code changed in r11 —
-#     nb_eval + lang_nb_classify (nb_classify one-partitioning rewrite,
-#     struct-MIN argmax, carry= truth pass-through), the four graph
-#     gates (materialize_partitioned: checkpoints now genuinely keep
-#     their hash partitioning under AQE, so rounds stop re-shuffling
-#     |E|), dedup_components + split_by_cluster (connected_components
-#     edge checkpoint, same fix), bpe_merges + bpe_segment_words
-#     (single-action driver-branch decision), kmeans_fit +
-#     quality_adaboost_fit (plan-pinned this round; also r7-stale).
-#     Changed-this-round outranks re-verification.
-#   Positions 13-37: the REST of the r7 cohort (the r10 verdict's
-#     34-row histogram band, minus the nine already in the head) —
-#     after this window completes, NO registry query's newest driver
-#     evidence predates r8.
-#   Positions 38-50: r8 fill in list order (pack_sequences ..
-#     word_count).
-# Every row displaced past 50 has driver-green >= r8 AND stays covered
+# ENTIRE r8 evidence band, then r9 fill.
+#   Positions 1-4: the queries whose operator code changed in r12 —
+#     ivf_topk_serve + ivfpq_topk_serve (the serve path now reads the
+#     on-disk cell-partitioned index artifact: build_*_index +
+#     *_index_topk), purchase_communities (LPA loop-width rule + vote
+#     exchange width A/B), stream_embedding_dedup (one-pass Arrow band
+#     signatures — bit-parity pinned). Changed-this-round outranks
+#     re-verification.
+#   Positions 5-35: the REST of the r8 cohort (the r11 verdict's
+#     32-row histogram band, minus ivf_topk_serve already in the head)
+#     — after this window completes, NO registry query's newest driver
+#     evidence predates r9.
+#   Positions 36-50: r9 fill in list order (asof_join_nearest ..
+#     split_assign).
+# Every row displaced past 50 has driver-green >= r9 AND stays covered
 # by the per-round full local gates at sf0.01 AND sf0.1
-# (artifacts/check_all_r11*.json). Tail order is oldest-evidence-first
-# (rest of r8's cohort, then r9's, then r10's) so the next rotation is
+# (artifacts/check_all_r12*.json). Tail order is oldest-evidence-first
+# (rest of r9's cohort, then r10's, then r11's) so the next rotation is
 # a straight prefix shift.
 _PRIORITY: list[str] = [
-    "nb_eval",
-    "lang_nb_classify",
-    "supplier_pagerank",
-    "trusted_supplier_ppr",
-    "supplier_hits",
+    "ivf_topk_serve",
+    "ivfpq_topk_serve",
     "purchase_communities",
-    "dedup_components",
-    "split_by_cluster",
-    "bpe_merges",
-    "bpe_segment_words",
-    "kmeans_fit",
-    "quality_adaboost_fit",
-    "token_budget_plan",
-    "corpus_datasheet",
-    "stream_everseen_dedup",
-    "stream_heavy_hitters",
-    "dsir_score",
-    "asof_join",
-    "scd2_lookup",
-    "bloom_dedup_admit",
-    "heavy_hitters_cms",
-    "dedup_jaccard",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "vocab_build",
-    "tokenize_ids",
-    "perplexity_buckets",
-    "unigram_logprob",
-    "enumerate_stream",
-    "counter_table",
-    "sum_table",
-    "filter_project",
-    "rekey_json",
-    "set_table",
-    "take_first",
-    "union_streams",
-    "pack_sequences",
-    "distinct_users_per_type",
-    "distinct_types",
-    "topk_users",
-    "tumbling_hourly",
-    "hopping_30m_15m",
-    "window_point_read",
-    "global_table_join",
-    "stream_table_lookup",
-    "semi_join",
-    "anti_join",
-    "q1_pricing",
-    "word_count",
+    "stream_embedding_dedup",
     "sample_10pct",
     "sample_3_per_user",
     "scd2_history",
@@ -8512,12 +8463,10 @@ _PRIORITY: list[str] = [
     "stream_livecheck_audit",
     "ivf_topk",
     "pq_ann_topk",
-    "ivf_topk_serve",
     "hard_negatives_ivf",
     "asof_join_nearest",
     "asof_join_forward",
     "ivfpq_topk",
-    "ivfpq_topk_serve",
     "pii_redact",
     "quality_classifier",
     "multimodal_decode",
@@ -8564,7 +8513,6 @@ _PRIORITY: list[str] = [
     "session_windows",
     "doc_fingerprint",
     "split_leakage_audit",
-    "stream_embedding_dedup",
     "simhash_near_pairs",
     "stream_lsh_dedup",
     "semantic_dedup",
@@ -8610,6 +8558,55 @@ _PRIORITY: list[str] = [
     "livecheck_case_stats",
     "mmr_rerank",
     "quality_logreg_fit",
+    "nb_eval",
+    "lang_nb_classify",
+    "supplier_pagerank",
+    "trusted_supplier_ppr",
+    "supplier_hits",
+    "dedup_components",
+    "split_by_cluster",
+    "bpe_merges",
+    "bpe_segment_words",
+    "kmeans_fit",
+    "quality_adaboost_fit",
+    "token_budget_plan",
+    "corpus_datasheet",
+    "stream_everseen_dedup",
+    "stream_heavy_hitters",
+    "dsir_score",
+    "asof_join",
+    "scd2_lookup",
+    "bloom_dedup_admit",
+    "heavy_hitters_cms",
+    "dedup_jaccard",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "vocab_build",
+    "tokenize_ids",
+    "perplexity_buckets",
+    "unigram_logprob",
+    "enumerate_stream",
+    "counter_table",
+    "sum_table",
+    "filter_project",
+    "rekey_json",
+    "set_table",
+    "take_first",
+    "union_streams",
+    "pack_sequences",
+    "distinct_users_per_type",
+    "distinct_types",
+    "topk_users",
+    "tumbling_hourly",
+    "hopping_30m_15m",
+    "window_point_read",
+    "global_table_join",
+    "stream_table_lookup",
+    "semi_join",
+    "anti_join",
+    "q1_pricing",
+    "word_count",
 ]
 
 
