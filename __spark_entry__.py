@@ -5212,6 +5212,7 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, kind: str) -> dict:
     from faust_spark.operators.similarity import (
         build_ivf_index,
         build_ivfpq_index,
+        corpus_fingerprint,
         load_ann_index,
     )
 
@@ -5219,7 +5220,9 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, kind: str) -> dict:
     if path in _SERVE_INDEX_OK:
         return load_ann_index(spark, path)
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # exact integer content checksum, not just the row count — detects a
+    # same-size fixture regeneration (one corpus pass, once per process)
+    fp = corpus_fingerprint(emb)
     params = (
         {"kind": "ivf", "n_cells": 16, "iters": 2}
         if kind == "ivf"
@@ -5235,7 +5238,7 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, kind: str) -> dict:
         meta = load_ann_index(spark, path)
     except Exception:
         meta = None
-    if meta is None or meta.get("n") != n or any(
+    if meta is None or meta.get("fingerprint") != fp or any(
         meta.get(k) != v for k, v in params.items()
     ):
         build = build_ivf_index if kind == "ivf" else build_ivfpq_index

@@ -1922,6 +1922,34 @@ def _index_mtime(path: str):
         return None
 
 
+def corpus_fingerprint(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Exact, order-independent corpus fingerprint for index staleness
+    detection (ADVICE r11): row count, dim, and two INTEGER checksums —
+    sum of ids and sum of per-row crc32 over the vector rendered as a
+    string. All-integer sums are associative, so the value is identical
+    under any partitioning/order (a float moment would wobble in the
+    last bits); content changes at equal size flip the crc sum. One
+    corpus pass, run per index build and once per serving process."""
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col), ignorenulls=True).alias("dim"),
+        F.sum(F.col(id_col).cast("long")).alias("id_sum"),
+        F.sum(F.crc32(F.col(vec_col).cast("string"))).alias("crc_sum"),
+    ).first()
+    return {
+        "n": row["n"],
+        "dim": row["dim"],
+        "id_sum": int(row["id_sum"]) if row["id_sum"] is not None else None,
+        "crc_sum": (
+            int(row["crc_sum"]) if row["crc_sum"] is not None else None
+        ),
+    }
+
+
 def load_ann_index(spark: SparkSession, path: str) -> dict:
     """Load an ANN index's MODEL artifact (the driver-side quantizer
     state written by :func:`build_ivf_index` / :func:`build_ivfpq_index`)
@@ -1977,11 +2005,8 @@ def build_ivf_index(
     Returns the meta dict.
     """
     spark = corpus.sparkSession
-    stats = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.first(F.size(vec_col), ignorenulls=True).alias("dim"),
-    ).first()
-    n, dim = stats["n"], stats["dim"]
+    fp = corpus_fingerprint(corpus, vec_col=vec_col, id_col=id_col)
+    n, dim = fp["n"], fp["dim"]
     if not n or dim is None:
         raise ValueError("build_ivf_index: empty corpus")
     cents = ivf_fit(
@@ -2002,6 +2027,7 @@ def build_ivf_index(
         "iters": iters,
         "n": n,
         "dim": dim,
+        "fingerprint": fp,
         "centroids": cents,
         "format": 1,
     }
@@ -2030,11 +2056,8 @@ def build_ivfpq_index(
     the ORIGINAL corpus table for the shortlist re-rank only. See
     :func:`build_ivf_index` for the layout rationale. Returns meta."""
     spark = corpus.sparkSession
-    stats = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.first(F.size(vec_col), ignorenulls=True).alias("dim"),
-    ).first()
-    n, dim = stats["n"], stats["dim"]
+    fp = corpus_fingerprint(corpus, vec_col=vec_col, id_col=id_col)
+    n, dim = fp["n"], fp["dim"]
     if not n or dim is None:
         raise ValueError("build_ivfpq_index: empty corpus")
     cents, books = ivfpq_fit(
@@ -2063,6 +2086,7 @@ def build_ivfpq_index(
         "iters": iters,
         "n": n,
         "dim": dim,
+        "fingerprint": fp,
         "centroids": cents,
         "books": books,
         "format": 1,
@@ -2216,6 +2240,7 @@ __all__ = [
     "build_ivf_index",
     "build_ivfpq_index",
     "load_ann_index",
+    "corpus_fingerprint",
     "ivf_index_topk",
     "ivfpq_index_topk",
     "ivfpq_fit",

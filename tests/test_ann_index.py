@@ -157,9 +157,11 @@ def test_stale_index_detected_and_rebuilt(spark, emb, tmp_path):
         path = entry._serve_index_path(sf_dir, "ivf")
         meta1 = entry._ensure_serve_index(spark, sf_dir, "ivf")
         assert meta1["n"] == emb.count()
-        # simulate data regeneration: poison the stored fingerprint and
-        # clear the process validation memo — ensure must rebuild
-        meta_bad = dict(meta1, n=meta1["n"] + 1)
+        # simulate data regeneration: poison the stored content checksum
+        # (a same-size regeneration changes crc_sum, not n) and clear
+        # the process validation memo — ensure must rebuild
+        fp_bad = dict(meta1["fingerprint"], crc_sum=12345)
+        meta_bad = dict(meta1, n=meta1["n"] + 1, fingerprint=fp_bad)
         from faust_spark.operators import similarity as sim
 
         sim._write_index_models(spark, path, meta_bad)
