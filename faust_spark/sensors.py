@@ -24,6 +24,11 @@ class QueryStats:
     last_processed_rows_per_sec: float = 0.0
     last_batch_duration_ms: Optional[float] = None
     last_watermark: Optional[str] = None
+    #: keyed-state footprint (r12 — the reference Monitor's table-size
+    #: counters, faust/sensors/monitor.py tables dict): summed over the
+    #: query's stateful operators from StreamingQueryProgress
+    last_state_rows: Optional[int] = None
+    last_state_bytes: Optional[int] = None
 
     @property
     def events_total(self) -> int:  # Monitor.events_total analogue
@@ -57,6 +62,14 @@ class Monitor(StreamingQueryListener):
         wm = (p.eventTime or {}).get("watermark")
         if wm:
             s.last_watermark = wm
+        ops = p.stateOperators or []
+        if ops:
+            s.last_state_rows = sum(
+                int(o.numRowsTotal or 0) for o in ops
+            )
+            s.last_state_bytes = sum(
+                int(o.memoryUsedBytes or 0) for o in ops
+            )
 
     def onQueryTerminated(self, event) -> None:
         pass
@@ -136,6 +149,28 @@ class Monitor(StreamingQueryListener):
                 f'processed_rows_per_second{{stream="{esc(name)}"}} '
                 f"{float(self.queries[name].last_processed_rows_per_sec)}"
             )
+        lines += [
+            "# HELP state_rows Keyed-state rows per stream (the "
+            "reference Monitor's table-size counters)",
+            "# TYPE state_rows gauge",
+        ]
+        for name in sorted(self.queries):
+            v = self.queries[name].last_state_rows
+            if v is not None:
+                lines.append(
+                    f'state_rows{{stream="{esc(name)}"}} {float(v)}'
+                )
+        lines += [
+            "# HELP state_memory_bytes Keyed-state memory per stream",
+            "# TYPE state_memory_bytes gauge",
+        ]
+        for name in sorted(self.queries):
+            v = self.queries[name].last_state_bytes
+            if v is not None:
+                lines.append(
+                    f'state_memory_bytes{{stream="{esc(name)}"}} '
+                    f"{float(v)}"
+                )
         return "\n".join(lines) + "\n"
 
 

@@ -104,3 +104,16 @@ def test_crontab_schedule():
     )
     assert fired == ["tick"] * 3
     assert slept[0] == 30.0 and slept[1:] == [60.0, 60.0]
+
+
+def test_ann_index_serving(spark, tmp_path):
+    """r12 example: offline ivfpq index build + online pruned serving —
+    every query answered, ranks contiguous, fingerprint persisted."""
+    from ann_index_serving import build
+
+    meta, top = build(spark, "/root/testdata/sf0.001",
+                      str(tmp_path / "ivfpq"))
+    rows = top.collect()
+    assert meta["kind"] == "ivfpq" and meta["fingerprint"]["n"] == meta["n"]
+    assert len({r.qid for r in rows}) == 5
+    assert all(1 <= r.rank <= 3 for r in rows)

@@ -31,6 +31,11 @@ def test_monitor_collects_progress(spark, sf_dir, tmp_path):
         assert st.total_input_rows == 1000
         assert st.last_processed_rows_per_sec >= 0
 
+        # keyed-state footprint (r12): the groupBy keeps one state row
+        # per user_id, reported via stateOperators
+        assert st.last_state_rows and st.last_state_rows > 0
+        assert st.last_state_bytes and st.last_state_bytes > 0
+
         # -- Prometheus exposition over the same counters (r12) ----------
         text = mon.render_prometheus()
         assert "# TYPE messages_received counter" in text
@@ -38,6 +43,8 @@ def test_monitor_collects_progress(spark, sf_dir, tmp_path):
         assert "total_events 1000.0" in text
         assert 'total_events_per_stream{stream="monq"} 1000.0' in text
         assert 'batches_total{stream="monq"}' in text
+        assert 'state_rows{stream="monq"}' in text
+        assert 'state_memory_bytes{stream="monq"}' in text
     finally:
         spark.streams.removeListener(mon)
 
