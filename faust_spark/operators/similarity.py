@@ -2101,19 +2101,42 @@ def _probed_cells(
     cents: list[list[float]],
     nprobe: int,
     vec_col: str,
+    driver_limit: int = 4096,
 ) -> list[int]:
     """The union of cells any query in the batch probes — a tiny
     driver-side list (≤ min(|q|·nprobe, n_cells) ints) that becomes the
-    LITERAL ``cell IN (...)`` predicate partition pruning needs. The
-    query batch is small by definition (serving), so the probe ranking
-    runs driver-side over the collected batch — same ascending-index
-    IEEE fold from 0.0 and the same ``(dist, cell)`` tie-break as
+    LITERAL ``cell IN (...)`` predicate partition pruning needs.
+
+    A serving batch is usually small, so the probe ranking runs
+    driver-side over the collected batch — same ascending-index IEEE
+    fold from 0.0 and the same ``(dist, cell)`` tie-break as
     :func:`probe_cells_join`, which ivf_topk/ivfpq_topk re-run
     distributedly for the per-query (qid, cell) pairing — so the pruned
-    set always covers exactly the cells the engine-side probe joins."""
-    rows = queries.select(F.col(vec_col).alias("qv")).collect()
+    set always covers exactly the cells the engine-side probe joins.
+    Batches beyond ``driver_limit`` rows never collect: the probe runs
+    distributedly (:func:`probe_cells_join`, identical tie-break) and
+    only the ≤ n_cells distinct cell ids reach the driver — the bounded
+    ``limit(driver_limit + 1)`` peek is how the size is decided without
+    a count job."""
+    peek = (
+        queries.select(F.col(vec_col).alias("qv"))
+        .limit(driver_limit + 1)
+        .collect()
+    )
+    if len(peek) > driver_limit:
+        q = queries.select(
+            F.monotonically_increasing_id().alias("qid"),
+            F.col(vec_col).alias("qv"),
+        )
+        rows = (
+            probe_cells_join(q, cents, nprobe)
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["cell"]) for r in rows)
     probed: set[int] = set()
-    for r in rows:
+    for r in peek:
         qv = r["qv"]
         dists = []
         for i, c in enumerate(cents):

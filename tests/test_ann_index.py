@@ -174,3 +174,16 @@ def test_stale_index_detected_and_rebuilt(spark, emb, tmp_path):
             os.environ.pop("SPARK_GRAFT_INDEX_DIR", None)
         else:
             os.environ["SPARK_GRAFT_INDEX_DIR"] = prev
+
+
+def test_probed_cells_large_batch_falls_back_distributed(spark, emb):
+    """Query batches beyond the driver limit must not collect vectors —
+    the distributed probe path returns the identical pruned-cell union
+    (same tie-break), only cell ids reach the driver."""
+    from faust_spark.operators.similarity import _probed_cells, ivf_fit
+
+    cents = ivf_fit(emb, n_cells=16, iters=1)
+    q = emb.select("vec_id", "embedding")
+    small = _probed_cells(q, cents, 4, "embedding")  # driver path
+    big = _probed_cells(q, cents, 4, "embedding", driver_limit=100)
+    assert small == big and len(big) <= 16
