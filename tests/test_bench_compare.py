@@ -82,3 +82,17 @@ def test_bench_emits_phase_fields():
         "phase_stable",
     ):
         assert f'"{field}"' in src, field
+
+
+def test_phase_drift_derived_from_pre_post_without_field(tmp_path):
+    """A bench JSON carrying python_spin_pre/post but no phase_drift
+    field (hand-edited or future-format) still gets its drift derived
+    and flagged."""
+    q = {"q1_pricing": 1.0}
+    old = _bench_json(1.0, q)
+    new = _bench_json(1.25, q)
+    new["host_calib"]["python_spin_pre"] = 1.0
+    new["host_calib"]["python_spin_post"] = 1.5  # no phase_drift key
+    out = _run_compare(tmp_path, old, new)
+    assert out["phase_drift_new"] == 1.5
+    assert out["unreliable"] is True
