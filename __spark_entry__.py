@@ -5196,13 +5196,23 @@ _SERVE_INDEX_OK: set = set()
 
 
 def _serve_index_path(sf_dir: str, kind: str) -> str:
+    # keyed by basename PLUS a hash of the full normalized path (ADVICE
+    # r12): two sf_dirs with the same basename but different parents
+    # must not share an index directory — with basename-only keying the
+    # second corpus was served the first one's validated index without
+    # any fingerprint re-check (and with differing corpora it thrashed
+    # rebuilds). The basename stays in the name for human navigation.
+    import hashlib
+
     base = os.environ.get(
         "SPARK_GRAFT_INDEX_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "spark-warehouse", "ann_index"),
     )
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = hashlib.sha1(norm.encode("utf-8")).hexdigest()[:8]
     return os.path.join(
-        base, os.path.basename(os.path.normpath(sf_dir)), kind
+        base, f"{os.path.basename(norm)}-{tag}", kind
     )
 
 
@@ -5244,6 +5254,10 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, kind: str) -> dict:
         build = build_ivf_index if kind == "ivf" else build_ivfpq_index
         meta = build(emb, path, **{k: v for k, v in params.items()
                                    if k != "kind"})
+    else:
+        from faust_spark.operators.similarity import INDEX_STATS
+
+        INDEX_STATS["validations"] += 1
     _SERVE_INDEX_OK.add(path)
     return meta
 

@@ -174,7 +174,8 @@ def main() -> None:
     # host that changed speed mid-run (noisy neighbor, thermal / cgroup
     # throttling), and its per-query numbers are not comparable to
     # anything; the output flags it so bench_compare (and a reader)
-    # refuses the comparison instead of chasing phantom regressions.
+    # flags the comparison unreliable instead of chasing phantom
+    # regressions (the ratios are still printed, annotated as such).
     def _spin() -> float:
         t0 = time.time()
         acc = 0

@@ -270,8 +270,13 @@ def main(argv: list[str] | None = None) -> int:
     sys.path.insert(0, "/root/repo")
 
     if args.cmd == "completion":
-        # pure text emission — no app, no entry import (reference:
-        # require_app = False, faust/cli/completion.py)
+        # text emission with no app and no Spark session (reference:
+        # require_app = False, faust/cli/completion.py) — but it DOES
+        # import __spark_entry__ deliberately: _completion_script bakes
+        # the registry's query names into the `run` completions, which
+        # is the whole value of the verb. The import is registrations
+        # only (~1s), never a SparkSession. (ADVICE r12: the previous
+        # comment claimed "no entry import".)
         import os
 
         shell = args.shell or os.path.basename(

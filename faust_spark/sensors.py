@@ -99,7 +99,14 @@ class Monitor(StreamingQueryListener):
         """
 
         def esc(v: str) -> str:
-            return v.replace("\\", r"\\").replace('"', r"\"")
+            # exposition-format label escapes: backslash, quote, AND
+            # newline (ADVICE r12 — an unescaped \n in a label value is
+            # a malformed line that breaks the whole scrape)
+            return (
+                v.replace("\\", r"\\")
+                .replace('"', r"\"")
+                .replace("\n", r"\n")
+            )
 
         total = sum(s.total_input_rows for s in self.queries.values())
         lines = [
@@ -171,6 +178,30 @@ class Monitor(StreamingQueryListener):
                     f'state_memory_bytes{{stream="{esc(name)}"}} '
                     f"{float(v)}"
                 )
+        # ANN-index serving KPIs (r13 — VERDICT r12 item 7): builds and
+        # fingerprint validations this process, probe batches ranked
+        # driver-side vs. pushed to the distributed fallback, and the
+        # running probed-cell total — the scan-cost signal for tuning
+        # ``nprobe``. Process-wide counters (one serving index layer per
+        # process), so no stream label.
+        from faust_spark.operators.similarity import INDEX_STATS
+
+        for key, help_txt in (
+            ("builds", "ANN index build operations this process"),
+            ("validations",
+             "ANN index fingerprint validations served without rebuild"),
+            ("probe_batches", "ANN serve probe batches ranked"),
+            ("probe_fallbacks",
+             "ANN serve probe batches sent to the distributed path "
+             "(oversized or malformed query batch)"),
+            ("probe_cells", "Total index cells probed (scanned) across "
+             "serve calls"),
+        ):
+            lines += [
+                f"# HELP ann_index_{key}_total {help_txt}",
+                f"# TYPE ann_index_{key}_total counter",
+                f"ann_index_{key}_total {float(INDEX_STATS[key])}",
+            ]
         return "\n".join(lines) + "\n"
 
 

@@ -187,3 +187,141 @@ def test_probed_cells_large_batch_falls_back_distributed(spark, emb):
     small = _probed_cells(q, cents, 4, "embedding")  # driver path
     big = _probed_cells(q, cents, 4, "embedding", driver_limit=100)
     assert small == big and len(big) <= 16
+
+
+# -- r13 (VERDICT r12 items 3/4/6, ADVICE r12) ---------------------------
+
+
+def test_probed_cells_numpy_matches_sequential_ranking(spark, emb):
+    """The numpy GEMM ranking must select the same cell union as the
+    sequential-fold spec (the old driver loop / probe_cells_join's
+    ascending-index IEEE fold with (dist, cell) tie-break)."""
+    from faust_spark.operators.similarity import (
+        _probed_cells,
+        _rank_cells_numpy,
+        ivf_fit,
+    )
+
+    cents = ivf_fit(emb, n_cells=16, iters=1)
+    q = emb.select("vec_id", "embedding")
+    qvs = [r["embedding"] for r in q.select("embedding").collect()]
+    # sequential-fold spec, exactly the old driver loop
+    spec: set[int] = set()
+    for qv in qvs:
+        dists = []
+        for i, c in enumerate(cents):
+            d = 0.0
+            for a, b in zip(qv, c):
+                d = d + (a - b) * (a - b)
+            dists.append((d, i))
+        dists.sort()
+        spec.update(i for _, i in dists[:4])
+    assert _rank_cells_numpy(qvs, cents, 4) == sorted(spec)
+    assert _probed_cells(q, cents, 4, "embedding") == sorted(spec)
+
+
+def test_probed_cells_malformed_batch_falls_back_distributed(spark, emb):
+    """A NULL or wrong-dimension query vector must not crash or silently
+    truncate the driver probe (ADVICE r12): the batch goes to the
+    distributed probe (zip_with null-padding semantics), covering the
+    same cells the engine-side probe would join."""
+    from faust_spark.operators import similarity as sim
+
+    cents = sim.ivf_fit(emb, n_cells=16, iters=1)
+    good = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    bad = good.withColumn(
+        "embedding",
+        F.when(F.col("qid") == 0, F.lit(None).cast("array<double>"))
+        .when(F.col("qid") == 1, F.slice("embedding", 1, 3))
+        .otherwise(F.col("embedding")),
+    )
+    before = sim.INDEX_STATS["probe_fallbacks"]
+    cells = sim._probed_cells(bad, cents, 4, "embedding")
+    assert sim.INDEX_STATS["probe_fallbacks"] == before + 1
+    # the distributed probe on the same malformed frame is the spec
+    qd = bad.select(F.col("qid"), F.col("embedding").alias("qv"))
+    spec = sorted(
+        int(r["cell"])
+        for r in sim.probe_cells_join(qd, cents, 4)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert cells == spec
+    # the all-good subset still takes the driver path
+    before_b = sim.INDEX_STATS["probe_batches"]
+    sim._probed_cells(good, cents, 4, "embedding")
+    assert sim.INDEX_STATS["probe_batches"] == before_b + 1
+    assert sim.INDEX_STATS["probe_fallbacks"] == before + 1
+
+
+def test_files_per_cell_write_knob(spark, emb, queries, tmp_path):
+    """files_per_cell salts the index write into up to that many files
+    per cell directory (more writer tasks / reader splits for the
+    multi-GB cells a 100 TB corpus produces) without changing served
+    rows. Default stays exactly one file per cell."""
+    import glob
+
+    from faust_spark.operators.similarity import build_ivf_index
+
+    p1 = str(tmp_path / "fpc1")
+    p4 = str(tmp_path / "fpc4")
+    build_ivf_index(emb, p1, n_cells=8, iters=1)
+    build_ivf_index(emb, p4, n_cells=8, iters=1, files_per_cell=4)
+
+    def files_by_cell(path):
+        out = {}
+        for d in glob.glob(os.path.join(path, "assigned", "cell=*")):
+            out[os.path.basename(d)] = len(
+                glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+
+    f1, f4 = files_by_cell(p1), files_by_cell(p4)
+    assert f1 and all(n == 1 for n in f1.values())
+    assert f4 and all(1 <= n <= 4 for n in f4.values())
+    assert sum(f4.values()) > len(f4)  # the knob actually fanned out
+    served1 = sorted(
+        (r.qid, r.nid, r.rank)
+        for r in ivf_index_topk(spark, p1, emb, queries, k=5).collect()
+    )
+    served4 = sorted(
+        (r.qid, r.nid, r.rank)
+        for r in ivf_index_topk(spark, p4, emb, queries, k=5).collect()
+    )
+    assert served1 == served4
+
+
+def test_dfs_model_cache_invalidates_on_content_change(
+    spark, emb, tmp_path, monkeypatch
+):
+    """When no models-file mtime is obtainable (DFS), load_ann_index must
+    re-read and key by content — an externally regenerated index is
+    picked up without a process restart (VERDICT r12 nit 2)."""
+    from faust_spark.operators import similarity as sim
+
+    path = str(tmp_path / "dfsidx")
+    meta1 = build_ivf_index(emb, path, n_cells=8, iters=1)
+    monkeypatch.setattr(sim, "_index_mtime", lambda p: None)
+    assert load_ann_index(spark, path)["n_cells"] == 8
+    # external regeneration at the same path, same process
+    meta2 = dict(meta1, n_cells=99)
+    sim._write_index_models(spark, path, meta2)
+    assert load_ann_index(spark, path)["n_cells"] == 99
+
+
+def test_serve_index_path_keys_by_full_path(tmp_path):
+    """ADVICE r12 (medium): two sf_dirs with the same basename but
+    different parents must map to DIFFERENT index directories, while
+    spelling variants of the same directory map to the SAME one."""
+    import __spark_entry__ as entry
+
+    a = entry._serve_index_path("/data/a/sf0.01", "ivf")
+    b = entry._serve_index_path("/data/b/sf0.01", "ivf")
+    assert a != b
+    assert os.path.basename(os.path.dirname(a)).startswith("sf0.01")
+    same = entry._serve_index_path("/data/a/./sf0.01/", "ivf")
+    assert same == a

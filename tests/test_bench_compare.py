@@ -96,3 +96,48 @@ def test_phase_drift_derived_from_pre_post_without_field(tmp_path):
     out = _run_compare(tmp_path, old, new)
     assert out["phase_drift_new"] == 1.5
     assert out["unreliable"] is True
+
+
+def test_noise_floor_routes_subsecond_rows(tmp_path):
+    """r13 (VERDICT r12 nit 3): rows under NOISE_FLOOR_SPINS spin-seconds
+    on BOTH sides ride the session's JIT phase — they go to noise_band,
+    never the worst/best headline lists; rows above the floor stay."""
+    q_old = {"tiny": 0.4, "big": 6.0}
+    q_new = {"tiny": 0.9, "big": 9.0}  # tiny "regressed" 2.25x in noise
+    old = _bench_json(1.0, q_old, pre=1.0, post=1.0)
+    new = _bench_json(1.0, q_new, pre=1.0, post=1.0)
+    out = _run_compare(tmp_path, old, new)
+    assert [r["query"] for r in out["noise_band"]] == ["tiny"]
+    assert out["noise_band_count"] == 1
+    for lst in (out["worst"], out["best"]):
+        assert [r["query"] for r in lst] == ["big"]
+    # raw seconds surfaced so a reader can see the floor applied
+    assert out["worst"][0]["old_s"] == 6.0 and out["worst"][0]["new_s"] == 9.0
+
+
+def test_row_above_floor_on_one_side_is_signal(tmp_path):
+    """A row that crossed the floor (fast before, slow after) is exactly
+    the kind of regression the headline list exists for."""
+    q_old = {"crossed": 0.5}
+    q_new = {"crossed": 4.0}
+    out = _run_compare(
+        tmp_path,
+        _bench_json(1.0, q_old, pre=1.0, post=1.0),
+        _bench_json(1.0, q_new, pre=1.0, post=1.0),
+    )
+    assert [r["query"] for r in out["worst"]] == ["crossed"]
+    assert out["noise_band"] == []
+
+
+def test_zero_spin_phase_is_flagged_not_missing(tmp_path):
+    """ADVICE r12: a recorded 0.0 spin is a broken calibration, not
+    missing data — the derived drift must flag the run (the old
+    `if pre and post` treated 0.0 as absent and reported None)."""
+    q = {"q1_pricing": 2.0}
+    old = _bench_json(1.0, q, pre=1.0, post=1.0)
+    new = _bench_json(1.0, q)
+    new["host_calib"]["python_spin_pre"] = 0.0
+    new["host_calib"]["python_spin_post"] = 1.0  # no phase_drift key
+    out = _run_compare(tmp_path, old, new)
+    assert out["phase_drift_new"] is not None
+    assert out["unreliable"] is True

@@ -87,3 +87,53 @@ def test_metrics_endpoint_scrapes(spark, sf_dir, tmp_path):
     finally:
         server.stop()
         spark.streams.removeListener(mon)
+
+
+def test_label_escaping_covers_newlines():
+    """ADVICE r12: a stream name containing a newline must not emit a
+    malformed exposition line (Prometheus text format requires \\n
+    escaping in label values — one bad line breaks the whole scrape)."""
+    mon = Monitor()
+    st = mon._stats('bad\nname"with\\stuff')
+    st.total_input_rows = 7
+    text = mon.render_prometheus()
+    for line in text.splitlines():
+        assert "\r" not in line
+    assert (
+        'total_events_per_stream{stream="bad\\nname\\"with\\\\stuff"} 7.0'
+        in text
+    )
+
+
+def test_ann_index_serving_counters_exposed(spark, sf_dir):
+    """r13 (VERDICT r12 item 7): after a serve-path call, the
+    ann_index_* counter family reports builds/validations/probe KPIs on
+    the exposition page."""
+    from faust_spark.catalog import load_table
+    from faust_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        before = dict(sim.INDEX_STATS)
+        path = d + "/ivf"
+        sim.build_ivf_index(emb, path, n_cells=8, iters=1)
+        sim.ivf_index_topk(spark, path, emb, queries, k=3, nprobe=2).collect()
+    assert sim.INDEX_STATS["builds"] == before["builds"] + 1
+    assert sim.INDEX_STATS["probe_batches"] == before["probe_batches"] + 1
+    assert sim.INDEX_STATS["probe_cells"] > before["probe_cells"]
+
+    mon = Monitor()
+    text = mon.render_prometheus()
+    assert "# TYPE ann_index_builds_total counter" in text
+    assert f"ann_index_builds_total {float(sim.INDEX_STATS['builds'])}" in text
+    assert "ann_index_validations_total" in text
+    assert "ann_index_probe_fallbacks_total" in text
+    assert (
+        f"ann_index_probe_cells_total "
+        f"{float(sim.INDEX_STATS['probe_cells'])}" in text
+    )

@@ -18,7 +18,15 @@ than 20% was timed on a host that changed speed mid-run — its numbers
 can't be normalized by any single spin value, so this tool marks the
 whole comparison ``"unreliable": true`` (with the offending side's
 drift) instead of letting a phase shift masquerade as per-query
-regressions (r11 lost a full bench run to exactly that).
+regressions (r11 lost a full bench run to exactly that). The flag is
+advisory: per-query ratios are still emitted so a reader can inspect
+them, but nothing in a flagged run should be treated as a regression.
+
+r13 (VERDICT r12 nit 3): rows under ``NOISE_FLOOR_SPINS`` spin-seconds
+on BOTH sides are routed to a separate ``noise_band`` list — sub-second
+rows ride the session's JIT phase (q8q21_profile_r12.json) and were
+headlining the worst-list with 2× "regressions" the other measurement
+frame refuted.
 """
 
 from __future__ import annotations
@@ -29,6 +37,14 @@ import json
 #: intra-run pre/post spin divergence above which a run's timings are
 #: not attributable to the code (mirrors bench.py's phase_stable bound)
 PHASE_DRIFT_LIMIT = 1.2
+
+#: noise floor in spin units (VERDICT r12 nit 3): a row whose wall time
+#: is under this many spin-seconds on BOTH sides is dominated by JIT /
+#: session-phase noise — r12's builder-frame "worst" list was eight
+#: sub-second rows at 1.8-2.45× that the driver frame refuted, the same
+#: q8/q21 JIT-phase pattern pinned in q8q21_profile_r12.json. Such rows
+#: go to ``noise_band``, never the worst/best headline lists.
+NOISE_FLOOR_SPINS = 1.5
 
 
 def load(path: str) -> dict:
@@ -50,7 +66,13 @@ def phase_drift(data: dict) -> float | None:
     if d is not None:
         return d
     pre, post = hc.get("python_spin_pre"), hc.get("python_spin_post")
-    if pre and post:
+    # explicit None checks (ADVICE r12): a recorded 0.0 spin is falsy
+    # but present — it means a broken calibration, which must flag the
+    # run as maximally drifted, not read as "no phase data"
+    if pre is not None and post is not None:
+        if min(pre, post) <= 0:
+            return 1e9  # broken calibration: maximally drifted (finite
+            # so the JSON output stays strict-parseable)
         return round(max(pre, post) / min(pre, post), 3)
     return None
 
@@ -66,18 +88,25 @@ def main() -> int:
         "python_spin_sec"
     ]
     common = sorted(set(old["queries"]) & set(new["queries"]))
-    rows = []
+    rows, noise = [], []
     for k in common:
-        a, b = old["queries"][k] / so, new["queries"][k] / sn
-        rows.append(
-            {
-                "query": k,
-                "old_norm": round(a, 2),
-                "new_norm": round(b, 2),
-                "ratio": round(b / a, 2) if a else None,
-            }
-        )
+        ra, rb = old["queries"][k], new["queries"][k]
+        a, b = ra / so, rb / sn
+        row = {
+            "query": k,
+            "old_s": round(ra, 3),
+            "new_s": round(rb, 3),
+            "old_norm": round(a, 2),
+            "new_norm": round(b, 2),
+            "ratio": round(b / a, 2) if a else None,
+        }
+        # sub-floor on BOTH sides → phase noise, not signal
+        if ra < NOISE_FLOOR_SPINS * so and rb < NOISE_FLOOR_SPINS * sn:
+            noise.append(row)
+        else:
+            rows.append(row)
     rows.sort(key=lambda r: -(r["ratio"] or 0))
+    noise.sort(key=lambda r: -(r["ratio"] or 0))
     tot_old = sum(old["queries"][k] for k in common) / so
     tot_new = sum(new["queries"][k] for k in common) / sn
     drift_old, drift_new = phase_drift(old), phase_drift(new)
@@ -104,6 +133,12 @@ def main() -> int:
         "total_norm_ratio": round(tot_new / tot_old, 2),
         "worst": rows[: args.top],
         "best": rows[-args.top:][::-1],
+        # rows below NOISE_FLOOR_SPINS on both sides: ratios here are
+        # session-phase artifacts (see q8q21_profile_r12.json), kept for
+        # completeness but excluded from the headline lists above
+        "noise_floor_spins": NOISE_FLOOR_SPINS,
+        "noise_band": noise[: args.top],
+        "noise_band_count": len(noise),
     }
     for key in (
         "stream_baseline_eps",
