@@ -8424,78 +8424,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # omissions), so each query's position relative to the window is a
 # deliberate decision, not insertion-order accident.
 #
-# Round-12 window policy (VERDICT r11 item 7 — sixth consecutive
+# Round-13 window policy (VERDICT r12 item 1 — seventh consecutive
 # rotation): positions 1-50 carry changed-this-round first, then the
-# ENTIRE r8 evidence band, then r9 fill.
-#   Positions 1-4: the queries whose operator code changed in r12 —
-#     ivf_topk_serve + ivfpq_topk_serve (the serve path now reads the
-#     on-disk cell-partitioned index artifact: build_*_index +
-#     *_index_topk), purchase_communities (LPA loop-width rule + vote
-#     exchange width A/B), stream_embedding_dedup (one-pass Arrow band
-#     signatures — bit-parity pinned). Changed-this-round outranks
-#     re-verification.
-#   Positions 5-35: the REST of the r8 cohort (the r11 verdict's
-#     32-row histogram band, minus ivf_topk_serve already in the head)
-#     — after this window completes, NO registry query's newest driver
-#     evidence predates r9.
-#   Positions 36-50: r9 fill in list order (asof_join_nearest ..
-#     split_assign).
-# Every row displaced past 50 has driver-green >= r9 AND stays covered
+# ENTIRE remaining r9 evidence band, then r10 fill.
+#   Positions 1-2: the queries whose operator code changed in r13 —
+#     ivf_topk_serve + ivfpq_topk_serve (numpy driver probe with
+#     malformed-batch distributed fallback, files_per_cell write knob,
+#     DFS-safe model cache, full-path index keying). Changed-this-round
+#     outranks re-verification.
+#   Positions 3-35: the ENTIRE r9 cohort (the r12 verdict's 33-row
+#     histogram band, shard_shuffle .. doc_fingerprint) — after this
+#     window completes, NO registry query's newest driver evidence
+#     predates r10.
+#   Positions 36-50: r10 fill in list order (split_leakage_audit ..
+#     value_quantiles_kll).
+# Every row displaced past 50 has driver-green >= r10 AND stays covered
 # by the per-round full local gates at sf0.01 AND sf0.1
-# (artifacts/check_all_r12*.json). Tail order is oldest-evidence-first
-# (rest of r9's cohort, then r10's, then r11's) so the next rotation is
+# (artifacts/check_all_r13*.json). Tail order is oldest-evidence-first
+# (rest of r10's cohort, then r11's, then r12's) so the next rotation is
 # a straight prefix shift.
 _PRIORITY: list[str] = [
     "ivf_topk_serve",
     "ivfpq_topk_serve",
-    "purchase_communities",
-    "stream_embedding_dedup",
-    "sample_10pct",
-    "sample_3_per_user",
-    "scd2_history",
-    "q3_shipping",
-    "q5_local_volume",
-    "q6_forecast",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q10_returns",
-    "q14_promo",
-    "q18_large_orders",
-    "window_functions",
-    "rolling_revenue",
-    "rank_analytics",
-    "profile_events",
-    "pivot_counts",
-    "rollup_revenue",
-    "stream_tumbling_hourly",
-    "stream_stateful_counter",
-    "stream_hopping",
-    "stream_set_table",
-    "approx_distinct_users",
-    "interval_join_sliding",
-    "domain_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "stream_blocklist_filter",
-    "stream_livecheck_audit",
-    "ivf_topk",
-    "pq_ann_topk",
-    "hard_negatives_ivf",
-    "asof_join_nearest",
-    "asof_join_forward",
-    "ivfpq_topk",
-    "pii_redact",
-    "quality_classifier",
-    "multimodal_decode",
-    "multimodal_frames",
-    "stratified_sample",
-    "sample_mixture_weights",
-    "pipeline_filter_dedup",
-    "repetition_stats",
-    "ngram_contamination",
-    "stream_session_windows",
-    "ivf_assign",
-    "split_assign",
     "shard_shuffle",
     "doc_chunking",
     "distinctive_terms",
@@ -8624,6 +8574,54 @@ _PRIORITY: list[str] = [
     "anti_join",
     "q1_pricing",
     "word_count",
+    "purchase_communities",
+    "stream_embedding_dedup",
+    "sample_10pct",
+    "sample_3_per_user",
+    "scd2_history",
+    "q3_shipping",
+    "q5_local_volume",
+    "q6_forecast",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returns",
+    "q14_promo",
+    "q18_large_orders",
+    "window_functions",
+    "rolling_revenue",
+    "rank_analytics",
+    "profile_events",
+    "pivot_counts",
+    "rollup_revenue",
+    "stream_tumbling_hourly",
+    "stream_stateful_counter",
+    "stream_hopping",
+    "stream_set_table",
+    "approx_distinct_users",
+    "interval_join_sliding",
+    "domain_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "stream_blocklist_filter",
+    "stream_livecheck_audit",
+    "ivf_topk",
+    "pq_ann_topk",
+    "hard_negatives_ivf",
+    "asof_join_nearest",
+    "asof_join_forward",
+    "ivfpq_topk",
+    "pii_redact",
+    "quality_classifier",
+    "multimodal_decode",
+    "multimodal_frames",
+    "stratified_sample",
+    "sample_mixture_weights",
+    "pipeline_filter_dedup",
+    "repetition_stats",
+    "ngram_contamination",
+    "stream_session_windows",
+    "ivf_assign",
+    "split_assign",
 ]
 
 
