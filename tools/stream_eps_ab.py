@@ -28,7 +28,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 
 #: relational HEADLINE-style rows used to age the session between
