@@ -293,6 +293,15 @@ def test_files_per_cell_write_knob(spark, emb, queries, tmp_path):
         for r in ivf_index_topk(spark, p4, emb, queries, k=5).collect()
     )
     assert served1 == served4
+    # pruning is DIRECTORY-level, so it survives multi-file cells: the
+    # salted index's serve plan still carries the cell PartitionFilters
+    # and never re-shuffles the index relation
+    df4 = ivf_index_topk(spark, p4, emb, queries, k=5)
+    plan = _final_plan(df4)
+    assert "PartitionFilters:" in plan and "cell" in plan.split(
+        "PartitionFilters:"
+    )[1].splitlines()[0]
+    assert "Exchange hashpartitioning(cell" not in plan
 
 
 def test_dfs_model_cache_invalidates_on_content_change(
