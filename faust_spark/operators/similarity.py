@@ -1910,6 +1910,9 @@ INDEX_STATS: dict = {
     "probe_batches": 0,
     "probe_fallbacks": 0,
     "probe_cells": 0,
+    "appends": 0,
+    "deletes": 0,
+    "compactions": 0,
 }
 
 
@@ -1922,8 +1925,13 @@ def _models_path(path: str) -> str:
 def _write_index_models(spark: SparkSession, path: str, meta: dict) -> None:
     import json
 
+    # JVM-side literal row, NOT createDataFrame([rows]): a Python-object
+    # local relation plans a Python-runner scan costing seconds per
+    # action in this container — the lifecycle verbs rewrite models on
+    # every append/delete/compact, so the trap would tax each one
     (
-        spark.createDataFrame([(json.dumps(meta),)], "js string")
+        spark.range(1)
+        .select(F.lit(json.dumps(meta)).alias("js"))
         .coalesce(1)
         .write.mode("overwrite")
         .text(_models_path(path))
@@ -2080,7 +2088,14 @@ def build_ivf_index(
 
     (
         _cell_partitioned(
-            ivf_assign_corpus(corpus, cents, vec_col=vec_col, id_col=id_col),
+            # format 2: every index row carries the crc32 fingerprint
+            # term of ITS vector (identical to corpus_fingerprint's
+            # per-row term — cv is the unmodified vec column), so
+            # delete_from_ann_index can subtract removed rows from the
+            # index fingerprint exactly, with no corpus pass
+            ivf_assign_corpus(
+                corpus, cents, vec_col=vec_col, id_col=id_col
+            ).withColumn("crc", F.crc32(F.col("cv").cast("string"))),
             n_cells,
             files_per_cell,
         )
@@ -2096,7 +2111,10 @@ def build_ivf_index(
         "dim": dim,
         "fingerprint": fp,
         "centroids": cents,
-        "format": 1,
+        "format": 2,
+        "files_per_cell": files_per_cell,
+        "epoch": _next_epoch(spark, path),
+        "tombstones": 0,
     }
     _write_index_models(spark, path, meta)
     _cache_index_model(path, meta)
@@ -2137,11 +2155,22 @@ def build_ivfpq_index(
 
     (
         _cell_partitioned(
+            # format 2: PQ codes are lossy, so the per-row fingerprint
+            # crc (see build_ivf_index) must be computed from the
+            # ORIGINAL vector and ride along the code row — one extra
+            # build-time join, and delete_from_ann_index never needs
+            # the corpus again
             pq_encode_join(
                 corpus.select(F.col(id_col).alias("nid"), F.col(vec_col)),
                 books,
                 coarse=cents,
                 vec_col=vec_col,
+            ).join(
+                corpus.select(
+                    F.col(id_col).alias("nid"),
+                    F.crc32(F.col(vec_col).cast("string")).alias("crc"),
+                ),
+                "nid",
             ),
             n_cells,
             files_per_cell,
@@ -2161,12 +2190,327 @@ def build_ivfpq_index(
         "fingerprint": fp,
         "centroids": cents,
         "books": books,
-        "format": 1,
+        "format": 2,
+        "files_per_cell": files_per_cell,
+        "epoch": _next_epoch(spark, path),
+        "tombstones": 0,
     }
     _write_index_models(spark, path, meta)
     _cache_index_model(path, meta)
     INDEX_STATS["builds"] += 1
     return meta
+
+
+# --------------------------------------------------------------------------
+# index lifecycle: append / delete / compact
+#
+# The FAISS `add` / `remove_ids` analogue for the on-disk artifact — the
+# maintenance half a 100 TB deployment actually runs: daily ingest must
+# not re-encode the whole corpus (append is one pass over the BATCH),
+# takedowns must not rebuild it (delete is tombstone bookkeeping), and
+# compaction rewrites ONLY the cells that carry tombstones (dynamic
+# partition overwrite). The corpus fingerprint stays EXACT through every
+# operation because its terms (count, id sum, per-row crc32 sum) are
+# associative integer sums: append adds the batch's own fingerprint,
+# delete subtracts the stored per-row ``crc`` terms (format-2 index rows
+# carry them) — no corpus pass, ever. Single-writer maintenance is
+# assumed (one maintainer process per index path — the standard contract
+# for index artifacts; serving processes are read-only and pick up each
+# models rewrite via the (path, mtime/content-crc) cache key).
+# --------------------------------------------------------------------------
+
+
+def _index_rel(meta: dict) -> str:
+    return "assigned" if meta["kind"] == "ivf" else "codes"
+
+
+def _tombstone_path(path: str, epoch: int) -> str:
+    import os
+
+    # epoch-suffixed so a rebuild or compaction RETIRES old tombstones
+    # by bumping the epoch instead of deleting files (DFS-safe: no
+    # rename/remove semantics required to reset lifecycle state)
+    return os.path.join(path, "tombstones", f"e{int(epoch)}")
+
+
+def _next_epoch(spark: SparkSession, path: str) -> int:
+    """Epoch for a fresh build at ``path``: one past any existing
+    index's epoch, so tombstones recorded against the PREVIOUS build can
+    never poison the new one (they live under the old epoch's
+    directory, which the new models file simply doesn't reference)."""
+    import os
+
+    try:
+        # cheap local existence probe first — keeps the expected
+        # missing-index case out of the JVM error log; DFS paths fall
+        # through to the read attempt
+        if not os.path.exists(_models_path(path)) and "://" not in path:
+            return 0
+        return int(load_ann_index(spark, path).get("epoch", 0)) + 1
+    except Exception:
+        return 0
+
+
+def _require_format2(meta: dict, op: str, path: str) -> None:
+    if meta.get("format", 1) < 2:
+        raise ValueError(
+            f"{op}: index at {path} is format {meta.get('format', 1)} "
+            "(pre-lifecycle, no per-row crc); rebuild it with "
+            "build_ivf_index/build_ivfpq_index to enable maintenance"
+        )
+
+
+def append_ann_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Append ``batch`` to the index at ``path`` without touching the
+    existing rows — the FAISS ``index.add`` analogue, and the reason an
+    index artifact beats nightly rebuilds at scale: cost is one pass
+    over the BATCH (assign/encode against the frozen quantizer models +
+    an appending partitioned write into the existing cell layout), not
+    the corpus. The quantizer is NOT refit — cells drift as the data
+    distribution drifts, which is the standard IVF trade; refit+rebuild
+    when recall telemetry (``ann_index_*`` gauges) says so.
+
+    Fingerprint maintenance is exact and corpus-pass-free: the batch's
+    own :func:`corpus_fingerprint` terms are ADDED to the stored one
+    (integer sums are associative), so a serving process validating
+    against the live table still gets an exact equality check. Each
+    append adds up to ``files_per_cell`` files per touched cell
+    (appending writes never merge); compaction cadence bounds file
+    counts. Caller owns id uniqueness (appending an id twice indexes it
+    twice, exactly like FAISS ``add``). Returns the updated meta."""
+    meta = load_ann_index(spark, path)
+    _require_format2(meta, "append_ann_index", path)
+    fpb = corpus_fingerprint(batch, vec_col=vec_col, id_col=id_col)
+    if not fpb["n"]:
+        return meta
+    if fpb["dim"] != meta["dim"]:
+        raise ValueError(
+            f"append_ann_index: batch dim {fpb['dim']} != index dim "
+            f"{meta['dim']}"
+        )
+    cents = meta["centroids"]
+    if meta["kind"] == "ivf":
+        rows = ivf_assign_corpus(
+            batch, cents, vec_col=vec_col, id_col=id_col
+        ).withColumn("crc", F.crc32(F.col("cv").cast("string")))
+    else:
+        rows = pq_encode_join(
+            batch.select(F.col(id_col).alias("nid"), F.col(vec_col)),
+            meta["books"],
+            coarse=cents,
+            vec_col=vec_col,
+        ).join(
+            batch.select(
+                F.col(id_col).alias("nid"),
+                F.crc32(F.col(vec_col).cast("string")).alias("crc"),
+            ),
+            "nid",
+        )
+    import os
+
+    (
+        _cell_partitioned(rows, meta["n_cells"], meta.get("files_per_cell", 1))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, _index_rel(meta)))
+    )
+    fp = dict(meta["fingerprint"])
+    fp["n"] += fpb["n"]
+    fp["id_sum"] += fpb["id_sum"]
+    fp["crc_sum"] += fpb["crc_sum"]
+    meta2 = {
+        **meta,
+        "n": fp["n"],
+        "fingerprint": fp,
+        "appends": meta.get("appends", 0) + 1,
+    }
+    _write_index_models(spark, path, meta2)
+    _cache_index_model(path, meta2)
+    INDEX_STATS["appends"] += 1
+    return meta2
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Logically delete ``ids`` (a one-column DataFrame or a small list
+    of ints) from the index at ``path`` — the FAISS ``remove_ids``
+    analogue, as tombstone bookkeeping: the matching index rows are
+    recorded (nid, cell) under the current epoch's tombstone directory,
+    serving anti-joins them out, and :func:`compact_ann_index` later
+    rewrites only the affected cells. Nothing in the main relation is
+    touched, so a takedown batch costs one index scan (to locate the
+    rows and read back their stored fingerprint ``crc`` terms — which
+    is what keeps the fingerprint subtraction EXACT without the deleted
+    vectors) plus a tiny tombstone write.
+
+    Idempotent per id: ids already tombstoned in this epoch, or absent
+    from the index, are skipped (no double subtraction). Deleting an id
+    that was appended twice removes (and subtracts) both rows. Returns
+    the updated meta; serving reflects the delete immediately."""
+    import os
+
+    from faust_spark.operators.mat import materialize
+
+    meta = load_ann_index(spark, path)
+    _require_format2(meta, "delete_from_ann_index", path)
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(id_col).cast("long").alias("nid")).distinct()
+    else:
+        ids = [int(i) for i in ids]
+        if not ids:
+            return meta
+        # JVM-side literal rows (a Python-object createDataFrame plans a
+        # Python-runner scan costing seconds per action)
+        idf = spark.range(1).select(
+            F.explode(F.array(*[F.lit(i) for i in ids])).alias("nid")
+        ).distinct()
+    epoch = int(meta.get("epoch", 0))
+    tpath = _tombstone_path(path, epoch)
+    if os.path.exists(tpath) or "://" in path:
+        try:
+            existing = spark.read.parquet(tpath).select("nid").distinct()
+            idf = idf.join(existing, "nid", "left_anti")
+        except Exception:
+            pass  # no tombstones yet this epoch
+    rel = spark.read.parquet(os.path.join(path, _index_rel(meta)))
+    victims = materialize(
+        rel.select("nid", "cell", "crc").join(F.broadcast(idf), "nid"),
+        eager=True,
+    )
+    agg = victims.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("nid").cast("long")).alias("id_sum"),
+        F.sum("crc").alias("crc_sum"),
+    ).first()
+    if not agg["cnt"]:
+        return meta
+    victims.select("nid", "cell").write.mode("append").parquet(tpath)
+    fp = dict(meta["fingerprint"])
+    fp["n"] -= int(agg["cnt"])
+    fp["id_sum"] -= int(agg["id_sum"])
+    fp["crc_sum"] -= int(agg["crc_sum"])
+    meta2 = {
+        **meta,
+        "n": fp["n"],
+        "fingerprint": fp,
+        "tombstones": int(meta.get("tombstones", 0)) + int(agg["cnt"]),
+        "deletes": meta.get("deletes", 0) + 1,
+    }
+    _write_index_models(spark, path, meta2)
+    _cache_index_model(path, meta2)
+    INDEX_STATS["deletes"] += 1
+    return meta2
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> dict:
+    """Fold the current tombstones into the index relation and retire
+    them. Scale shape: the tombstone file names the affected cells, so
+    the rewrite reads ONLY those cells (partition-pruned scan), anti-
+    joins the tombstoned nids, and writes back under
+    ``partitionOverwriteMode=dynamic`` — untouched cell directories are
+    never read or rewritten. A cell whose rows are ALL tombstoned
+    produces no output rows, which dynamic overwrite cannot express as
+    an emptied directory; such directories are removed directly on
+    local paths, and on filesystems where that isn't done their
+    tombstones simply STAY ACTIVE under the new epoch (serving keeps
+    anti-joining them — correct either way, the compaction is just less
+    complete). The epoch bump is what retires the folded tombstones
+    without any file deletion. No-op when the index has none. Returns
+    the updated meta."""
+    import os
+
+    from faust_spark.operators.mat import _AQE_TOGGLE_LOCK, materialize
+
+    meta = load_ann_index(spark, path)
+    if not meta.get("tombstones"):
+        return meta
+    epoch = int(meta.get("epoch", 0))
+    tomb = materialize(
+        spark.read.parquet(_tombstone_path(path, epoch)), eager=True
+    )
+    cells = sorted(int(r["cell"]) for r in
+                   tomb.select("cell").distinct().collect())
+    relp = os.path.join(path, _index_rel(meta))
+    # materialize cuts the lineage BEFORE the overwrite — the write job
+    # must not read from the path it is rewriting
+    keep = materialize(
+        _cell_partitioned(
+            spark.read.parquet(relp)
+            .filter(F.col("cell").isin(cells))
+            .join(tomb.select("nid").distinct(), "nid", "left_anti"),
+            meta["n_cells"],
+            meta.get("files_per_cell", 1),
+        ),
+        eager=True,
+    )
+    kept_cells = {
+        int(r["cell"]) for r in keep.select("cell").distinct().collect()
+    }
+    with _AQE_TOGGLE_LOCK:  # session-global conf mutation
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").partitionBy("cell").parquet(relp)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    remaining = 0
+    leftovers = []
+    for c in sorted(set(cells) - kept_cells):
+        d = os.path.join(relp, f"cell={c}")
+        try:
+            import shutil
+
+            shutil.rmtree(d)
+        except OSError:
+            # non-local path (or concurrent reader on Windows): keep the
+            # cell's tombstones active under the new epoch instead
+            leftovers.append(c)
+    if leftovers:
+        left = tomb.filter(F.col("cell").isin(leftovers))
+        remaining = left.count()
+        left.write.mode("overwrite").parquet(
+            _tombstone_path(path, epoch + 1)
+        )
+    meta2 = {
+        **meta,
+        "epoch": epoch + 1,
+        "tombstones": remaining,
+        "compactions": meta.get("compactions", 0) + 1,
+    }
+    _write_index_models(spark, path, meta2)
+    _cache_index_model(path, meta2)
+    INDEX_STATS["compactions"] += 1
+    return meta2
+
+
+def _live_index_rows(
+    spark: SparkSession, path: str, meta: dict, pruned: DataFrame
+) -> DataFrame:
+    """Apply the index's tombstones (if any) to a pruned relation scan —
+    the serve-side half of the delete story. The tombstone set is
+    compaction-bounded (compact before it outgrows a broadcast), so the
+    anti-join is broadcast and adds no exchange to the pinned plan;
+    zero-tombstone indexes skip the read entirely (the models file
+    carries the count)."""
+    if not meta.get("tombstones"):
+        return pruned
+    tomb = spark.read.parquet(
+        _tombstone_path(path, int(meta.get("epoch", 0)))
+    )
+    return pruned.join(
+        F.broadcast(tomb.select("nid").distinct()), "nid", "left_anti"
+    )
 
 
 def _probed_cells(
@@ -2294,8 +2638,13 @@ def ivf_index_topk(
         raise ValueError(f"index at {path} is {meta['kind']!r}, not ivf")
     cents = meta["centroids"]
     cells = _probed_cells(queries, cents, nprobe, vec_col)
-    assigned = spark.read.parquet(os.path.join(path, "assigned")).filter(
-        F.col("cell").isin(cells)
+    assigned = _live_index_rows(
+        spark,
+        path,
+        meta,
+        spark.read.parquet(os.path.join(path, "assigned")).filter(
+            F.col("cell").isin(cells)
+        ),
     )
     return ivf_topk(
         corpus,
@@ -2335,8 +2684,13 @@ def ivfpq_index_topk(
         raise ValueError(f"index at {path} is {meta['kind']!r}, not ivfpq")
     cents, books = meta["centroids"], meta["books"]
     cells = _probed_cells(queries, cents, nprobe, vec_col)
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
-        F.col("cell").isin(cells)
+    codes = _live_index_rows(
+        spark,
+        path,
+        meta,
+        spark.read.parquet(os.path.join(path, "codes")).filter(
+            F.col("cell").isin(cells)
+        ),
     )
     return ivfpq_topk(
         corpus,
@@ -2380,6 +2734,9 @@ __all__ = [
     "ivf_topk",
     "build_ivf_index",
     "build_ivfpq_index",
+    "append_ann_index",
+    "delete_from_ann_index",
+    "compact_ann_index",
     "load_ann_index",
     "corpus_fingerprint",
     "INDEX_STATS",

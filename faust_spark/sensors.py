@@ -196,6 +196,9 @@ class Monitor(StreamingQueryListener):
              "(oversized or malformed query batch)"),
             ("probe_cells", "Total index cells probed (scanned) across "
              "serve calls"),
+            ("appends", "ANN index append (incremental add) operations"),
+            ("deletes", "ANN index tombstone-delete operations"),
+            ("compactions", "ANN index tombstone compaction operations"),
         ):
             lines += [
                 f"# HELP ann_index_{key}_total {help_txt}",

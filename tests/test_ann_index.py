@@ -65,7 +65,9 @@ def test_model_roundtrip(spark, emb, ivf_path):
     # the relation on disk covers the corpus exactly once
     assigned = spark.read.parquet(os.path.join(ivf_path, "assigned"))
     assert assigned.count() == meta["n"]
-    assert set(assigned.columns) == {"nid", "cv", "cell"}
+    # format 2 (r13): every row carries its fingerprint crc term so
+    # delete_from_ann_index can subtract exactly without the corpus
+    assert set(assigned.columns) == {"nid", "cv", "cell", "crc"}
 
 
 def test_ivf_index_row_parity_with_inline(spark, emb, queries, ivf_path):
@@ -334,3 +336,274 @@ def test_serve_index_path_keys_by_full_path(tmp_path):
     assert os.path.basename(os.path.dirname(a)).startswith("sf0.01")
     same = entry._serve_index_path("/data/a/./sf0.01/", "ivf")
     assert same == a
+
+
+# --------------------------------------------------------------------------
+# index lifecycle (r13): append / delete / compact
+# --------------------------------------------------------------------------
+
+
+def _pairs(df):
+    return sorted((r["qid"], r["nid"]) for r in df.select("qid", "nid").collect())
+
+
+@pytest.fixture()
+def evolved_ivf(spark, emb, tmp_path):
+    """An IVF index built on ~90% of the corpus with the rest appended —
+    the daily-ingest shape append_ann_index exists for."""
+    from faust_spark.operators.similarity import append_ann_index
+
+    path = str(tmp_path / "evolve")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    meta = build_ivf_index(base, path, n_cells=16, iters=2)
+    meta = append_ann_index(
+        spark, path, emb.filter(F.col("vec_id") % 10 == 3)
+    )
+    return path, meta
+
+
+def test_append_row_parity_and_exact_fingerprint(
+    spark, emb, queries, evolved_ivf
+):
+    """Appending must be invisible in results: serving the evolved index
+    row-matches the inline path over the FULL corpus with the same
+    (base-fit) centroids, and the maintained fingerprint equals a direct
+    corpus_fingerprint of the full table (the associative-integer-sum
+    property the maintenance design rests on)."""
+    from faust_spark.operators.similarity import (
+        corpus_fingerprint,
+        ivf_assign_corpus,
+    )
+
+    path, meta = evolved_ivf
+    assert meta["fingerprint"] == corpus_fingerprint(emb)
+    assert meta["n"] == emb.count()
+    served = _pairs(ivf_index_topk(spark, path, emb, queries, k=5, nprobe=8))
+    cents = meta["centroids"]
+    inline = _pairs(
+        ivf_topk(
+            emb, queries, k=5, nprobe=8, centroids=cents,
+            assigned=ivf_assign_corpus(emb, cents),
+        )
+    )
+    assert served == inline
+
+
+def test_append_dim_mismatch_and_empty_batch(spark, emb, evolved_ivf):
+    from faust_spark.operators.similarity import append_ann_index
+
+    path, meta = evolved_ivf
+    bad = emb.select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_ann_index(spark, path, bad)
+    # empty batch: metadata untouched, no write
+    meta2 = append_ann_index(
+        spark, path, emb.filter(F.col("vec_id") < 0)
+    )
+    assert meta2["fingerprint"] == meta["fingerprint"]
+    assert meta2.get("appends") == meta.get("appends")
+
+
+def test_delete_serves_without_victims_and_is_idempotent(
+    spark, emb, queries, evolved_ivf
+):
+    """Tombstoned ids vanish from serving immediately (no rewrite), the
+    fingerprint subtraction is exact (equals a direct fingerprint of the
+    remaining corpus), and re-deleting the same ids is a no-op."""
+    from faust_spark.operators.similarity import (
+        corpus_fingerprint,
+        delete_from_ann_index,
+        ivf_assign_corpus,
+        load_ann_index,
+    )
+
+    path, meta = evolved_ivf
+    victims = [11, 13, 17]
+    m1 = delete_from_ann_index(spark, path, victims)
+    remaining = emb.filter(~F.col("vec_id").isin(victims))
+    assert m1["fingerprint"] == corpus_fingerprint(remaining)
+    assert m1["tombstones"] == len(victims)
+    served = _pairs(ivf_index_topk(spark, path, emb, queries, k=5, nprobe=8))
+    assert not any(nid in victims for _, nid in served)
+    # row parity with the inline path over the remaining corpus
+    cents = m1["centroids"]
+    inline = _pairs(
+        ivf_topk(
+            remaining, queries, k=5, nprobe=8, centroids=cents,
+            assigned=ivf_assign_corpus(remaining, cents),
+        )
+    )
+    assert served == inline
+    m2 = delete_from_ann_index(spark, path, victims)
+    assert m2["fingerprint"] == m1["fingerprint"]
+    assert m2["tombstones"] == m1["tombstones"]
+    assert load_ann_index(spark, path)["tombstones"] == len(victims)
+
+
+def test_compact_rewrites_only_affected_cells(spark, emb, queries, evolved_ivf):
+    """Compaction folds tombstones into the relation touching ONLY the
+    cells that carry them: untouched cell directories keep their exact
+    file set (dynamic partition overwrite), served rows are unchanged,
+    and the tombstones are retired (epoch bump, count 0)."""
+    from faust_spark.operators.similarity import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    path, meta = evolved_ivf
+    relp = os.path.join(path, "assigned")
+    m1 = delete_from_ann_index(spark, path, [11, 13, 17])
+    tomb_cells = {
+        r["cell"]
+        for r in spark.read.parquet(
+            os.path.join(path, "tombstones", f"e{m1['epoch']}")
+        ).select("cell").distinct().collect()
+    }
+    before = {
+        c: sorted(os.listdir(os.path.join(relp, c)))
+        for c in os.listdir(relp)
+        if c.startswith("cell=")
+    }
+    served_before = _pairs(
+        ivf_index_topk(spark, path, emb, queries, k=5, nprobe=8)
+    )
+    m2 = compact_ann_index(spark, path)
+    assert m2["tombstones"] == 0 and m2["epoch"] == m1["epoch"] + 1
+    after = {
+        c: sorted(os.listdir(os.path.join(relp, c)))
+        for c in os.listdir(relp)
+        if c.startswith("cell=")
+    }
+    for c in before:
+        cell_id = int(c.split("=")[1])
+        if cell_id not in tomb_cells:
+            assert after[c] == before[c], f"untouched {c} was rewritten"
+    # no tombstoned row remains on disk; serving unchanged
+    assert (
+        spark.read.parquet(relp)
+        .filter(F.col("nid").isin([11, 13, 17]))
+        .count()
+        == 0
+    )
+    assert _pairs(
+        ivf_index_topk(spark, path, emb, queries, k=5, nprobe=8)
+    ) == served_before
+    # second compact is a no-op
+    assert compact_ann_index(spark, path)["epoch"] == m2["epoch"]
+
+
+def test_compact_removes_fully_emptied_cells(spark, emb, tmp_path):
+    """A decoy batch whose vectors land in their own region: deleting the
+    whole batch then compacting must leave ZERO decoy rows on disk even
+    when a cell consisted only of decoys (local paths remove the emptied
+    directory outright)."""
+    from faust_spark.operators.similarity import (
+        append_ann_index,
+        compact_ann_index,
+        corpus_fingerprint,
+        delete_from_ann_index,
+    )
+
+    path = str(tmp_path / "decoyidx")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    decoys = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    append_ann_index(spark, path, decoys)
+    delete_from_ann_index(spark, path, decoys.select("vec_id"))
+    m = compact_ann_index(spark, path)
+    assert m["tombstones"] == 0
+    assert m["fingerprint"] == corpus_fingerprint(emb)
+    rel = spark.read.parquet(os.path.join(path, "assigned"))
+    assert rel.filter(F.col("nid") >= 1_000_000_000).count() == 0
+    assert rel.count() == emb.count()
+
+
+def test_ivfpq_lifecycle_roundtrip(spark, emb, queries, tmp_path):
+    """The same lifecycle over the compact (PQ-codes) index kind: the
+    per-row fingerprint crc is carried from the ORIGINAL vectors (codes
+    are lossy), so append+delete keep the fingerprint exact here too."""
+    from faust_spark.operators.similarity import (
+        append_ann_index,
+        compact_ann_index,
+        corpus_fingerprint,
+        delete_from_ann_index,
+    )
+
+    path = str(tmp_path / "pqidx")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    build_ivfpq_index(base, path, n_cells=16, m=4, ksub=16, iters=2)
+    meta = append_ann_index(
+        spark, path, emb.filter(F.col("vec_id") % 10 == 3)
+    )
+    assert meta["fingerprint"] == corpus_fingerprint(emb)
+    meta = delete_from_ann_index(spark, path, [11, 13])
+    served = _pairs(
+        ivfpq_index_topk(
+            spark, path, emb, queries, k=5, nprobe=8, shortlist=50
+        )
+    )
+    assert not any(nid in (11, 13) for _, nid in served)
+    meta = compact_ann_index(spark, path)
+    assert meta["tombstones"] == 0
+    assert meta["fingerprint"] == corpus_fingerprint(
+        emb.filter(~F.col("vec_id").isin([11, 13]))
+    )
+    assert _pairs(
+        ivfpq_index_topk(
+            spark, path, emb, queries, k=5, nprobe=8, shortlist=50
+        )
+    ) == served
+
+
+def test_lifecycle_requires_format2(spark, emb, tmp_path):
+    """Pre-lifecycle (format-1) indexes carry no per-row crc, so the
+    maintenance verbs must refuse them with a rebuild hint instead of
+    corrupting the fingerprint."""
+    from faust_spark.operators import similarity as sim
+
+    path = str(tmp_path / "oldidx")
+    meta = build_ivf_index(emb, path, n_cells=8, iters=1)
+    old = dict(meta)
+    old.pop("epoch"), old.pop("tombstones"), old.pop("files_per_cell")
+    old["format"] = 1
+    sim._write_index_models(spark, path, old)
+    sim._cache_index_model(path, old)
+    with pytest.raises(ValueError, match="format 1"):
+        sim.append_ann_index(spark, path, emb.limit(5))
+    with pytest.raises(ValueError, match="format 1"):
+        sim.delete_from_ann_index(spark, path, [1])
+
+
+def test_lifecycle_counters_on_metrics_page(spark, emb, tmp_path):
+    """The maintenance KPIs ride the same Prometheus family as the
+    serve counters (ann_index_*_total)."""
+    from faust_spark.operators.similarity import (
+        INDEX_STATS,
+        append_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+    from faust_spark.sensors import Monitor
+
+    b0 = (
+        INDEX_STATS["appends"],
+        INDEX_STATS["deletes"],
+        INDEX_STATS["compactions"],
+    )
+    path = str(tmp_path / "kpidx")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    append_ann_index(spark, path, emb.limit(0))  # empty: no-op, no count
+    delete_from_ann_index(spark, path, [3])
+    compact_ann_index(spark, path)
+    assert (
+        INDEX_STATS["appends"],
+        INDEX_STATS["deletes"],
+        INDEX_STATS["compactions"],
+    ) == (b0[0], b0[1] + 1, b0[2] + 1)
+    page = Monitor().render_prometheus()
+    for key in ("appends", "deletes", "compactions"):
+        assert f"ann_index_{key}_total" in page
