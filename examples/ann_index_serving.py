@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from faust_spark.catalog import load_table  # noqa: E402
 from faust_spark.operators.similarity import (  # noqa: E402
+    append_ann_index,
     build_ivfpq_index,
     ivfpq_index_topk,
     load_ann_index,
@@ -40,7 +41,18 @@ def build(spark, sf_dir: str, index_dir: str):
     (meta, top DataFrame) so the smoke test can assert the contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     # --- offline: one fit + encode per index build -----------------------
-    meta = build_ivfpq_index(emb, index_dir, n_cells=16, m=4, ksub=16)
+    # daily-ingest shape (r13): build once, then append_ann_index each new
+    # batch (one pass over the BATCH, frozen quantizer), tombstone
+    # takedowns with delete_from_ann_index, and compact_ann_index on a
+    # cadence — here the last 10% arrives as an append so the example
+    # exercises the maintenance path the artifact exists for
+    meta = build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 10 != 3), index_dir,
+        n_cells=16, m=4, ksub=16,
+    )
+    meta = append_ann_index(
+        spark, index_dir, emb.filter(F.col("vec_id") % 10 == 3)
+    )
     # --- online: per query batch = probe + pruned ADC + re-rank ----------
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
