@@ -134,6 +134,10 @@ ALLOW_NESTED_LOOP = {
     # recall contract (tiny query-set broadcast against the cell scan)
     "ivf_topk_serve",
     "ivfpq_topk_serve",
+    # r13: evolved-index serve (same probed-cell scan + tiny query
+    # broadcast as ivf_topk_serve) wrapped in the recall contract,
+    # whose exact side is the intentional brute-force ranking
+    "ann_index_lifecycle",
     # r5: the Bloom bitmap rides as a ONE-ROW broadcast DataFrame
     # (crossJoin) so the 16k-long array isn't a plan literal; the
     # membership test itself is codegen element_at + bitwise AND
