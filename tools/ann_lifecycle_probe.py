@@ -80,6 +80,18 @@ def main() -> int:
     )
     victims = [900_000_000 + i for i in range(20)]
 
+    # discarded warm-up lifecycle: the first pass through each verb pays
+    # JIT/codegen compilation that would otherwise inflate whichever
+    # corpus size happens to run first (the initial run of this probe
+    # measured every 10x ratio BELOW 1.0 for exactly that reason)
+    wpath = os.path.join(tmp, "warmup_idx")
+    wcorpus = spark.read.parquet(corpora[1])
+    build_ivf_index(wcorpus, wpath, n_cells=16, iters=2)
+    append_ann_index(spark, wpath, batch)
+    delete_from_ann_index(spark, wpath, victims)
+    compact_ann_index(spark, wpath)
+    ivf_index_topk(spark, wpath, wcorpus, queries, k=5, nprobe=4).collect()
+
     out: dict = {"mult": args.mult, "base": args.base, "timings": {}}
     for mult, cpath in corpora.items():
         corpus = spark.read.parquet(cpath)
