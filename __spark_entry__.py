@@ -5418,7 +5418,10 @@ def ann_index_lifecycle_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("embedding").alias("embedding"),
     )
     append_ann_index(spark, path, decoys)
-    delete_from_ann_index(spark, path, decoys.select("vec_id"))
+    # the takedown batch carries its vectors, so the victim locate is
+    # partition-pruned (cells recomputed from the frozen quantizer)
+    # instead of a full index scan — the 100 TB delete shape
+    delete_from_ann_index(spark, path, decoys)
     compact_ann_index(spark, path)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding"

@@ -1912,6 +1912,7 @@ INDEX_STATS: dict = {
     "probe_cells": 0,
     "appends": 0,
     "deletes": 0,
+    "delete_pruned": 0,
     "compactions": 0,
 }
 
@@ -2341,17 +2342,29 @@ def delete_from_ann_index(
     path: str,
     ids,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> dict:
-    """Logically delete ``ids`` (a one-column DataFrame or a small list
-    of ints) from the index at ``path`` — the FAISS ``remove_ids``
-    analogue, as tombstone bookkeeping: the matching index rows are
-    recorded (nid, cell) under the current epoch's tombstone directory,
-    serving anti-joins them out, and :func:`compact_ann_index` later
-    rewrites only the affected cells. Nothing in the main relation is
-    touched, so a takedown batch costs one index scan (to locate the
-    rows and read back their stored fingerprint ``crc`` terms — which
-    is what keeps the fingerprint subtraction EXACT without the deleted
-    vectors) plus a tiny tombstone write.
+    """Logically delete ``ids`` (a DataFrame or a small list of ints)
+    from the index at ``path`` — the FAISS ``remove_ids`` analogue, as
+    tombstone bookkeeping: the matching index rows are recorded
+    (nid, cell) under the current epoch's tombstone directory, serving
+    anti-joins them out, and :func:`compact_ann_index` later rewrites
+    only the affected cells. Nothing in the main relation is touched,
+    so a takedown batch costs one victim-locating index read (which
+    also returns the stored fingerprint ``crc`` terms — what keeps the
+    fingerprint subtraction EXACT without the deleted vectors) plus a
+    tiny tombstone write.
+
+    **Pass the vectors to make the locate partition-pruned.** When
+    ``ids`` is a DataFrame carrying ``vec_col``, each victim's cell is
+    recomputed from the frozen quantizer via the probe machinery
+    (:func:`_probed_cells` at nprobe=1 — its near-tie tolerance yields
+    a SUPERSET of the stored assignments, so pruning can widen but
+    never miss; membership is still decided by the nid join), and the
+    locate reads only those cells' directories instead of the whole
+    index — O(batch cells), not O(corpus), the difference between a
+    takedown and a table scan at 100 TB. Id-only input keeps the full
+    scan (the id→cell mapping lives nowhere else).
 
     Idempotent per id: ids already tombstoned in this epoch, or absent
     from the index, are skipped (no double subtraction). Deleting an id
@@ -2363,7 +2376,11 @@ def delete_from_ann_index(
 
     meta = load_ann_index(spark, path)
     _require_format2(meta, "delete_from_ann_index", path)
+    cells = None
     if isinstance(ids, DataFrame):
+        if vec_col in ids.columns:
+            cells = _probed_cells(ids, meta["centroids"], 1, vec_col)
+            INDEX_STATS["delete_pruned"] += 1
         idf = ids.select(F.col(id_col).cast("long").alias("nid")).distinct()
     else:
         ids = [int(i) for i in ids]
@@ -2383,6 +2400,8 @@ def delete_from_ann_index(
         except Exception:
             pass  # no tombstones yet this epoch
     rel = spark.read.parquet(os.path.join(path, _index_rel(meta)))
+    if cells is not None:
+        rel = rel.filter(F.col("cell").isin(cells))
     victims = materialize(
         rel.select("nid", "cell", "crc").join(F.broadcast(idf), "nid"),
         eager=True,

@@ -198,6 +198,9 @@ class Monitor(StreamingQueryListener):
              "serve calls"),
             ("appends", "ANN index append (incremental add) operations"),
             ("deletes", "ANN index tombstone-delete operations"),
+            ("delete_pruned",
+             "Deletes whose victim locate was partition-pruned "
+             "(vector-carrying batch)"),
             ("compactions", "ANN index tombstone compaction operations"),
         ):
             lines += [

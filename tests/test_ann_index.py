@@ -607,3 +607,37 @@ def test_lifecycle_counters_on_metrics_page(spark, emb, tmp_path):
     page = Monitor().render_prometheus()
     for key in ("appends", "deletes", "compactions"):
         assert f"ann_index_{key}_total" in page
+
+
+def test_delete_with_vectors_prunes_and_matches_id_only(
+    spark, emb, queries, tmp_path
+):
+    """A vector-carrying takedown batch locates victims through the
+    partition-pruned path (cells recomputed from the frozen quantizer,
+    near-tie SUPERSET, membership still by nid join) and must land the
+    IDENTICAL index state as the id-only full-scan path."""
+    from faust_spark.operators.similarity import (
+        INDEX_STATS,
+        delete_from_ann_index,
+        load_ann_index,
+    )
+
+    victims = emb.filter(F.col("vec_id").isin([11, 13, 17]))
+    metas = []
+    for tag, batch in (("by_id", victims.select("vec_id")),
+                       ("by_vec", victims)):
+        path = str(tmp_path / tag)
+        build_ivf_index(emb, path, n_cells=16, iters=2)
+        pruned0 = INDEX_STATS["delete_pruned"]
+        delete_from_ann_index(spark, path, batch)
+        assert INDEX_STATS["delete_pruned"] - pruned0 == (
+            1 if tag == "by_vec" else 0
+        )
+        metas.append(load_ann_index(spark, path))
+        served = _pairs(
+            ivf_index_topk(spark, path, emb, queries, k=5, nprobe=8)
+        )
+        assert not any(nid in (11, 13, 17) for _, nid in served)
+    a, b = metas
+    assert a["fingerprint"] == b["fingerprint"]
+    assert a["tombstones"] == b["tombstones"] == 3
