@@ -78,7 +78,7 @@ def _import_model_modules(extra_modules: list[str]) -> int | None:
 
 _VERBS = (
     "queries run bench send reset models model agents tables "
-    "livecheck completion"
+    "livecheck completion index"
 )
 
 
@@ -252,6 +252,37 @@ def main(argv: list[str] | None = None) -> int:
             "build_app()/build() factory — the reference's -A pattern",
         )
 
+    idx_p = sub.add_parser(
+        "index",
+        help="operate an on-disk ANN index artifact "
+        "(build/append/delete/compact/info — operators/similarity.py "
+        "lifecycle; the ops surface for the FAISS-shaped serving split)",
+    )
+    idx_p.add_argument(
+        "action", choices=("build", "append", "delete", "compact", "info")
+    )
+    idx_p.add_argument("path", help="index directory")
+    idx_p.add_argument(
+        "--source",
+        default=None,
+        help="parquet path of the corpus/batch (build/append; delete "
+        "when deleting by a batch — vector-carrying batches get the "
+        "partition-pruned victim locate)",
+    )
+    idx_p.add_argument(
+        "--ids",
+        default=None,
+        help="comma-separated ids to delete (full-scan locate)",
+    )
+    idx_p.add_argument("--kind", choices=("ivf", "ivfpq"), default="ivf")
+    idx_p.add_argument("--n-cells", type=int, default=16)
+    idx_p.add_argument("--m", type=int, default=4)
+    idx_p.add_argument("--ksub", type=int, default=16)
+    idx_p.add_argument("--iters", type=int, default=2)
+    idx_p.add_argument("--files-per-cell", type=int, default=1)
+    idx_p.add_argument("--vec-col", default="embedding")
+    idx_p.add_argument("--id-col", default="vec_id")
+
     comp_p = sub.add_parser(
         "completion",
         help="output shell completion to be evaluated by the shell "
@@ -397,6 +428,84 @@ def main(argv: list[str] | None = None) -> int:
                 )
             if not app.tables:
                 print("(no tables registered)")
+        return 0
+
+    if args.cmd == "index":
+        # no entry import: the lifecycle verbs touch only the operator
+        # module and a SparkSession — an index maintainer process has
+        # no use for 8k lines of query registrations
+        from faust_spark.operators import similarity as sim
+        from faust_spark.session import get_spark
+
+        spark = get_spark("cli-index")
+        if args.action == "info":
+            meta = sim.load_ann_index(spark, args.path)
+            for k in (
+                "kind", "format", "n", "dim", "n_cells", "m", "ksub",
+                "files_per_cell", "epoch", "tombstones", "appends",
+                "deletes", "compactions",
+            ):
+                if k in meta:
+                    print(f"{k}: {meta[k]}")
+            print(f"fingerprint: {meta.get('fingerprint')}")
+            return 0
+        if args.action == "compact":
+            meta = sim.compact_ann_index(spark, args.path)
+            print(
+                f"compacted: epoch={meta['epoch']} "
+                f"tombstones={meta['tombstones']} n={meta['n']}"
+            )
+            return 0
+        if args.action == "delete":
+            if (args.ids is None) == (args.source is None):
+                print(
+                    "index delete needs exactly one of --ids / --source",
+                    file=sys.stderr,
+                )
+                return 2
+            batch = (
+                [int(x) for x in args.ids.split(",")]
+                if args.ids
+                else spark.read.parquet(args.source)
+            )
+            meta = sim.delete_from_ann_index(
+                spark, args.path, batch,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(
+                f"deleted: n={meta['n']} tombstones={meta['tombstones']} "
+                f"(compact to fold)"
+            )
+            return 0
+        if args.source is None:
+            print(f"index {args.action} needs --source", file=sys.stderr)
+            return 2
+        src = spark.read.parquet(args.source)
+        if args.action == "build":
+            kwargs = dict(
+                n_cells=args.n_cells, iters=args.iters,
+                files_per_cell=args.files_per_cell,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            if args.kind == "ivfpq":
+                meta = sim.build_ivfpq_index(
+                    src, args.path, m=args.m, ksub=args.ksub, **kwargs
+                )
+            else:
+                meta = sim.build_ivf_index(src, args.path, **kwargs)
+            print(
+                f"built {meta['kind']}: n={meta['n']} dim={meta['dim']} "
+                f"n_cells={meta['n_cells']} epoch={meta['epoch']}"
+            )
+        else:  # append
+            meta = sim.append_ann_index(
+                spark, args.path, src,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            print(
+                f"appended: n={meta['n']} "
+                f"appends={meta.get('appends', 0)}"
+            )
         return 0
 
     import __spark_entry__ as entry

@@ -461,3 +461,23 @@ def test_models_cli_discovers_all_example_models(capsys):
     assert rc == 0
     assert "Withdrawal" in out  # examples.bank
     assert "Order" in out  # examples.livecheck_orders (r11-added)
+
+
+def test_cli_index_lifecycle_verbs(spark, tmp_path, capsys):
+    """`index build/append/delete/compact/info` drive the on-disk ANN
+    artifact's full lifecycle from the CLI (r13) — the maintainer-process
+    ops surface; no entry import, exact fingerprint through every verb."""
+    from faust_spark.__main__ import main as cli_main
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    path = str(tmp_path / "cliidx")
+    assert cli_main(["index", "build", path, "--source", src]) == 0
+    assert cli_main(["index", "delete", path, "--ids", "1,2"]) == 0
+    assert cli_main(["index", "compact", path]) == 0
+    assert cli_main(["index", "info", path]) == 0
+    out = capsys.readouterr().out
+    assert "tombstones: 0" in out and "epoch: 1" in out
+    assert "'n': 498" in out  # fingerprint reflects both deletes
+    # needs exactly one of --ids/--source; append needs --source
+    assert cli_main(["index", "delete", path]) == 2
+    assert cli_main(["index", "append", path]) == 2
