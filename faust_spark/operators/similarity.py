@@ -2379,8 +2379,22 @@ def delete_from_ann_index(
     cells = None
     if isinstance(ids, DataFrame):
         if vec_col in ids.columns:
-            cells = _probed_cells(ids, meta["centroids"], 1, vec_col)
-            INDEX_STATS["delete_pruned"] += 1
+            # a NULL / wrong-dim vector can't name its row's true cell
+            # (the probe would rank null-padded garbage), and pruning on
+            # a wrong cell SILENTLY skips that row's delete — so any
+            # malformed row sends the whole batch to the always-correct
+            # full-scan locate (one bounded batch-sized check)
+            malformed = (
+                ids.filter(
+                    F.col(vec_col).isNull()
+                    | (F.size(vec_col) != F.lit(meta["dim"]))
+                )
+                .limit(1)
+                .count()
+            )
+            if not malformed:
+                cells = _probed_cells(ids, meta["centroids"], 1, vec_col)
+                INDEX_STATS["delete_pruned"] += 1
         idf = ids.select(F.col(id_col).cast("long").alias("nid")).distinct()
     else:
         ids = [int(i) for i in ids]

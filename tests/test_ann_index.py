@@ -641,3 +641,33 @@ def test_delete_with_vectors_prunes_and_matches_id_only(
     a, b = metas
     assert a["fingerprint"] == b["fingerprint"]
     assert a["tombstones"] == b["tombstones"] == 3
+
+
+def test_delete_malformed_vector_batch_falls_back_to_full_scan(
+    spark, emb, tmp_path
+):
+    """A takedown batch carrying a NULL (or wrong-dim) vector cannot
+    prune by cell — the probe would rank null-padded garbage and a wrong
+    cell silently SKIPS that row's delete. The whole batch must take the
+    full-scan locate instead, and every named id still gets deleted."""
+    from faust_spark.operators.similarity import (
+        INDEX_STATS,
+        corpus_fingerprint,
+        delete_from_ann_index,
+    )
+
+    path = str(tmp_path / "nullidx")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    batch = emb.filter(F.col("vec_id").isin([11, 13])).select(
+        "vec_id",
+        F.when(F.col("vec_id") == 13, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    pruned0 = INDEX_STATS["delete_pruned"]
+    meta = delete_from_ann_index(spark, path, batch)
+    assert INDEX_STATS["delete_pruned"] == pruned0  # full scan taken
+    assert meta["tombstones"] == 2  # BOTH rows deleted, incl. the null
+    assert meta["fingerprint"] == corpus_fingerprint(
+        emb.filter(~F.col("vec_id").isin([11, 13]))
+    )
