@@ -2284,7 +2284,9 @@ def append_ann_index(
     append adds up to ``files_per_cell`` files per touched cell
     (appending writes never merge); compaction cadence bounds file
     counts. Caller owns id uniqueness (appending an id twice indexes it
-    twice, exactly like FAISS ``add``). Returns the updated meta."""
+    twice, exactly like FAISS ``add``); re-appending an id whose
+    tombstone is still live is REFUSED (compact first) — see the inline
+    desync rationale. Returns the updated meta."""
     meta = load_ann_index(spark, path)
     _require_format2(meta, "append_ann_index", path)
     fpb = corpus_fingerprint(batch, vec_col=vec_col, id_col=id_col)
@@ -2295,6 +2297,34 @@ def append_ann_index(
             f"append_ann_index: batch dim {fpb['dim']} != index dim "
             f"{meta['dim']}"
         )
+    if meta.get("tombstones"):
+        # re-appending a CURRENTLY-TOMBSTONED id would desync serving
+        # and the fingerprint: the serve anti-join suppresses the new
+        # row by nid, and a later compaction whose affected-cell set
+        # covers it would remove it from disk while the fingerprint
+        # still counts it. One tombstone-sized check refuses the batch
+        # with the remedy instead of corrupting the artifact.
+        clash = (
+            spark.read.parquet(
+                _tombstone_path(path, int(meta.get("epoch", 0)))
+            )
+            .select("nid")
+            .join(
+                batch.select(
+                    F.col(id_col).cast("long").alias("nid")
+                ).distinct(),
+                "nid",
+            )
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                "append_ann_index: id(s) "
+                f"{sorted(r['nid'] for r in clash)} are tombstoned in "
+                f"the current epoch at {path}; run compact_ann_index "
+                "first, then re-append"
+            )
     cents = meta["centroids"]
     if meta["kind"] == "ivf":
         rows = ivf_assign_corpus(

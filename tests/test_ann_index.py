@@ -671,3 +671,29 @@ def test_delete_malformed_vector_batch_falls_back_to_full_scan(
     assert meta["fingerprint"] == corpus_fingerprint(
         emb.filter(~F.col("vec_id").isin([11, 13]))
     )
+
+
+def test_reappend_of_tombstoned_id_refused_until_compact(
+    spark, emb, tmp_path
+):
+    """Re-appending an id while its tombstone is live would desync
+    serving (nid anti-join suppresses the new row) and could let a
+    later compaction remove it from disk while the fingerprint still
+    counts it — append must refuse with the compact-first remedy, and
+    succeed after compaction."""
+    from faust_spark.operators.similarity import (
+        append_ann_index,
+        compact_ann_index,
+        corpus_fingerprint,
+        delete_from_ann_index,
+    )
+
+    path = str(tmp_path / "reapp")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    row11 = emb.filter(F.col("vec_id") == 11)
+    delete_from_ann_index(spark, path, [11])
+    with pytest.raises(ValueError, match="tombstoned in"):
+        append_ann_index(spark, path, row11)
+    compact_ann_index(spark, path)
+    meta = append_ann_index(spark, path, row11)
+    assert meta["fingerprint"] == corpus_fingerprint(emb)  # back to full
