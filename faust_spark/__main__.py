@@ -457,17 +457,26 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         if args.action == "delete":
-            if (args.ids is None) == (args.source is None):
+            # empty-string --ids (e.g. an unset shell variable) is a
+            # usage error, not a --source fallthrough
+            if bool(args.ids) == bool(args.source):
                 print(
                     "index delete needs exactly one of --ids / --source",
                     file=sys.stderr,
                 )
                 return 2
-            batch = (
-                [int(x) for x in args.ids.split(",")]
-                if args.ids
-                else spark.read.parquet(args.source)
-            )
+            if args.ids:
+                try:
+                    batch = [int(x) for x in args.ids.split(",")]
+                except ValueError:
+                    print(
+                        f"index delete: --ids {args.ids!r} is not a "
+                        "comma-separated integer list",
+                        file=sys.stderr,
+                    )
+                    return 2
+            else:
+                batch = spark.read.parquet(args.source)
             meta = sim.delete_from_ann_index(
                 spark, args.path, batch,
                 id_col=args.id_col, vec_col=args.vec_col,

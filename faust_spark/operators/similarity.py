@@ -1948,6 +1948,18 @@ def _index_mtime(path: str):
         return None
 
 
+def _evict_index_path(path: str) -> None:
+    """Drop every cached model for ``path`` before inserting the
+    current one — the cache is bounded at ONE entry per path. Without
+    this, each lifecycle verb's models rewrite would seed a fresh
+    (path, mtime/crc) key while all prior generations (centroids + PQ
+    books, model-sized) stayed pinned — unbounded driver growth in
+    exactly the long-lived maintainer/server processes the artifact
+    targets."""
+    for k in [k for k in _INDEX_MODEL_CACHE if k[0] == path]:
+        del _INDEX_MODEL_CACHE[k]
+
+
 def _cache_index_model(path: str, meta: dict) -> None:
     """Seed the model cache after a build. Only local paths (with an
     obtainable models-file mtime) get a long-lived entry; DFS paths are
@@ -1955,6 +1967,7 @@ def _cache_index_model(path: str, meta: dict) -> None:
     None) key would just be a dead entry."""
     mtime = _index_mtime(path)
     if mtime is not None:
+        _evict_index_path(path)
         _INDEX_MODEL_CACHE[(path, mtime)] = meta
 
 
@@ -2030,11 +2043,13 @@ def load_ann_index(spark: SparkSession, path: str) -> dict:
         row = spark.read.text(_models_path(path)).first()
         key = (path, "crc32", zlib.crc32(row[0].encode("utf-8")))
         if key not in _INDEX_MODEL_CACHE:
+            _evict_index_path(path)  # one entry per path (see helper)
             _INDEX_MODEL_CACHE[key] = json.loads(row[0])
         return _INDEX_MODEL_CACHE[key]
     key = (path, mtime)
     if key not in _INDEX_MODEL_CACHE:
         row = spark.read.text(_models_path(path)).first()
+        _evict_index_path(path)  # one entry per path (see helper)
         _INDEX_MODEL_CACHE[key] = json.loads(row[0])
     return _INDEX_MODEL_CACHE[key]
 
@@ -2248,8 +2263,22 @@ def _next_epoch(spark: SparkSession, path: str) -> int:
         if not os.path.exists(_models_path(path)) and "://" not in path:
             return 0
         return int(load_ann_index(spark, path).get("epoch", 0)) + 1
-    except Exception:
-        return 0
+    except Exception as e:
+        # only a MISSING models file means "fresh path, epoch 0". A
+        # transient read failure must propagate: silently reusing an
+        # old epoch would leave its live tombstone directory pointed at
+        # by the new build — later deletes would append into it and
+        # serving would suppress (and compaction physically drop,
+        # without fingerprint subtraction) rows the new generation
+        # never deleted.
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or isinstance(e, FileNotFoundError)
+        ):
+            return 0
+        raise
 
 
 def _require_format2(meta: dict, op: str, path: str) -> None:
@@ -2296,6 +2325,25 @@ def append_ann_index(
         raise ValueError(
             f"append_ann_index: batch dim {fpb['dim']} != index dim "
             f"{meta['dim']}"
+        )
+    # the fingerprint dim is only the FIRST non-null row's — a null or
+    # wrong-dim row later in the batch would be assigned a garbage cell
+    # (null-padded distances), written with a null crc, and crash the
+    # eventual delete's fingerprint subtraction. One batch-sized check
+    # refuses it here, where the caller can fix the batch.
+    bad = (
+        batch.filter(
+            F.col(vec_col).isNull()
+            | (F.size(vec_col) != F.lit(meta["dim"]))
+            | F.col(id_col).isNull()
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "append_ann_index: batch contains a NULL id, NULL vector, "
+            f"or wrong-dimension vector (index dim {meta['dim']})"
         )
     if meta.get("tombstones"):
         # re-appending a CURRENTLY-TOMBSTONED id would desync serving
@@ -2393,8 +2441,12 @@ def delete_from_ann_index(
     never miss; membership is still decided by the nid join), and the
     locate reads only those cells' directories instead of the whole
     index — O(batch cells), not O(corpus), the difference between a
-    takedown and a table scan at 100 TB. Id-only input keeps the full
-    scan (the id→cell mapping lives nowhere else).
+    takedown and a table scan at 100 TB. Ids the pruned scan does not
+    find escalate to a full-scan re-check (they could be indexed under
+    a different vector than the batch supplied — see the inline
+    comment), so the pruned path can never silently miss; batches with
+    a malformed vector take the full scan outright. Id-only input
+    keeps the full scan (the id→cell mapping lives nowhere else).
 
     Idempotent per id: ids already tombstoned in this epoch, or absent
     from the index, are skipped (no double subtraction). Deleting an id
@@ -2423,7 +2475,9 @@ def delete_from_ann_index(
                 .count()
             )
             if not malformed:
-                cells = _probed_cells(ids, meta["centroids"], 1, vec_col)
+                cells = _probed_cells(
+                    ids, meta["centroids"], 1, vec_col, count_stats=False
+                )
                 INDEX_STATS["delete_pruned"] += 1
         idf = ids.select(F.col(id_col).cast("long").alias("nid")).distinct()
     else:
@@ -2444,12 +2498,34 @@ def delete_from_ann_index(
         except Exception:
             pass  # no tombstones yet this epoch
     rel = spark.read.parquet(os.path.join(path, _index_rel(meta)))
-    if cells is not None:
-        rel = rel.filter(F.col("cell").isin(cells))
+    scan = (
+        rel.filter(F.col("cell").isin(cells)) if cells is not None else rel
+    )
     victims = materialize(
-        rel.select("nid", "cell", "crc").join(F.broadcast(idf), "nid"),
+        scan.select("nid", "cell", "crc").join(F.broadcast(idf), "nid"),
         eager=True,
     )
+    if cells is not None:
+        # escalation: a requested id the pruned scan did NOT find is
+        # either absent from the index (fine) or indexed under a
+        # DIFFERENT vector than the batch supplied (e.g. a takedown
+        # pipeline that re-embeds — the near-tie tolerance covers float
+        # wobble, not changed vectors), and the two are
+        # indistinguishable without looking. Those ids re-run against
+        # the FULL scan, so a stale-vector takedown still lands; the
+        # happy path (every id found) costs nothing extra.
+        missing = idf.join(
+            victims.select("nid").distinct(), "nid", "left_anti"
+        )
+        if missing.limit(1).count():
+            victims = materialize(
+                victims.unionByName(
+                    rel.select("nid", "cell", "crc").join(
+                        F.broadcast(missing), "nid"
+                    )
+                ),
+                eager=True,
+            )
     agg = victims.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("nid").cast("long")).alias("id_sum"),
@@ -2457,6 +2533,14 @@ def delete_from_ann_index(
     ).first()
     if not agg["cnt"]:
         return meta
+    if agg["crc_sum"] is None:
+        # a format-2 index never stores a null crc (append validates
+        # the batch); reaching here means hand-edited rows — refuse
+        # rather than corrupt the fingerprint subtraction
+        raise ValueError(
+            f"delete_from_ann_index: victim rows at {path} carry null "
+            "crc terms; rebuild the index"
+        )
     victims.select("nid", "cell").write.mode("append").parquet(tpath)
     fp = dict(meta["fingerprint"])
     fp["n"] -= int(agg["cnt"])
@@ -2488,8 +2572,16 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     tombstones simply STAY ACTIVE under the new epoch (serving keeps
     anti-joining them — correct either way, the compaction is just less
     complete). The epoch bump is what retires the folded tombstones
-    without any file deletion. No-op when the index has none. Returns
-    the updated meta."""
+    without any file deletion. No-op when the index has none.
+
+    Not atomic versus concurrent READERS: a serve call overlapping the
+    overwrite can see an affected cell mid-swap (standard partitioned-
+    parquet caveat; unaffected cells are never touched) — the module's
+    single-maintainer contract plus a maintenance window covers it. A
+    reader that loaded meta BEFORE the compact is safe either way: the
+    models rewrite lands last, so it keeps anti-joining the old
+    epoch's tombstones, which stay on disk. Returns the updated
+    meta."""
     import os
 
     from faust_spark.operators.mat import _AQE_TOGGLE_LOCK, materialize
@@ -2504,8 +2596,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     cells = sorted(int(r["cell"]) for r in
                    tomb.select("cell").distinct().collect())
     relp = os.path.join(path, _index_rel(meta))
-    # materialize cuts the lineage BEFORE the overwrite — the write job
-    # must not read from the path it is rewriting
+    # the lineage must be CUT (not merely cached) before the overwrite:
+    # the write job must not read from the path it is rewriting, and
+    # the plain `persist` strategy keeps the file scan in the plan
+    # (AnalysisException at best; recompute-from-half-overwritten-dir
+    # on block loss at worst). iterative=True is the materialize mode
+    # that guarantees a checkpoint under every strategy.
     keep = materialize(
         _cell_partitioned(
             spark.read.parquet(relp)
@@ -2515,6 +2611,7 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
             meta.get("files_per_cell", 1),
         ),
         eager=True,
+        iterative=True,
     )
     kept_cells = {
         int(r["cell"]) for r in keep.select("cell").distinct().collect()
@@ -2582,6 +2679,7 @@ def _probed_cells(
     nprobe: int,
     vec_col: str,
     driver_limit: int = 4096,
+    count_stats: bool = True,
 ) -> list[int]:
     """The union of cells any query in the batch probes — a tiny
     driver-side list (≤ min(|q|·nprobe, n_cells) ints) that becomes the
@@ -2616,7 +2714,12 @@ def _probed_cells(
     if len(peek) > driver_limit or any(
         r["qv"] is None or len(r["qv"]) != dim for r in peek
     ):
-        INDEX_STATS["probe_fallbacks"] += 1
+        # count_stats=False keeps maintenance traffic (the pruned
+        # delete locate) out of the SERVE-path probe KPIs the
+        # Prometheus page documents — a nightly takedown must not
+        # spike the serve fallback metric
+        if count_stats:
+            INDEX_STATS["probe_fallbacks"] += 1
         q = queries.select(
             F.monotonically_increasing_id().alias("qid"),
             F.col(vec_col).alias("qv"),
@@ -2628,14 +2731,16 @@ def _probed_cells(
             .collect()
         )
         cells = sorted(int(r["cell"]) for r in rows)
-        INDEX_STATS["probe_batches"] += 1
-        INDEX_STATS["probe_cells"] += len(cells)
+        if count_stats:
+            INDEX_STATS["probe_batches"] += 1
+            INDEX_STATS["probe_cells"] += len(cells)
         return cells
     if not peek:
         return []
     cells = _rank_cells_numpy([r["qv"] for r in peek], cents, nprobe)
-    INDEX_STATS["probe_batches"] += 1
-    INDEX_STATS["probe_cells"] += len(cells)
+    if count_stats:
+        INDEX_STATS["probe_batches"] += 1
+        INDEX_STATS["probe_cells"] += len(cells)
     return cells
 
 

@@ -697,3 +697,135 @@ def test_reappend_of_tombstoned_id_refused_until_compact(
     compact_ann_index(spark, path)
     meta = append_ann_index(spark, path, row11)
     assert meta["fingerprint"] == corpus_fingerprint(emb)  # back to full
+
+
+def test_append_rejects_null_and_wrong_dim_rows(spark, emb, tmp_path):
+    """corpus_fingerprint's dim is only the FIRST non-null row's — a
+    malformed row later in the batch must be refused at append (it
+    would land in a garbage cell with a null crc and crash the
+    eventual delete's subtraction)."""
+    from faust_spark.operators.similarity import append_ann_index
+
+    path = str(tmp_path / "valid8")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    null_tail = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 500).alias("vec_id"),
+        F.when(F.col("vec_id") == 2, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        append_ann_index(spark, path, null_tail)
+
+
+def test_delete_with_stale_vector_escalates_to_full_scan(
+    spark, emb, tmp_path
+):
+    """A takedown batch whose vector DIFFERS from the indexed one (a
+    pipeline that re-embeds) quantizes to the wrong cell — the pruned
+    locate misses, and the escalation must re-check those ids against
+    the full scan so the takedown still lands exactly."""
+    from faust_spark.operators.similarity import (
+        corpus_fingerprint,
+        delete_from_ann_index,
+    )
+
+    path = str(tmp_path / "stalevec")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    stale = emb.filter(F.col("vec_id") == 11).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    meta = delete_from_ann_index(spark, path, stale)
+    assert meta["tombstones"] == 1
+    assert meta["fingerprint"] == corpus_fingerprint(
+        emb.filter(F.col("vec_id") != 11)
+    )
+
+
+def test_compact_under_persist_materialize_strategy(spark, emb, tmp_path):
+    """The compact rewrite must cut lineage under EVERY materialization
+    strategy: plain persist keeps the file scan in the plan and the
+    overwrite would read from the path it rewrites."""
+    from faust_spark.operators.similarity import (
+        compact_ann_index,
+        corpus_fingerprint,
+        delete_from_ann_index,
+    )
+
+    key = "spark.faust_spark.materialize"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "persist")
+    try:
+        path = str(tmp_path / "persistidx")
+        build_ivf_index(emb, path, n_cells=8, iters=1)
+        delete_from_ann_index(spark, path, [11, 13])
+        meta = compact_ann_index(spark, path)
+        assert meta["tombstones"] == 0
+        rel = spark.read.parquet(os.path.join(path, "assigned"))
+        assert rel.filter(F.col("nid").isin([11, 13])).count() == 0
+        assert meta["fingerprint"] == corpus_fingerprint(
+            emb.filter(~F.col("vec_id").isin([11, 13]))
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_model_cache_bounded_to_one_entry_per_path(spark, emb, tmp_path):
+    """Every lifecycle verb rewrites models; the cache must evict the
+    path's prior generations or a long-lived maintainer leaks one
+    model-sized meta per operation."""
+    from faust_spark.operators import similarity as sim
+
+    path = str(tmp_path / "cachedix")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    sim.append_ann_index(
+        spark, path,
+        emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 600).alias("vec_id"), "embedding"
+        ),
+    )
+    sim.delete_from_ann_index(spark, path, [601])
+    sim.compact_ann_index(spark, path)
+    assert len([k for k in sim._INDEX_MODEL_CACHE if k[0] == path]) == 1
+
+
+def test_delete_locate_does_not_count_serve_probe_stats(
+    spark, emb, tmp_path
+):
+    """Maintenance traffic must stay out of the serve-path probe KPIs
+    (probe_batches/probe_cells/probe_fallbacks are documented as serve
+    counters on the Prometheus page)."""
+    from faust_spark.operators.similarity import (
+        INDEX_STATS,
+        delete_from_ann_index,
+    )
+
+    path = str(tmp_path / "statsidx")
+    build_ivf_index(emb, path, n_cells=8, iters=1)
+    before = (
+        INDEX_STATS["probe_batches"],
+        INDEX_STATS["probe_cells"],
+        INDEX_STATS["probe_fallbacks"],
+    )
+    delete_from_ann_index(
+        spark, path, emb.filter(F.col("vec_id").isin([11, 13]))
+    )
+    assert (
+        INDEX_STATS["probe_batches"],
+        INDEX_STATS["probe_cells"],
+        INDEX_STATS["probe_fallbacks"],
+    ) == before
+
+
+def test_cli_index_delete_empty_ids_is_usage_error(tmp_path, capsys):
+    from faust_spark.__main__ import main as cli_main
+
+    assert cli_main(
+        ["index", "delete", str(tmp_path / "x"), "--ids", ""]
+    ) == 2
+    assert cli_main(
+        ["index", "delete", str(tmp_path / "x"), "--ids", "1,foo"]
+    ) == 2
