@@ -6311,8 +6311,10 @@ def remove_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped and each document's surviving text is reassembled in order
     (md5 of the reconstruction is oracle-checked, so the cleaned CONTENT
     is verified, not just counts). Digest-only aggregation finds the
-    boilerplate set; the anti-join on the digest broadcasts via AQE when
-    the set is small (its usual shape at 100 TB)."""
+    boilerplate set; a LEFT join on the digest (broadcast via AQE when
+    the set is small, its usual shape at 100 TB) marks chunks, and one
+    groupBy(doc) computes totals + kept + clean_hash together — two
+    corpus chunk passes, never three (r13)."""
     from faust_spark.operators.text import remove_boilerplate
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

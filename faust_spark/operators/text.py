@@ -557,11 +557,13 @@ def remove_boilerplate(
     documents; surviving chunks are reassembled in order.
 
     Scale shape: the boilerplate-hash set is built from a digest-only
-    aggregation (only 32-byte hashes shuffle); the anti-join of chunks
-    against that set is an equi-join on the digest that AQE converts to a
-    broadcast join whenever the boilerplate set is small (its usual
-    shape — headers/footers/banners ≪ corpus).  Reassembly is one
-    ``groupBy(id)`` exchange whose payload is exactly the surviving text —
+    aggregation (only 32-byte hashes shuffle); chunks are then marked by
+    a LEFT equi-join on the digest that AQE converts to a broadcast join
+    whenever the boilerplate set is small (its usual shape —
+    headers/footers/banners ≪ corpus), and marked + unmarked rows ride
+    ONE ``groupBy(id)`` that computes totals, kept counts, and the
+    surviving-content hash together — two corpus chunk passes total,
+    never three.  That exchange's payload is exactly the surviving text —
     the same bytes any reshard of the cleaned corpus would move.
 
     Returns ``(id, n_chunks, n_kept, clean_hash)`` where ``clean_hash`` =
@@ -591,29 +593,42 @@ def remove_boilerplate(
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("h")
+        .withColumn("__b", F.lit(1))
     )
-    kept = ch.join(boiler, "h", "left_anti")
-    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
-    per_doc = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("start"), F.col("chunk")))
-                    ),
-                    lambda s: s["chunk"],
-                ),
-            )
-        ).alias("clean_hash"),
+    # r13 (guide §2.4): TWO corpus chunk passes, not three — the old
+    # shape read ch for the boiler agg, the anti-join left side, AND a
+    # separate totals agg (the chunk explode carries full text, so each
+    # extra consumer is a full corpus pass). boiler is distinct on h,
+    # so a LEFT join marks boilerplate without multiplying rows, and
+    # totals + per_doc fold into ONE groupBy(id) with conditional
+    # aggregates: n_kept counts unmarked rows, clean_hash hashes only
+    # unmarked chunks (collect_list skips the NULL structs), and the
+    # all-boilerplate edge lands on md5('') exactly as the old outer
+    # join's coalesce did.
+    flagged = ch.join(boiler, "h", "left")
+    kept_struct = F.when(
+        F.col("__b").isNull(), F.struct(F.col("start"), F.col("chunk"))
     )
+    n_kept = F.count(F.when(F.col("__b").isNull(), F.lit(1)))
     empty_hash = F.md5(F.lit(""))
-    return totals.join(per_doc, id_col, "left").select(
-        id_col,
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
-        F.coalesce(F.col("clean_hash"), empty_hash).alias("clean_hash"),
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        n_kept.alias("n_kept"),
+        F.coalesce(
+            F.when(
+                n_kept > 0,
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s["chunk"],
+                        ),
+                    )
+                ),
+            ),
+            empty_hash,
+        ).alias("clean_hash"),
     )
 
 

@@ -482,6 +482,17 @@ def test_substring_spans_digest_relation_materialized(spark, sf_dir):
         assert "Generate" not in plan, key
 
 
+def test_remove_boilerplate_two_corpus_passes(spark, sf_dir):
+    """r13: totals + kept counts + clean_hash fold into ONE groupBy(id)
+    fed by a left digest join — the chunk explode (text payload) runs
+    exactly twice: once under the boiler-hash agg, once under the final
+    rollup. Three Generates / three scans means the old three-pass shape
+    (separate anti-join + totals agg) regressed back."""
+    plan = plan_of(entry.queries()["remove_boilerplate"](spark, sf_dir))
+    assert plan.count("Generate") == 2, plan
+    assert plan.count("Scan parquet") == 2, plan
+
+
 def test_nb_fit_count_relation_materialized(spark, sf_dir):
     """r13: nb_fit's (class, word) count relation is checkpointed, so
     the model/classify plans read it as an ExistingRDD scan instead of
