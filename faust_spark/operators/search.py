@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from faust_spark.operators.mat import materialize
+
 
 def postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -67,8 +69,16 @@ def bm25_topk(
         F.size(toks).alias("dl"),
         F.explode(F.filter(toks, lambda w: w.isin(*terms))).alias("term"),
     )
-    tf = base.groupBy(id_col, "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # r13 (guide §2.4): tf feeds both the score join and the df
+    # aggregate — two differently-keyed consumers, so without a
+    # checkpoint the corpus tokenize-filter-explode plans (and runs)
+    # twice. The matched-postings relation is query-bounded (only docs
+    # containing a query term survive the map-side filter), so the
+    # checkpoint is small however large the corpus.
+    tf = materialize(
+        base.groupBy(id_col, "dl", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus stats: avgdl as exact-integer token sum / count (deterministic)
@@ -135,7 +145,17 @@ def bm25_multi_topk(
             "term"
         ),
     )
-    tf = (
+    # r13 (guide §2.4): ONE corpus pass builds the postings, and both
+    # corpus statistics derive from them instead of re-scanning text.
+    # Before, tf / dfs / stats each replanned a full read of the text
+    # column (the heavy bytes at 100 TB): dfs re-ran the tokenize +
+    # explode, stats re-read every document to size it. The postings
+    # relation is the inverted index the module docstring says to
+    # materialize anyway; df comes off it keyed by term, and (n, avgdl)
+    # from the distinct (doc, dl) pairs it already carries — every doc
+    # appears (split("") yields one empty token), so the doc count and
+    # the exact-integer dl sum are unchanged.
+    tf = materialize(
         docs.select(
             F.col(id_col),
             F.size(toks).alias("dl"),
@@ -145,9 +165,13 @@ def bm25_multi_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.size(toks).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    stats = (
+        tf.groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
     )
     matched = tf.join(F.broadcast(qterms), "term")
     if exclude_self:

@@ -493,6 +493,23 @@ def test_remove_boilerplate_two_corpus_passes(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, plan
 
 
+def test_bm25_single_corpus_pass(spark, sf_dir):
+    """r13: the BM25 postings relation is checkpointed and df / (n,
+    avgdl) derive from it — the corpus text column is scanned at most
+    once per query plan (bm25_search: the one filtered tokenize;
+    hybrid_search: one sparse-side tokenize + the dense-side embedding
+    scans, which carry no text). In bm25 the one tokenize lives inside
+    the checkpoint, so the outer plan has NO Generate (only the stats
+    length scan); in hybrid exactly one Generate remains (the tiny
+    query-side term explode). More means the df/stats subtrees
+    regressed to re-scanning text."""
+    plan = plan_of(entry.queries()["bm25_search"](spark, sf_dir))
+    assert plan.count("Generate") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    plan = plan_of(entry.queries()["hybrid_search"](spark, sf_dir))
+    assert plan.count("Generate") == 1, plan
+
+
 def test_nb_fit_count_relation_materialized(spark, sf_dir):
     """r13: nb_fit's (class, word) count relation is checkpointed, so
     the model/classify plans read it as an ExistingRDD scan instead of
