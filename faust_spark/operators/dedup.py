@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from faust_spark.operators.mat import (
+    local_rows,
     loop_partitions,
     materialize,
     materialize_partitioned,
@@ -957,8 +958,9 @@ def connected_components(
         edges.unpersist()
         active.unpersist()
         if comp_rows:
-            resolved = spark.createDataFrame(
-                comp_rows, "node long, component long"
+            # local_rows (guide §4): LocalTableScan, no Python re-eval
+            resolved = local_rows(
+                spark, comp_rows, "node long, component long"
             )
         else:
             resolved = all_nodes.limit(0).select(

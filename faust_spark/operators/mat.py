@@ -174,4 +174,83 @@ def loop_partitions(
     )
 
 
-__all__ = ["materialize", "materialize_partitioned", "loop_partitions"]
+#: DDL scalar type → pyarrow type for :func:`local_rows`
+_PA_SCALARS = {
+    "int": "int32",
+    "integer": "int32",
+    "bigint": "int64",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool_",
+}
+
+
+def local_rows(spark, rows, ddl: str):
+    """Model-sized literal relation (centroids, codebooks, offsets,
+    sketches) as a pure-JVM ``LocalTableScan`` via a pyarrow Table.
+
+    ``spark.createDataFrame(list_of_rows, ddl)`` plans a Python-runner
+    ``Scan ExistingRDD`` that re-pickles and re-evaluates the rows in a
+    Python worker on EVERY action — measured ~0.35-0.4s of fixed cost
+    per action in this container, multiplied by iteration count in the
+    k-means / PQ fit loops (guide §4: eliminate the Python boundary).
+    A pyarrow Table ingests through Arrow once at plan time and becomes
+    a ``LocalTableScan`` independent of the session's
+    ``spark.sql.execution.arrow.pyspark.enabled`` setting (verified on
+    a vanilla driver session), so later actions never touch Python.
+    Values are bit-identical: ints and IEEE doubles pass through Arrow
+    unchanged.
+
+    ``ddl`` supports the scalar types above plus one-level
+    ``array<scalar>``. Any pyarrow failure (missing dep, odd values)
+    falls back to the plain ``createDataFrame(rows, ddl)`` path, which
+    is always correct — this helper is an optimization, not a contract.
+    """
+    try:
+        import pyarrow as pa
+
+        names, arrays = [], []
+        for idx, field in enumerate(_split_ddl(ddl)):
+            name, typ = field.strip().split(None, 1)
+            typ = typ.strip().lower()
+            if typ.startswith("array<") and typ.endswith(">"):
+                patype = pa.list_(
+                    getattr(pa, _PA_SCALARS[typ[6:-1].strip()])()
+                )
+            else:
+                patype = getattr(pa, _PA_SCALARS[typ])()
+            names.append(name)
+            arrays.append(pa.array([r[idx] for r in rows], patype))
+        return spark.createDataFrame(
+            pa.table(dict(zip(names, arrays)))
+        )
+    except Exception:
+        return spark.createDataFrame(rows, ddl)
+
+
+def _split_ddl(ddl: str) -> list:
+    """Split a DDL column list on commas not nested inside array<...>."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+__all__ = [
+    "materialize",
+    "materialize_partitioned",
+    "loop_partitions",
+    "local_rows",
+]

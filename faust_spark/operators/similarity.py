@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from faust_spark.operators.mat import local_rows
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -938,7 +940,9 @@ def assign_cells_join(
     bucketed instead of broadcast.
     """
     spark = df.sparkSession
-    cdf = spark.createDataFrame(
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
+    cdf = local_rows(
+        spark,
         [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
         "cell int, __cv array<double>",
     )
@@ -1341,7 +1345,10 @@ def kmeans_centroids_multi(
     )
     spark = df.sparkSession
     for _ in range(iters):
-        cdf = spark.createDataFrame(
+        # local_rows (guide §4): this runs once per fit ITERATION — the
+        # Python-runner scan cost would multiply by iters
+        cdf = local_rows(
+            spark,
             [
                 (g, i, [float(v) for v in c])
                 for g, book in enumerate(cents)
@@ -1475,7 +1482,8 @@ def pq_encode_join(
         slices.append(F.col(vec_col))
         rows += [(m, i, [float(v) for v in c]) for i, c in enumerate(coarse)]
     spark = df.sparkSession
-    bdf = spark.createDataFrame(rows, "j int, cell int, __cv array<double>")
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
+    bdf = local_rows(spark, rows, "j int, cell int, __cv array<double>")
     long = df.select(
         F.col(id_col), F.posexplode(F.array(*slices)).alias("j", "sv")
     )
@@ -1524,7 +1532,9 @@ def adc_lut(
     m = len(books)
     d = len(books[0][0])
     spark = qp.sparkSession
-    bdf = spark.createDataFrame(
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
+    bdf = local_rows(
+        spark,
         [
             (j, i, [float(v) for v in c])
             for j, book in enumerate(books)
@@ -1667,7 +1677,9 @@ def probe_cells_join(
     tie-break as the lexicographic struct sort), but the expression stays
     constant-size as ``n_cells`` grows.  The query side is tiny, so the
     rank window is per-qid over n_cells rows."""
-    cdf = q.sparkSession.createDataFrame(
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
+    cdf = local_rows(
+        q.sparkSession,
         [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
         "cell int, __cv array<double>",
     )

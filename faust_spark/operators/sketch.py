@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from faust_spark.operators.mat import local_rows
+
 
 def bloom_build(
     df: DataFrame,
@@ -90,7 +92,8 @@ def bloom_might_contain(
     """
     m_bits = len(bloom) * 64
     spark = df.sparkSession
-    bdf = spark.createDataFrame([(bloom,)], "__bloom array<long>")
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
+    bdf = local_rows(spark, [(bloom,)], "__bloom array<long>")
     # positions materialize as aliased columns and the shift expression
     # references only those aliases — key_col is never interpolated into
     # SQL text, so names with dots/spaces/hyphens work like any column

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from faust_spark.operators.mat import materialize
+from faust_spark.operators.mat import local_rows, materialize
 
 # Tiny per-language marker lists for the n-gram/stopword language-ID
 # heuristic. Real corpora would load larger lists; the mechanism (score =
@@ -422,8 +422,9 @@ def build_vocab(
             "term", "freq", F.lit(0).cast("int").alias("token_id")
         ).limit(0)
     spark = df.sparkSession
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
     off = F.broadcast(
-        spark.createDataFrame(offsets, "freq bigint, __off bigint")
+        local_rows(spark, offsets, "freq bigint, __off bigint")
     )
     w = W.partitionBy("freq").orderBy("term")
     return (
@@ -1351,8 +1352,9 @@ def perplexity_buckets(
         offsets.append((b, acc))
         acc += n
     spark = df.sparkSession
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
     off = F.broadcast(
-        spark.createDataFrame(offsets, "__band bigint, __off bigint")
+        local_rows(spark, offsets, "__band bigint, __off bigint")
     )
     wb = (
         W.partitionBy("__band")

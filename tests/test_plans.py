@@ -436,6 +436,30 @@ def test_materialize_partitioned_preserves_partitioning(spark):
     assert agg.count() == 7
 
 
+def test_local_rows_is_local_table_scan(spark):
+    """r13: local_rows plans a pure-JVM LocalTableScan (no Python-runner
+    ExistingRDD re-evaluated per action) and round-trips values exactly,
+    including array columns; the fallback path stays correct on a type
+    the helper doesn't map."""
+    from faust_spark.operators.mat import local_rows
+
+    rows = [(0, [1.5, -2.25]), (1, []), (2, [0.0])]
+    df = local_rows(spark, rows, "cell int, __cv array<double>")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+    got = sorted((r["cell"], list(r["__cv"])) for r in df.collect())
+    assert got == [(0, [1.5, -2.25]), (1, []), (2, [0.0])]
+    assert df.schema.simpleString() == "struct<cell:int,__cv:array<double>>"
+
+    # unmapped DDL type -> plain createDataFrame fallback, same values
+    import datetime
+
+    d = datetime.date(2026, 1, 2)
+    fb = local_rows(spark, [(1, d)], "k bigint, v date")
+    assert [tuple(r) for r in fb.collect()] == [(1, d)]
+
+
 def test_loop_partitions_rule(spark):
     """r11 rule: one partition per 250k rows, floored at 8, capped at
     the session's shuffle.partitions — and the cap applies AFTER the
