@@ -371,7 +371,10 @@ class LiveCheck:
         """Suite state as a DataFrame (feed ``Table.show`` /
         ``@app.page`` — the reference posts TestReport models to a
         reports topic, ``app.py:380-385``)."""
-        return spark.createDataFrame(
+        from faust_spark.operators.mat import local_rows
+
+        return local_rows(
+            spark,
             self.report_rows(),
             "case string, status string, runs long, total_failures long, "
             "consecutive_failures long, last_error string",
@@ -422,8 +425,11 @@ def case_specs_df(spark, cases):
         for idx, attr in enumerate(names):
             v = getattr(case, attr)  # the instance-bound signal
             rows.append((case.name, v.name, idx))
-    return spark.createDataFrame(
-        rows, "case_name string, signal_name string, sig_index int"
+    from faust_spark.operators.mat import local_rows
+
+    # local_rows (guide §4): LocalTableScan, no Python re-eval per action
+    return local_rows(
+        spark, rows, "case_name string, signal_name string, sig_index int"
     )
 
 
