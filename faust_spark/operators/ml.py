@@ -93,8 +93,12 @@ def logreg_fit(
     divisor comes from the same aggregation), model-sized driver state.
     """
     d = len(feature_cols)
+    # same narrow-projection materialization as adaboost_fit below: one
+    # compute of the (often text-derived) feature expressions instead of
+    # steps+1 replans against the heavy source. Values unchanged.
+    base = materialize(df.select(label_col, *feature_cols))
     sc = list(scales) if scales is not None else feature_scales(
-        df, feature_cols
+        base, feature_cols
     )
     xcols = [
         (F.col(c).cast("double") / F.lit(float(s)))
@@ -119,7 +123,7 @@ def logreg_fit(
             ).alias(f"w{j + 1}")
             for j in range(d)
         ]
-        row = df.agg(*aggs).first()
+        row = base.agg(*aggs).first()
         w = [float(row[f"w{j}"]) for j in range(d + 1)]
         traj.append(list(w))
     return traj
@@ -221,8 +225,16 @@ def adaboost_fit(
     [1e-9, 1 - 1e-9] before the log.
     """
     d = len(feature_cols)
+    # materialize the NARROW (label + features) projection ONCE: every
+    # boosting round re-aggregates the corpus, and the callers' feature
+    # expressions are often text-derived (tokenize/ratio exprs) — without
+    # this they replan and recompute against the heavy source on every
+    # round, rounds+1 full passes for a relation that is d+1 numbers per
+    # row. Values are unchanged (the same deterministic expressions,
+    # computed once and stored); only the pass count drops.
+    base = materialize(df.select(label_col, *feature_cols))
     rg = list(ranges) if ranges is not None else feature_ranges(
-        df, feature_cols
+        base, feature_cols
     )
     bins = [
         _bin_expr(F.col(c).cast("double"), mn, mx, n_bins)
@@ -247,7 +259,7 @@ def adaboost_fit(
             )
         ).alias("p")
         masses = (
-            df.select(
+            base.select(
                 pairs,
                 (w * F.when(yp > 0, 1.0).otherwise(0.0)).alias("wp"),
                 (w * F.when(yp < 0, 1.0).otherwise(0.0)).alias("wn"),

@@ -378,3 +378,42 @@ def test_nb_classify_empty_priors_raises(spark):
     priors = spark.createDataFrame([], "cls string, prior double")
     with pytest.raises(ValueError, match="empty priors"):
         nb_classify(docs, model, priors)
+
+
+def test_fit_inputs_materialized_once_and_values_unchanged(spark, monkeypatch):
+    """r13: adaboost_fit/logreg_fit materialize the narrow
+    (label + features) projection ONCE before the iteration loop, so the
+    callers' (often text-derived) feature expressions are not replanned
+    and recomputed against the heavy source on every round. The
+    materialization must not change a single value of either trajectory."""
+    import faust_spark.operators.ml as ml
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(120, 3)
+    y = (X @ np.array([2.0, -1.0, 0.5]) > 0).astype(float)
+    df = spark.createDataFrame(
+        [
+            (float(yy), float(a), float(b), float(c))
+            for yy, (a, b, c) in zip(y, X)
+        ],
+        "y double, f1 double, f2 double, f3 double",
+    )
+
+    calls = []
+    real = ml.materialize
+
+    def counting(frame, **kw):
+        calls.append(1)
+        return real(frame, **kw)
+
+    monkeypatch.setattr(ml, "materialize", counting)
+    st_mat = ml.adaboost_fit(df, ["f1", "f2", "f3"], "y", rounds=3)
+    assert len(calls) == 1, "one materialization per fit, not per round"
+    calls.clear()
+    lr_mat = ml.logreg_fit(df, ["f1", "f2", "f3"], "y", steps=3)
+    assert len(calls) == 1
+
+    # identity pass-through (no materialization) must give the same model
+    monkeypatch.setattr(ml, "materialize", lambda frame, **kw: frame)
+    assert ml.adaboost_fit(df, ["f1", "f2", "f3"], "y", rounds=3) == st_mat
+    assert ml.logreg_fit(df, ["f1", "f2", "f3"], "y", steps=3) == lr_mat

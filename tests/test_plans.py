@@ -401,7 +401,11 @@ def test_kmeans_iteration_single_corpus_shuffle(spark, sf_dir, collect_spy):
 
 def test_adaboost_round_single_corpus_agg(spark, sf_dir, collect_spy):
     """Each boosting round is ONE (feat, bin)-keyed aggregation pass;
-    prior stumps enter as expressions, never as joins or extra scans."""
+    prior stumps enter as expressions, never as joins or extra scans —
+    and since r13 the rounds read the ONE materialized narrow
+    (label + features) projection instead of re-scanning the source and
+    recomputing the feature expressions (FileScan must be GONE from the
+    round plans; the single source scan lives in the materialization)."""
     from faust_spark.operators.ml import adaboost_fit
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -416,7 +420,8 @@ def test_adaboost_round_single_corpus_agg(spark, sf_dir, collect_spy):
         assert plan.count("Exchange hashpartitioning") == 1
         assert "partial_sum" in plan
         assert "Join" not in plan and "Window" not in plan
-        assert plan.count("FileScan") == 1
+        assert plan.count("FileScan") == 0
+        assert "ExistingRDD" in plan
 
 
 def test_materialize_partitioned_preserves_partitioning(spark):
