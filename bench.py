@@ -337,38 +337,57 @@ def main() -> None:
         / max(min(calib_spin, calib_spin_post), 1e-9),
         3,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "repeats": REPEATS,
-                "eps_repeats": EPS_REPEATS,
-                "events_per_sec_stream": eps,
-                "stream_baseline_eps": baseline_eps,
-                "stream_forward_eps": forward_eps,
-                "stream_windowed_eps": windowed_eps,
-                "stream_windowed_state_partitions": state_parts,
-                "host_calib": {
-                    # mean of pre/post — the value normalizations use
-                    # (and the one old-format readers expect)
-                    "python_spin_sec": round(
-                        (calib_spin + calib_spin_post) / 2, 3
-                    ),
-                    "python_spin_pre": calib_spin,
-                    "python_spin_post": calib_spin_post,
-                    # max/min of the two phases; >1.2 = the host changed
-                    # speed mid-run, treat every number above as suspect
-                    "phase_drift": phase_drift,
-                    "phase_stable": phase_drift <= 1.2,
-                    "write_100mb_sec": calib_io,
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeats": REPEATS,
+        "eps_repeats": EPS_REPEATS,
+        "events_per_sec_stream": eps,
+        "stream_baseline_eps": baseline_eps,
+        "stream_forward_eps": forward_eps,
+        "stream_windowed_eps": windowed_eps,
+        "stream_windowed_state_partitions": state_parts,
+        "host_calib": {
+            # mean of pre/post — the value normalizations use
+            # (and the one old-format readers expect)
+            "python_spin_sec": round(
+                (calib_spin + calib_spin_post) / 2, 3
+            ),
+            "python_spin_pre": calib_spin,
+            "python_spin_post": calib_spin_post,
+            # max/min of the two phases; >1.2 = the host changed
+            # speed mid-run, treat every number above as suspect
+            "phase_drift": phase_drift,
+            "phase_stable": phase_drift <= 1.2,
+            "write_100mb_sec": calib_io,
+        },
+    }
+    # The one-line JSON grew past the consumer's stdout tail buffer at
+    # ~5 KB (97 queries) and the r12/r13 round-over-round comparison was
+    # lost to a mid-line truncation. Two mitigations, measurement
+    # methodology unchanged: (a) compact separators keep the line well
+    # under 4 KB; (b) the full payload (plus provenance) also lands in
+    # artifacts/bench_last.json, so a truncated tail is recoverable.
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_last.json", "w") as f:
+            json.dump({**payload, "git_commit": commit}, f, indent=1)
+    except Exception:
+        pass  # the stdout line below is the contract; the copy is aid
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
