@@ -902,37 +902,27 @@ def connected_components(
     distributed again. The iterative join loop remains the fallback for
     genuinely huge duplicate graphs.
     """
-    # materialize the pair list once — the union of both edge directions
-    # would otherwise evaluate the (expensive) pair-generation pipeline
-    # twice; eager localCheckpoint both forces the materialization and
-    # lets the blocks free on GC (a persist here was never unpersisted)
-    pairs = materialize(pairs, eager=True)  # once, not per-round
-    # checkpointed pre-partitioned by dst, the distributed loop's join
-    # key (r11: materialize_partitioned, not persist — under AQE a plain
-    # checkpoint/persist loses the partitioning and every propagation
-    # round re-shuffles the |E| side); width scaled to the edge count
-    # (r11 rule, mat.loop_partitions — the count doubles as the
-    # union-find guard input below)
-    parts = loop_partitions(pairs.sparkSession, 2 * pairs.count())
-    edges = materialize_partitioned(
-        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc2").alias("src"), F.col("doc1").alias("dst")
-            )
-        )
-        .distinct(),
-        "dst",
-        num_partitions=parts,
-    )
-    # only edge-connected nodes participate in propagation; isolated nodes
-    # are their own component and join back at the end (in a dedup corpus
-    # the connected subgraph is a tiny fraction of all docs)
+    # materialize the pair list once — both the path decision below and
+    # every consumer (driver collect on the small path; the union of both
+    # edge directions on the distributed path) would otherwise re-evaluate
+    # the (expensive) pair-generation pipeline. LAZY localCheckpoint: the
+    # count() on the next line is the first action, so it materializes the
+    # blocks — an eager=True here was one whole extra job (r14, guide §1.2:
+    # the count is unavoidable, the separate materialization pass was not).
+    pairs = materialize(pairs)  # once, not per-round
+    n_pairs = pairs.count()
     all_nodes = nodes.select(F.col(id_col).alias("node"))
-    active = edges.select(F.col("src").alias("node")).distinct().persist()
-    isolated = all_nodes.join(active, "node", "left_anti")
+    spark = nodes.sparkSession
 
-    if edges.count() <= small_graph_edges:
+    # Fast path decided BEFORE any distributed loop state is built (r14):
+    # the r13 shape checkpointed + counted the |2E| undirected relation
+    # and persisted the active-node set only to throw all of it away when
+    # the union-find branch hit — three jobs of pure overhead on the path
+    # every near-dup corpus actually takes. 2·|pairs| bounds the
+    # undirected-distinct edge count from above, so the branch condition
+    # only gets more conservative (borderline graphs go distributed —
+    # both paths are value-identical).
+    if 2 * n_pairs <= small_graph_edges:
         parent: dict = {}
 
         def find(x):
@@ -941,8 +931,10 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
-            a, b = r.src, r.dst
+        # union-find needs each undirected edge once; direction and
+        # duplicates are harmless, so collect the raw pairs directly
+        for r in pairs.collect():
+            a, b = r["doc1"], r["doc2"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -950,13 +942,7 @@ def connected_components(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        spark = nodes.sparkSession
         comp_rows = [(n, find(n)) for n in parent]
-        # no-op under the checkpoint strategies; under "persist" it
-        # releases the pinned |2E| cache (a long-lived session running
-        # many dedup corpora would otherwise accumulate one per call)
-        edges.unpersist()
-        active.unpersist()
         if comp_rows:
             # local_rows (guide §4): LocalTableScan, no Python re-eval
             resolved = local_rows(
@@ -975,6 +961,31 @@ def connected_components(
         return resolved.unionByName(
             iso.select("node", F.col("node").alias("component"))
         ).select(F.col("node").alias(id_col), "component")
+
+    # distributed min-label propagation — loop state built only here
+    # (the small path above never pays for it). Edges checkpointed
+    # pre-partitioned by dst, the loop's join key (r11:
+    # materialize_partitioned, not persist — under AQE a plain
+    # checkpoint/persist loses the partitioning and every propagation
+    # round re-shuffles the |E| side); width scaled to the edge count
+    # (r11 rule, mat.loop_partitions).
+    parts = loop_partitions(spark, 2 * n_pairs)
+    edges = materialize_partitioned(
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc2").alias("src"), F.col("doc1").alias("dst")
+            )
+        )
+        .distinct(),
+        "dst",
+        num_partitions=parts,
+    )
+    # only edge-connected nodes participate in propagation; isolated nodes
+    # are their own component and join back at the end (in a dedup corpus
+    # the connected subgraph is a tiny fraction of all docs)
+    active = edges.select(F.col("src").alias("node")).distinct().persist()
+    isolated = all_nodes.join(active, "node", "left_anti")
 
     labels = active.select(
         "node", F.col("node").alias("label")

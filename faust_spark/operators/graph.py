@@ -64,11 +64,10 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    e = materialize(e, eager=True)
-    # loop-invariant partition width scaled to |E| (r11 rule — see
-    # mat.loop_partitions): the count is one cheap scan of the
-    # checkpoint just built, and every per-round map-side scan below
-    # inherits this width
+    # lazy checkpoint: the loop_partitions count right below is the
+    # first action and materializes the blocks itself — eager=True was
+    # one whole extra |E|-pass job per call (r14, guide §1.2)
+    e = materialize(e)
     parts = loop_partitions(e.sparkSession, e.count())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # nodes carry their dangling flag from day one (r10): the per-round
@@ -177,7 +176,7 @@ def personalized_pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    e = materialize(e, eager=True)
+    e = materialize(e)  # lazy: the count below materializes (r14)
     # loop-invariant partition width scaled to |E| (r11 rule)
     parts = loop_partitions(e.sparkSession, e.count())
     nodes = materialize(
@@ -296,7 +295,7 @@ def hits(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    e = materialize(e, eager=True)
+    e = materialize(e)  # lazy: the count below materializes (r14)
     # loop-invariant partition width scaled to |E| (r11 rule)
     parts = loop_partitions(e.sparkSession, e.count())
     # the |E| relation is checkpointed pre-partitioned by EACH
@@ -337,6 +336,13 @@ def hits(
             iterative=True,
         )
         atot = araw.agg(F.sum("raw").alias("t"))
+        # LAZY checkpoint (r14): the auth half-step's first consumer is
+        # the hub half-step's htot broadcast build inside the SAME
+        # round's one eager action below — materializing it here was a
+        # second top-level action per round (2 driver round trips + plan
+        # compilations per iteration instead of 1, guide §1.2). The
+        # lineage cut still happens at first use, so plan depth stays
+        # constant in ``iters`` exactly as before.
         auths = materialize(
             nodes.join(araw, nodes["node"] == araw["dst"], "left")
             .crossJoin(F.broadcast(atot))
@@ -351,7 +357,6 @@ def hits(
                     round_dp,
                 ).alias("auth"),
             ),
-            eager=True,
             iterative=True,
         )
         hraw = materialize(
@@ -429,7 +434,7 @@ def label_propagation(
     # loop invariant with loop_partitions instead of the session
     # default, so a small graph stops scanning 32 near-empty blocks per
     # round. The directed count bounds the undirected one (|und| ≤ 2|E|).
-    e = materialize(e, eager=True)
+    e = materialize(e)  # lazy: the count below materializes (r14)
     parts = loop_partitions(e.sparkSession, 2 * e.count())
     und = materialize_partitioned(
         e.unionByName(

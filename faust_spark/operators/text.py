@@ -387,8 +387,11 @@ def build_vocab(
     # them in the cache manager forever unless some caller remembered to
     # unpersist, which leaks across repeated vocab builds in a
     # long-lived session.  (Checkpoint blocks use a disk-backed level,
-    # so a 100 TB corpus tail spills instead of evicting.)
-    counts = materialize(counts, eager=True)
+    # so a 100 TB corpus tail spills instead of evicting.)  LAZY: the
+    # histogram collect right below is the first action and materializes
+    # the blocks itself — eager=True was one whole extra pass-shaped job
+    # per vocab consumer (r14, guide §1.2).
+    counts = materialize(counts)
     # model-sized frequency histogram → cutoff frequency + tie quota
     hist = sorted(
         (

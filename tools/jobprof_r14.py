@@ -53,7 +53,17 @@ def parse_eventlog(path: str) -> dict:
     n_tasks = 0
     task_time = 0.0
     n_stages = 0
-    with open(path) as f:
+    if path.endswith(".zstd"):
+        import io
+
+        import zstandard
+
+        fh = io.TextIOWrapper(
+            zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
+        )
+    else:
+        fh = open(path)
+    with fh as f:
         for line in f:
             try:
                 ev = json.loads(line)
@@ -89,6 +99,8 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--collect", action="store_true",
                     help="time .collect() like the bench (default: noop sink)")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable)")
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
 
@@ -100,6 +112,10 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": "file://" + logdir,
+            # single plain-text file: no zstandard module in the sandbox
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+            **dict(c.split("=", 1) for c in args.conf),
         },
     )
     import __spark_entry__ as entry
@@ -119,9 +135,22 @@ def main() -> int:
 
     app_id = spark.sparkContext.applicationId
     spark.stop()
-    # the event log flushes on stop
+    # the event log flushes on stop. Spark 4 writes a rolling-log DIR
+    # (eventlog_v2_<appId>/events_*.zstd); older layouts a single file.
     evpath = os.path.join(logdir, app_id)
-    parsed = parse_eventlog(evpath)
+    v2 = os.path.join(logdir, f"eventlog_v2_{app_id}")
+    if os.path.isdir(v2):
+        parsed = {"jobs": {}, "n_tasks": 0, "task_time": 0.0, "n_stages": 0}
+        for name in sorted(os.listdir(v2)):
+            if not name.startswith("events_"):
+                continue
+            p = parse_eventlog(os.path.join(v2, name))
+            parsed["jobs"].update(p["jobs"])
+            parsed["n_tasks"] += p["n_tasks"]
+            parsed["task_time"] += p["task_time"]
+            parsed["n_stages"] += p["n_stages"]
+    else:
+        parsed = parse_eventlog(evpath)
     # bucket jobs per query description
     per_key: dict[str, dict] = {}
     for jid, j in sorted(parsed["jobs"].items()):
