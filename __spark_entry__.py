@@ -2403,6 +2403,50 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return normalize_event_time(s)
 
 
+def _stream_state_parts(spark: SparkSession, sf_dir: str) -> str:
+    """State-store partition count RULE for the stream gates (r14,
+    VERDICT item 6; rules-not-constants): every state-store instance
+    pays per-micro-batch init/commit regardless of rows, so the
+    partition count follows the keyed-state volume, not the session
+    width — the exact rule bench.py's windowed-eps block measured
+    (32 stores -> ~62k eps, 8 -> ~118k on the same fixture) and
+    stream_livecheck_audit already applies. The event count comes from
+    the parquet FOOTER (driver-side metadata, no Spark job); any
+    failure (DFS path, missing pyarrow) falls back to the session
+    width, which is always correct — results are partitioning-
+    invariant, only the fixed overhead changes."""
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        import pyarrow.parquet as _pq
+
+        n = _pq.read_metadata(
+            os.path.join(sf_dir, "events.parquet")
+        ).num_rows
+        return str(min(int(default), max(4, n // 12_500)))
+    except Exception:
+        return default
+
+
+class _state_parts_for:
+    """Context manager: shuffle (= state) partitions scaled to the
+    stream's keyed-state volume for the duration of one streaming run,
+    session width restored after (the count binds at query start)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark, self.sf_dir = spark, sf_dir
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _stream_state_parts(self.spark, self.sf_dir),
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 @_q(
     "stream_tumbling_hourly",
     """
@@ -2419,11 +2463,12 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — the streaming path computes the identical result."""
     from faust_spark.streaming.runner import run_to_memory
 
-    s = _events_stream(spark, sf_dir)
-    agg = s.groupBy(F.window("ts", "3600 seconds"), "event_type").agg(
-        F.count(F.lit(1)).alias("cnt"), _dec_sum("value")
-    )
-    out = run_to_memory(agg, output_mode="complete")
+    with _state_parts_for(spark, sf_dir):
+        s = _events_stream(spark, sf_dir)
+        agg = s.groupBy(F.window("ts", "3600 seconds"), "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"), _dec_sum("value")
+        )
+        out = run_to_memory(agg, output_mode="complete")
     return out.select(
         F.col("window.start").alias("wstart"), "event_type", "cnt", "total"
     )
@@ -2448,13 +2493,14 @@ def stream_window_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     end precedes the terminal watermark (max event time - 600 s)."""
     from faust_spark.streaming.runner import run_to_memory
 
-    s = _events_stream(spark, sf_dir)
-    agg = (
-        s.withWatermark("ts", "600 seconds")
-        .groupBy(F.window("ts", "3600 seconds"))
-        .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("value"))
-    )
-    out = run_to_memory(agg, output_mode="append")
+    with _state_parts_for(spark, sf_dir):
+        s = _events_stream(spark, sf_dir)
+        agg = (
+            s.withWatermark("ts", "600 seconds")
+            .groupBy(F.window("ts", "3600 seconds"))
+            .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("value"))
+        )
+        out = run_to_memory(agg, output_mode="append")
     return out.select(F.col("window.start").alias("wstart"), "cnt", "total")
 
 
@@ -2474,18 +2520,15 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faust_spark.streaming.runner import run_to_memory
     from faust_spark.streaming.state import stateful_counter
 
-    # key cardinality is small; fewer state partitions = fewer Arrow
-    # worker round-trips (state partition count is fixed at query start)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # fewer state partitions = fewer Arrow worker round-trips per batch
+    # (the count is fixed at query start); r14: hard-coded 8 replaced by
+    # the shared keyed-state-volume rule (scale-adaptive, VERDICT item 6)
+    with _state_parts_for(spark, sf_dir):
         s = _events_stream(spark, sf_dir)
         counted = stateful_counter(
             s.groupBy("user_id"), "user_id", sum_col="value"
         )
         out = run_to_memory(counted, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.groupBy("user_id").agg(
         F.max("cnt").alias("cnt"), F.max("total").alias("total")
     )
@@ -2504,15 +2547,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-store dedup is the exactly-once ingestion building block."""
     from faust_spark.streaming.runner import run_to_memory
 
-    s1 = _events_stream(spark, sf_dir)
-    s2 = _events_stream(spark, sf_dir)
-    doubled = s1.unionByName(s2).select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(
-        ["event_id"]
-    )
-    out = run_to_memory(deduped, output_mode="append")
+    with _state_parts_for(spark, sf_dir):
+        s1 = _events_stream(spark, sf_dir)
+        s2 = _events_stream(spark, sf_dir)
+        doubled = s1.unionByName(s2).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(
+            ["event_id"]
+        )
+        out = run_to_memory(deduped, output_mode="append")
     return out.select("event_id", "user_id", "event_type")
 
 
@@ -2898,11 +2942,12 @@ def stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     store; same window-assignment oracle as the batch form."""
     from faust_spark.streaming.runner import run_to_memory
 
-    s = _events_stream(spark, sf_dir)
-    agg = s.groupBy(
-        F.window("ts", "1800 seconds", "900 seconds")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    out = run_to_memory(agg, output_mode="complete")
+    with _state_parts_for(spark, sf_dir):
+        s = _events_stream(spark, sf_dir)
+        agg = s.groupBy(
+            F.window("ts", "1800 seconds", "900 seconds")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        out = run_to_memory(agg, output_mode="complete")
     return out.select(F.col("window.start").alias("wstart"), "cnt")
 
 
@@ -2920,11 +2965,12 @@ def stream_set_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding — the reference's changelogged per-key set."""
     from faust_spark.streaming.runner import run_to_memory
 
-    s = _events_stream(spark, sf_dir)
-    agg = s.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types_arr")
-    )
-    out = run_to_memory(agg, output_mode="complete")
+    with _state_parts_for(spark, sf_dir):
+        s = _events_stream(spark, sf_dir)
+        agg = s.groupBy("user_id").agg(
+            F.array_sort(F.collect_set("event_type")).alias("types_arr")
+        )
+        out = run_to_memory(agg, output_mode="complete")
     return out.select("user_id", F.array_join("types_arr", ",").alias("types"))
 
 
@@ -3214,11 +3260,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     form."""
     from faust_spark.streaming.runner import run_to_memory
 
-    s = _events_stream(spark, sf_dir)
-    agg = s.groupBy(
-        F.session_window("ts", "1800 seconds"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    out = run_to_memory(agg, output_mode="complete")
+    with _state_parts_for(spark, sf_dir):
+        s = _events_stream(spark, sf_dir)
+        agg = s.groupBy(
+            F.session_window("ts", "1800 seconds"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        out = run_to_memory(agg, output_mode="complete")
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
