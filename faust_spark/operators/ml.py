@@ -383,10 +383,27 @@ def nb_fit(
     vocab = wc.select("w").distinct()
     v_size = vocab.count()
     totals = wc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
-    classes = docs.groupBy(F.col(class_col).alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    # r14 (guide §1.2/§2.4): the per-class doc counts are model-sized —
+    # collect them ONCE and re-enter as a LocalTableScan. The r13 shape
+    # ran the docs aggregation as a plan subtree under BOTH the model
+    # broadcast and the priors relation AND paid a third full corpus
+    # scan for docs.count(); n_total is now the exact integer sum of
+    # the collected counts (same value), and the priors' ln() stays
+    # in-engine over the literal relation, so every emitted number is
+    # bit-identical. Corpus passes at fit time: 3 -> 2.
+    from faust_spark.operators.mat import local_rows
+
+    cls_rows = sorted(
+        (r["cls"], r["n_docs"])
+        for r in docs.groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
     )
-    n_total = docs.count()
+    cls_type = docs.schema[class_col].dataType.simpleString()
+    classes = local_rows(
+        docs.sparkSession, cls_rows, f"cls {cls_type}, n_docs bigint"
+    )
+    n_total = sum(n for _, n in cls_rows)
     model = (
         vocab.crossJoin(F.broadcast(classes.select("cls")))
         .join(wc, ["cls", "w"], "left")

@@ -2007,6 +2007,7 @@ def corpus_fingerprint(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    expect_dim: Optional[int] = None,
 ) -> dict:
     """Exact, order-independent corpus fingerprint for index staleness
     detection (ADVICE r11): row count, dim, and two INTEGER checksums —
@@ -2014,19 +2015,38 @@ def corpus_fingerprint(
     string. All-integer sums are associative, so the value is identical
     under any partitioning/order (a float moment would wobble in the
     last bits); content changes at equal size flip the crc sum. One
-    corpus pass, run per index build and once per serving process."""
-    row = corpus.agg(
+    corpus pass, run per index build and once per serving process.
+
+    ``expect_dim`` (r14, guide §1.1): when the caller already knows the
+    index dim, the malformed-row screen (NULL id / NULL vector / wrong
+    dimension) rides the SAME aggregation as an ``n_bad`` count instead
+    of a second batch pass — append/delete validate in one job."""
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.first(F.size(vec_col), ignorenulls=True).alias("dim"),
         F.sum(F.col(id_col).cast("long")).alias("id_sum"),
         F.sum(F.crc32(F.col(vec_col).cast("string"))).alias("crc_sum"),
-    ).first()
+    ]
+    if expect_dim is not None:
+        aggs.append(
+            F.count_if(
+                F.col(vec_col).isNull()
+                | (F.size(vec_col) != F.lit(int(expect_dim)))
+                | F.col(id_col).isNull()
+            ).alias("n_bad")
+        )
+    row = corpus.agg(*aggs).first()
     return {
         "n": row["n"],
         "dim": row["dim"],
         "id_sum": int(row["id_sum"]) if row["id_sum"] is not None else None,
         "crc_sum": (
             int(row["crc_sum"]) if row["crc_sum"] is not None else None
+        ),
+        **(
+            {"n_bad": int(row["n_bad"])}
+            if expect_dim is not None
+            else {}
         ),
     }
 
@@ -2330,32 +2350,26 @@ def append_ann_index(
     desync rationale. Returns the updated meta."""
     meta = load_ann_index(spark, path)
     _require_format2(meta, "append_ann_index", path)
-    fpb = corpus_fingerprint(batch, vec_col=vec_col, id_col=id_col)
+    # the fingerprint dim is only the FIRST non-null row's — a null or
+    # wrong-dim row later in the batch would be assigned a garbage cell
+    # (null-padded distances), written with a null crc, and crash the
+    # eventual delete's fingerprint subtraction. The screen rides the
+    # fingerprint aggregation itself (expect_dim → n_bad, r14): one
+    # batch pass validates AND fingerprints, where r13 paid two.
+    fpb = corpus_fingerprint(
+        batch, vec_col=vec_col, id_col=id_col, expect_dim=meta["dim"]
+    )
     if not fpb["n"]:
         return meta
+    if fpb["n_bad"]:
+        raise ValueError(
+            "append_ann_index: batch contains a NULL id, NULL vector, "
+            f"or wrong-dimension vector (index dim {meta['dim']})"
+        )
     if fpb["dim"] != meta["dim"]:
         raise ValueError(
             f"append_ann_index: batch dim {fpb['dim']} != index dim "
             f"{meta['dim']}"
-        )
-    # the fingerprint dim is only the FIRST non-null row's — a null or
-    # wrong-dim row later in the batch would be assigned a garbage cell
-    # (null-padded distances), written with a null crc, and crash the
-    # eventual delete's fingerprint subtraction. One batch-sized check
-    # refuses it here, where the caller can fix the batch.
-    bad = (
-        batch.filter(
-            F.col(vec_col).isNull()
-            | (F.size(vec_col) != F.lit(meta["dim"]))
-            | F.col(id_col).isNull()
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            "append_ann_index: batch contains a NULL id, NULL vector, "
-            f"or wrong-dimension vector (index dim {meta['dim']})"
         )
     if meta.get("tombstones"):
         # re-appending a CURRENTLY-TOMBSTONED id would desync serving
@@ -2513,9 +2527,10 @@ def delete_from_ann_index(
     scan = (
         rel.filter(F.col("cell").isin(cells)) if cells is not None else rel
     )
+    # lazy checkpoint: the missing-id probe / fingerprint agg right
+    # below is the first action and materializes the blocks (r14)
     victims = materialize(
-        scan.select("nid", "cell", "crc").join(F.broadcast(idf), "nid"),
-        eager=True,
+        scan.select("nid", "cell", "crc").join(F.broadcast(idf), "nid")
     )
     if cells is not None:
         # escalation: a requested id the pruned scan did NOT find is
@@ -2535,8 +2550,7 @@ def delete_from_ann_index(
                     rel.select("nid", "cell", "crc").join(
                         F.broadcast(missing), "nid"
                     )
-                ),
-                eager=True,
+                )
             )
     agg = victims.agg(
         F.count(F.lit(1)).alias("cnt"),
