@@ -226,6 +226,8 @@ def bpe_fit(
                 eager=True,
             )
             return merges, sym
+    # lazy: round 1's pair-count collect is the first action and
+    # materializes the blocks (r14, guide §1.2)
     sym = materialize(
         words.select(
             "word",
@@ -234,7 +236,6 @@ def bpe_fit(
                 F.split(F.col("word"), ""), F.array(F.lit(END))
             ).alias("syms"),
         ),
-        eager=True,
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -272,7 +273,10 @@ def bpe_fit(
             break
         a, b, f = top[0]["a"], top[0]["b"], int(top[0]["f"])
         merges.append((a, b, f))
-        sym = materialize(_merge_pair(sym, a, b), eager=True, iterative=True)
+        # lazy: the NEXT round's pair-count collect (or the caller's
+        # first traversal after the last round) materializes it — one
+        # action per merge round instead of two (r14, guide §1.2)
+        sym = materialize(_merge_pair(sym, a, b), iterative=True)
     return merges, sym
 
 
@@ -283,6 +287,9 @@ def bpe_segment(
     in learned order; returns (word, cnt, syms) — the same greedy
     left-to-right semantics as training, re-runnable on any later
     corpus snapshot with a frozen tokenizer."""
+    # lazy chain: each checkpoint still cuts lineage at plan time; the
+    # caller's first action materializes the cascade once, instead of
+    # len(merges)+1 separate driver-blocking jobs here (r14, §1.2)
     sym = materialize(
         words.select(
             "word",
@@ -291,8 +298,7 @@ def bpe_segment(
                 F.split(F.col("word"), ""), F.array(F.lit(END))
             ).alias("syms"),
         ),
-        eager=True,
     )
     for a, b, *_ in merges:
-        sym = materialize(_merge_pair(sym, a, b), eager=True, iterative=True)
+        sym = materialize(_merge_pair(sym, a, b), iterative=True)
     return sym

@@ -2616,8 +2616,8 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     if not meta.get("tombstones"):
         return meta
     epoch = int(meta.get("epoch", 0))
-    tomb = materialize(
-        spark.read.parquet(_tombstone_path(path, epoch)), eager=True
+    tomb = materialize(  # lazy: the cells collect below materializes
+        spark.read.parquet(_tombstone_path(path, epoch))
     )
     cells = sorted(int(r["cell"]) for r in
                    tomb.select("cell").distinct().collect())
@@ -2636,7 +2636,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
             meta["n_cells"],
             meta.get("files_per_cell", 1),
         ),
-        eager=True,
+        # lazy: the kept_cells collect right below is the first action,
+        # so the blocks ARE materialized before the overwrite job starts
+        # (the lineage-cut-before-write invariant holds unchanged)
         iterative=True,
     )
     kept_cells = {

@@ -1337,7 +1337,7 @@ def perplexity_buckets(
     # collect below, the cumulative-histogram plan, and the final join —
     # materialize it once (localCheckpoint: blocks auto-release on GC,
     # unlike a pinned persist; same reasoning as build_vocab)
-    scored = materialize(scored, eager=True)
+    scored = materialize(scored)  # lazy: band collect below materializes
     hist = (
         scored.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__cnt"))
