@@ -58,6 +58,7 @@ def ivfpq_path(spark, emb, tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_model_roundtrip(spark, emb, ivf_path):
     meta = load_ann_index(spark, ivf_path)
     assert meta["n_cells"] == 16 and len(meta["centroids"]) == 16
@@ -70,6 +71,7 @@ def test_model_roundtrip(spark, emb, ivf_path):
     assert set(assigned.columns) == {"nid", "cv", "cell", "crc"}
 
 
+@pytest.mark.slow
 def test_ivf_index_row_parity_with_inline(spark, emb, queries, ivf_path):
     served = sorted(
         (r.qid, r.nid, r.rank)
@@ -84,6 +86,7 @@ def test_ivf_index_row_parity_with_inline(spark, emb, queries, ivf_path):
     assert served == inline
 
 
+@pytest.mark.slow
 def test_ivfpq_index_row_parity_with_inline(spark, emb, queries, ivfpq_path):
     n = emb.count()
     served = sorted(
@@ -260,6 +263,7 @@ def test_probed_cells_malformed_batch_falls_back_distributed(spark, emb):
     assert sim.INDEX_STATS["probe_fallbacks"] == before + 1
 
 
+@pytest.mark.slow
 def test_files_per_cell_write_knob(spark, emb, queries, tmp_path):
     """files_per_cell salts the index write into up to that many files
     per cell directory (more writer tasks / reader splits for the
@@ -362,6 +366,7 @@ def evolved_ivf(spark, emb, tmp_path):
     return path, meta
 
 
+@pytest.mark.slow
 def test_append_row_parity_and_exact_fingerprint(
     spark, emb, queries, evolved_ivf
 ):
@@ -406,6 +411,7 @@ def test_append_dim_mismatch_and_empty_batch(spark, emb, evolved_ivf):
     assert meta2.get("appends") == meta.get("appends")
 
 
+@pytest.mark.slow
 def test_delete_serves_without_victims_and_is_idempotent(
     spark, emb, queries, evolved_ivf
 ):
@@ -442,6 +448,7 @@ def test_delete_serves_without_victims_and_is_idempotent(
     assert load_ann_index(spark, path)["tombstones"] == len(victims)
 
 
+@pytest.mark.slow
 def test_compact_rewrites_only_affected_cells(spark, emb, queries, evolved_ivf):
     """Compaction folds tombstones into the relation touching ONLY the
     cells that carry them: untouched cell directories keep their exact
@@ -494,6 +501,7 @@ def test_compact_rewrites_only_affected_cells(spark, emb, queries, evolved_ivf):
     assert compact_ann_index(spark, path)["epoch"] == m2["epoch"]
 
 
+@pytest.mark.slow
 def test_compact_removes_fully_emptied_cells(spark, emb, tmp_path):
     """A decoy batch whose vectors land in their own region: deleting the
     whole batch then compacting must leave ZERO decoy rows on disk even
@@ -522,6 +530,7 @@ def test_compact_removes_fully_emptied_cells(spark, emb, tmp_path):
     assert rel.count() == emb.count()
 
 
+@pytest.mark.slow
 def test_ivfpq_lifecycle_roundtrip(spark, emb, queries, tmp_path):
     """The same lifecycle over the compact (PQ-codes) index kind: the
     per-row fingerprint crc is carried from the ORIGINAL vectors (codes
@@ -609,6 +618,7 @@ def test_lifecycle_counters_on_metrics_page(spark, emb, tmp_path):
         assert f"ann_index_{key}_total" in page
 
 
+@pytest.mark.slow
 def test_delete_with_vectors_prunes_and_matches_id_only(
     spark, emb, queries, tmp_path
 ):

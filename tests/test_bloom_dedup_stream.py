@@ -1,6 +1,7 @@
 """Ever-seen streaming dedup (streaming/bloom_dedup.py): cross-batch
 suppression with bounded state, replay idempotence, no false negatives."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark.streaming.bloom_dedup import bloom_dedup_batch_sink
@@ -68,6 +69,7 @@ def test_no_false_negatives_and_bounded_fp(spark, tmp_path):
     assert len(dropped_fp) < 50  # ~0.3% design point, assert < 5%
 
 
+@pytest.mark.slow
 def test_state_versions_pruned(spark, tmp_path):
     def sink(df, bid):
         df.count()

@@ -2,6 +2,7 @@
 walk-through, a pure-python greedy replica on random words, and the
 overlap-run edge case the islands-parity logic exists for."""
 
+import pytest
 from faust_spark.operators.bpe import END, bpe_learn, word_counts
 
 
@@ -126,6 +127,7 @@ def test_bpe_segment_frozen_merges(spark):
     assert seg["syms"][0] in ("lo", "l")
 
 
+@pytest.mark.slow
 def test_bpe_driver_path_matches_distributed(spark):
     """The driver-side fast path (_bpe_fit_driver) and the distributed
     merge loop produce IDENTICAL merge trajectories and final

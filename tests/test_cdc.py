@@ -1,11 +1,13 @@
 """CDC export: update-mode emissions land in a replayable parquet log."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark.streaming.runner import cdc_export, stream_parquet
 from faust_spark.streaming.state import stateful_counter
 
 
+@pytest.mark.slow
 def test_cdc_log_replays_to_final_state(spark, sf_dir, tmp_path):
     from faust_spark.catalog import load_table
 

@@ -107,6 +107,7 @@ def test_containment_catches_quote_jaccard_misses(spark):
     )
 
 
+@pytest.mark.slow
 def test_minhash_lsh_finds_exact_dup(docs):
     pairs = {
         (r.doc1, r.doc2)
@@ -116,6 +117,7 @@ def test_minhash_lsh_finds_exact_dup(docs):
     assert all(3 not in p for p in pairs)
 
 
+@pytest.mark.slow
 def test_minhash_lsh_collapse_matches_uncollapsed(spark):
     """The exact-dup pre-collapse (mega-bucket guard) must be invisible
     in the results: a corpus with a planted identical-doc cluster gives
@@ -139,6 +141,7 @@ def test_minhash_lsh_collapse_matches_uncollapsed(spark):
     assert all(j == 1.0 for d1, d2, j in got if d2 <= 7)
 
 
+@pytest.mark.slow
 def test_minhash_lsh_bucket_cap_drops_mega_buckets(spark):
     """max_bucket_size caps the band self-join: a near-identical
     (NOT byte-identical, so the exact collapse can't merge it) cluster
@@ -192,6 +195,7 @@ def test_containment_matches_bruteforce_property(spark):
         assert got == want, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_connected_components_bounded_plan_depth(spark):
     """15+ label-propagation rounds must NOT grow the logical plan
     linearly: localCheckpoint every 5 rounds truncates lineage, so the
@@ -269,6 +273,7 @@ def test_embedding_dup_exact_blockgrid_matches_bruteforce(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_embedding_dup_lsh_full_recall_on_near_dups(spark):
     """At near-dup thresholds the banded-LSH default must find the same
     pairs as the exact path (recall 1 on planted dups), from a candidate
@@ -420,6 +425,7 @@ def test_remove_dup_spans_known_values(spark):
     assert out[3].clean_md5 == hashlib.md5(b"qrstuv").hexdigest()
 
 
+@pytest.mark.slow
 def test_jaccard_prefix_equals_exact_property(spark):
     """Prefix-filtered Jaccard join (PPJoin prefix + length filters) is
     EXACT: identical pairs and values to the capless co-occurrence form
@@ -548,6 +554,7 @@ def test_semantic_dup_cells_chunked_matches_relational(spark):
     assert any(d for _, d in arrow.values())  # the planted dups are found
 
 
+@pytest.mark.slow
 def test_simhash_near_pairs_matches_brute_force(spark):
     """Pigeonhole banding must be lossless: the banded pair set equals
     the all-pairs Hamming filter, at every supported radius."""
@@ -614,6 +621,7 @@ def test_semantic_dup_cells_population_guard(spark):
     assert len(out) == 20
 
 
+@pytest.mark.slow
 def test_simhash_64bit_fingerprints_and_banding(spark):
     """bits=64 is the documented grow-the-chunk-width path (16-bit chunk
     keys at max_hamming=3). Bit 63 rides a negative two's-complement
@@ -685,6 +693,7 @@ def test_simhash_params_rule():
     assert simhash_params(10**9, max_hamming=7) == 64
 
 
+@pytest.mark.slow
 def test_simhash_near_pairs_default_uses_scaled_width(spark):
     """bits=None (the default) must resolve to simhash_params(n) — on a
     tiny corpus that's the 32-bit family, and on a corpus past the
@@ -732,6 +741,7 @@ def test_simhash_near_pairs_default_uses_scaled_width(spark):
     assert dflt == d44 and d44  # ids i and i+2100 share all 4 words
 
 
+@pytest.mark.slow
 def test_simhash_64bit_duckdb_oracle_parity(spark):
     """The entry-file oracle CTE and the Spark fingerprints must agree at
     EVERY width the scaled rule can choose — the gate sfs only exercise

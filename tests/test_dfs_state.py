@@ -9,6 +9,7 @@ batch id), PLUS the new ones — compaction preserves the merged state
 bit-for-bit, and a fresh process ("driver loss") resumes from the state
 directory alone."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark.streaming.dfs_state import (
@@ -23,6 +24,7 @@ def _df(spark, ids):
     return spark.createDataFrame([(str(i),) for i in ids], ["k"])
 
 
+@pytest.mark.slow
 def test_cross_batch_duplicates_suppressed_dfs(spark, tmp_path):
     seen: list[tuple[int, set]] = []
 
@@ -40,6 +42,7 @@ def test_cross_batch_duplicates_suppressed_dfs(spark, tmp_path):
     assert seen[2] == (2, {"5"})
 
 
+@pytest.mark.slow
 def test_replay_screens_against_pre_batch_state_dfs(spark, tmp_path):
     out: list[tuple[int, set]] = []
 
@@ -56,6 +59,7 @@ def test_replay_screens_against_pre_batch_state_dfs(spark, tmp_path):
     assert out[-1] == (2, {"9"})
 
 
+@pytest.mark.slow
 def test_compaction_preserves_state_and_prunes(spark, tmp_path):
     """Bloom OR-merge is shard-local: after compaction the merged word
     relation is identical, screening behavior unchanged, and superseded
@@ -83,6 +87,7 @@ def test_compaction_preserves_state_and_prunes(spark, tmp_path):
     assert emitted == want | {"999"}
 
 
+@pytest.mark.slow
 def test_driver_loss_resumes_from_state_dir(spark, tmp_path):
     """Simulated driver loss: a brand-new sink instance (no shared
     Python state) continues suppression from the DFS dir alone."""
@@ -125,6 +130,7 @@ def test_dfs_state_equals_driver_resident_bitmap(spark, tmp_path):
     assert words == want
 
 
+@pytest.mark.slow
 def test_streaming_cms_dfs_equals_batch_sketch(spark, tmp_path):
     """CMS linearity through the DFS deltas: accumulation equals the
     one-shot sketch for any split, replays don't double-count, and
@@ -196,6 +202,7 @@ def _lsh_oracle(spark, all_rows):
     return out
 
 
+@pytest.mark.slow
 def test_lsh_dedup_cross_batch_near_dups_suppressed(spark, tmp_path):
     from faust_spark.streaming.dfs_state import lsh_dedup_dfs_sink
 
@@ -224,6 +231,7 @@ def test_lsh_dedup_cross_batch_near_dups_suppressed(spark, tmp_path):
     assert 2 not in got and 10 not in got  # in-batch and cross-batch dup
 
 
+@pytest.mark.slow
 def test_lsh_dedup_replay_is_idempotent(spark, tmp_path):
     from faust_spark.streaming.dfs_state import lsh_dedup_dfs_sink
 
@@ -242,6 +250,7 @@ def test_lsh_dedup_replay_is_idempotent(spark, tmp_path):
     assert first[1] == {6}    # 5 suppressed by 0 from batch 0's state
 
 
+@pytest.mark.slow
 def test_lsh_dedup_ordering_contract_violation_raises(spark, tmp_path):
     """ADVICE r8: the sink's oracle equivalence needs nondecreasing ids
     across batches; a violating batch must fail loudly (running-max
@@ -264,6 +273,7 @@ def test_lsh_dedup_ordering_contract_violation_raises(spark, tmp_path):
     assert lsh_id_watermark(spark, str(tmp_path / "s")) == 20
 
 
+@pytest.mark.slow
 def test_lsh_dedup_watermark_survives_compaction(spark, tmp_path):
     """The sentinel bucket folds through _compact_lsh's MIN merge: after
     a compaction boundary the watermark still reports the running max
@@ -292,6 +302,7 @@ def test_lsh_dedup_watermark_survives_compaction(spark, tmp_path):
     assert {r.min_id for r in claims.collect()} == {3, 7, 9, 12}
 
 
+@pytest.mark.slow
 def test_sharded_bloom_equals_unsharded(spark, tmp_path):
     """shards=4 (DEPLOYMENT's 100x compaction knob): same emitted
     survivors per batch and the SAME merged word relation as the
@@ -325,6 +336,7 @@ def test_sharded_bloom_equals_unsharded(spark, tmp_path):
     assert fw == sw and fw
 
 
+@pytest.mark.slow
 def test_sharded_bloom_staggered_bases_and_pruning(spark, tmp_path):
     """Each shard keeps its OWN base (staggered versions), and a delta
     dir dies only once every shard's base has passed it."""
@@ -368,6 +380,7 @@ def test_sharded_bloom_rejects_bad_shards(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_sharded_lsh_equals_unsharded(spark, tmp_path):
     """shards=2 LSH: identical emitted survivors, bucket state, and id
     watermark as the unsharded layout across staggered compactions —
@@ -422,6 +435,7 @@ def test_sharded_lsh_equals_unsharded(spark, tmp_path):
     assert "delta_v0" not in names
 
 
+@pytest.mark.slow
 def test_sharded_cms_equals_unsharded(spark, tmp_path):
     """shards=4 CMS: the accumulated sketch relation is identical to
     the unsharded layout across staggered compactions (SUM is the
@@ -446,6 +460,7 @@ def test_sharded_cms_equals_unsharded(spark, tmp_path):
     assert any(n.startswith("base_s") for n in names)
 
 
+@pytest.mark.slow
 def test_layout_mismatch_reads_fail_loudly(spark, tmp_path):
     """Reading a sharded state dir with the wrong shards= (or vice
     versa) must raise, not silently return state missing everything
@@ -490,6 +505,7 @@ def _vecs(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_embedding_dedup_matches_batch_not_exists(spark, tmp_path):
     """embedding_dedup_dfs_sink across micro-batches equals the batch
     NOT-EXISTS predicate over the same hyperplane signatures — exact

@@ -295,6 +295,7 @@ from hypothesis import strategies as st
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_crash_point_replay_matrix(spark, plan):
     """Randomized crash-point replay property (VERDICT r3 item 7): for
     every schedule of crashes at / after the commit boundary, with the

@@ -15,6 +15,7 @@ live state; the row is reliably dropped once a subsequent batch has
 carried the advanced watermark.
 """
 
+import pytest
 import datetime as dt
 import time
 
@@ -27,6 +28,7 @@ def T(h, m):
     return dt.datetime(2024, 1, 1, h, m)
 
 
+@pytest.mark.slow
 def test_watermark_drops_what_batch_applies(spark, tmp_path):
     src = str(tmp_path / "late_src")
     schema = "ts timestamp, v long"

@@ -3,6 +3,7 @@ tracked execution decided exactly once — PASS/FAIL on completion,
 TIMEOUT via event-time timer — with state recovered from the
 checkpoint across restarts."""
 
+import pytest
 import datetime as dt
 import time
 
@@ -39,6 +40,7 @@ def _run(spark, src, ckpt, emitted, require_order=True):
     assert q.awaitTermination(300)
 
 
+@pytest.mark.slow
 def test_decisions_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
@@ -85,6 +87,7 @@ def test_decisions_across_batches(spark, tmp_path):
     assert len(emitted) == 3  # each execution decided exactly once
 
 
+@pytest.mark.slow
 def test_timer_survives_restart(spark, tmp_path):
     src = str(tmp_path / "rsrc")
     ckpt = str(tmp_path / "rckpt")
@@ -104,6 +107,7 @@ def test_timer_survives_restart(spark, tmp_path):
     assert [(r.test_id, r.state) for r in second] == [("t1", "TIMEOUT")]
 
 
+@pytest.mark.slow
 def test_signal_before_execution_and_late_deadline(spark, tmp_path):
     """Signals held for a not-yet-seen execution row; an execution
     arriving with its deadline already behind the watermark is decided
@@ -144,6 +148,7 @@ def test_signal_before_execution_and_late_deadline(spark, tmp_path):
     assert got == {"t1": "PASS", "t9": "TIMEOUT"}
 
 
+@pytest.mark.slow
 def test_streaming_equals_batch_evaluator_random(spark, tmp_path):
     """Property: on a random execution/signal log replayed time-ordered
     in random batch splits, the streaming auditor's decided set equals
@@ -226,6 +231,7 @@ def test_streaming_equals_batch_evaluator_random(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_redelivered_exec_after_decision_is_swallowed(spark, tmp_path):
     """At-least-once redelivery: an exec row redelivered AFTER its
     verdict must hit the tombstone, not re-create state and emit a
@@ -257,6 +263,7 @@ def test_redelivered_exec_after_decision_is_swallowed(spark, tmp_path):
     assert [(r.test_id, r.state) for r in emitted] == [("t1", "PASS")]
 
 
+@pytest.mark.slow
 def test_null_deadline_stays_pending_like_batch(spark, tmp_path):
     """An execution with a NULL expires is INIT forever in the batch
     evaluator — the stream must not decide it either (state is GC'd

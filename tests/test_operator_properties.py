@@ -6,6 +6,7 @@ invariants that must hold for ANY input — the corpus-prep analogue of
 the window-math property suite.
 """
 
+import pytest
 import math
 
 from hypothesis import given, settings, strategies as st
@@ -24,6 +25,7 @@ docs_strategy = st.lists(
 
 @given(docs=docs_strategy, frac=st.floats(0.01, 1.0))
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_stratified_sample_exact_ceil_property(spark, docs, frac):
     """For ANY corpus and fraction, every stratum yields exactly
     ceil(frac * n_g) rows."""
@@ -70,6 +72,7 @@ def test_vocab_ids_are_dense_and_rank_ordered(spark, docs):
     )
 )
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_normalize_text_idempotent(spark, s):
     """normalize(normalize(x)) == normalize(x) for arbitrary unicode."""
     from faust_spark.functions import normalize_text
@@ -104,6 +107,7 @@ def _lev(a: str, b: str) -> int:
     k=st.integers(1, 6),
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_passjoin_exact_vs_bruteforce(spark, docs, k):
     """PassJoin segment blocking is LOSSLESS for ANY strings and any
     threshold: edit_distance_pairs_exact == the quadratic brute-force
@@ -135,6 +139,7 @@ def test_passjoin_exact_vs_bruteforce(spark, docs, k):
     )
 )
 @settings(max_examples=20, deadline=None)
+@pytest.mark.slow
 def test_substring_spans_match_bruteforce(spark, texts):
     """substring_dup_spans / remove_dup_spans agree with a quadratic
     Python oracle on random short strings (window=5, stride=2)."""
@@ -198,6 +203,7 @@ edges_strategy = st.lists(
 
 @given(edges=edges_strategy)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_pagerank_random_graphs_match_replica(spark, edges):
     from faust_spark.operators.graph import pagerank
     from tests.test_graph import _numpy_pagerank
@@ -215,6 +221,7 @@ def test_pagerank_random_graphs_match_replica(spark, edges):
 
 @given(edges=edges_strategy)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_label_propagation_random_graphs_match_replica(spark, edges):
     from faust_spark.operators.graph import label_propagation
     from tests.test_graph import _numpy_lpa
@@ -229,6 +236,7 @@ def test_label_propagation_random_graphs_match_replica(spark, edges):
 
 @given(edges=edges_strategy)
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_hits_random_graphs_match_replica(spark, edges):
     from faust_spark.operators.graph import hits
     from tests.test_graph import _numpy_hits

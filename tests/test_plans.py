@@ -234,6 +234,7 @@ def test_boilerplate_reuses_chunk_hash_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+@pytest.mark.slow
 def test_pq_encode_is_narrow(spark, sf_dir):
     """PQ encoding is a narrow map: no exchange between scan and codes."""
     from faust_spark.operators.similarity import pq_codebooks, pq_encode

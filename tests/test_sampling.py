@@ -1,5 +1,6 @@
 """Deterministic sampling: stability, fraction accuracy, per-key caps."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark.catalog import load_table
@@ -179,6 +180,7 @@ def test_temperature_sample_flattens_mixture(spark):
     assert {(r.doc_id, r.lang) for r in out} == want
 
 
+@pytest.mark.slow
 def test_weighted_sample_k_deterministic_and_weight_biased(spark):
     """Efraimidis-Spirakis hash-priority sampling: deterministic across
     runs, and inclusion frequency tracks weight across many salts."""

@@ -1,6 +1,7 @@
 """Event-time-timeout session tracking: the faust cleanup-timer /
 on_window_close analogue as keyed state + timers."""
 
+import pytest
 import datetime as dt
 import time
 
@@ -14,6 +15,7 @@ def T(h, m):
     return dt.datetime(2024, 1, 1, h, m)
 
 
+@pytest.mark.slow
 def test_timer_state_survives_restart(spark, tmp_path):
     """Session state + armed timers must recover from the checkpoint: a
     session opened before shutdown times out after restart."""
@@ -59,6 +61,7 @@ def test_timer_state_survives_restart(spark, tmp_path):
     assert (5, "2024-01-01 10:00:00", 2) in closed
 
 
+@pytest.mark.slow
 def test_sessions_close_via_timeout_and_inline_gap(spark, tmp_path):
     src = str(tmp_path / "sess_src")
     schema = "user_id long, ts timestamp"

@@ -1,5 +1,6 @@
 """Similarity search: brute-force correctness + LSH recall."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark.catalog import load_table
@@ -53,6 +54,7 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert hits >= 6, f"LSH top-1 recall too low: {hits}/10"
 
 
+@pytest.mark.slow
 def test_pq_roundtrip_codes_and_recall(spark, sf_dir):
     """PQ codes are in range, encoding is deterministic, and ADC top-1
     recall beats random chance by a wide margin (≥60% of 10 queries)."""
@@ -268,6 +270,7 @@ def test_cascade_adds_only_hash_joins(spark, sf_dir):
     assert hn_bhj > base_bhj and knn_bhj > base_bhj
 
 
+@pytest.mark.slow
 def test_index_reuse_matches_inline_fit(spark, sf_dir):
     """Serving shape: ivf_fit / ivf_assign_corpus / ivfpq_fit amortize
     the quantizer fits and corpus assignment across calls; results must
@@ -616,6 +619,7 @@ def test_hyperplane_params_sql_rule_matches_python():
     assert hyperplane_params(10**9) == 16   # capped
 
 
+@pytest.mark.slow
 def test_serve_cache_bit_parity_with_inline(spark, sf_dir):
     """The serve-index artifact must be invisible in the results: the
     served path (r12: the ON-DISK cell-partitioned index built by
@@ -661,6 +665,7 @@ def test_serve_cache_bit_parity_with_inline(spark, sf_dir):
     assert cached_pq == inline_pq
 
 
+@pytest.mark.slow
 def test_hyperplane_bands_arrow_bit_parity(spark, sf_dir):
     """r12: the one-pass Arrow band signatures must be bit-identical to
     the per-table hyperplane_signature expression form — same md5

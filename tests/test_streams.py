@@ -1,6 +1,7 @@
 """Stream operator semantics (reference functional layer:
 t/functional/test_streams.py style — deliver rows, assert iteration)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark import App
@@ -293,6 +294,7 @@ def test_task_registered_after_first_stream_still_runs(spark):
     assert ran == ["first", "late"]
 
 
+@pytest.mark.slow
 def test_cli_send_roundtrips_through_registered_stream(spark, tmp_path):
     """`send` (reference `faust send` — faust/cli/faust.py:16-29) writes
     through Topic.write_batch's parquet backing with no broker; the

@@ -1,6 +1,7 @@
 """Text-pipeline operators: repetition filters, decontamination,
 domain stats, IVF ANN (operators/text.py, operators/similarity.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from faust_spark.catalog import load_table
@@ -484,6 +485,7 @@ def test_kn_continuation_beats_raw_frequency(spark):
     assert out[100] > out[101]
 
 
+@pytest.mark.slow
 def test_expr_operators_quote_column_names(spark):
     """bigram_logprob / kn_bigram_logprob / dsir_score / winnowing
     interpolate the text column into F.expr SQL — the name must be
