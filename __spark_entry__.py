@@ -3012,7 +3012,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     )
-    out = run_to_memory(j, output_mode="append")
+    with _state_parts_for(spark, sf_dir):
+        out = run_to_memory(j, output_mode="append")
     return out.select("user_id", "p_ts", "c_ts")
 
 
@@ -3068,7 +3069,8 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     )
-    out = run_to_memory(j, output_mode="append")
+    with _state_parts_for(spark, sf_dir):
+        out = run_to_memory(j, output_mode="append")
     return out.select("user_id", "p_ts", "c_ts")
 
 
@@ -3129,7 +3131,8 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return run_to_memory(agg, output_mode="complete")
+    with _state_parts_for(spark, sf_dir):
+        return run_to_memory(agg, output_mode="complete")
 
 
 @_q(
@@ -7723,17 +7726,14 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faust_spark.streaming.runner import run_to_memory
     from faust_spark.streaming.state import stateful_counts
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # r14: hard-coded 8 replaced by the shared keyed-state-volume rule
+    with _state_parts_for(spark, sf_dir):
         s = _events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
         counted = stateful_counts(
             s.groupBy("user_id", "day"),
             [("user_id", LongType()), ("day", DateType())],
         )
         out = run_to_memory(counted, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     daily = out.groupBy("user_id", "day").agg(F.max("cnt").alias("cnt"))
     w = W.partitionBy("user_id")
     stats = daily.select(
