@@ -321,11 +321,27 @@ def hits(
         "node",
         num_partitions=parts,
     )
+    # r14 round fusion (VERDICT r13 item 8, guide §2.4): the loop keeps
+    # scores ONLY for nodes that can feed the next half-step — auth
+    # rows exist only for in-edge targets (araw's dst groups), hub rows
+    # only for out-edge sources (hraw's src groups). The old shape
+    # LEFT-joined the full |V| node relation after every half-step to
+    # fill zeros; but a zero-filled row joins the next half-step's edge
+    # relation inner-join and contributes exactly 0 to its SUM (or has
+    # no out/in edge and doesn't join at all), so the fill changes no
+    # downstream value — it only cost one |V| join + exchange PER
+    # HALF-STEP. Normalization totals are unchanged (they sum over raw
+    # rows; absent rows contributed 0.0). The zero-fill now happens
+    # ONCE, in the final projection below, producing the identical
+    # (node, hub, auth) relation: absent-from-araw nodes read auth
+    # ROUND(COALESCE(NULL, 0.0)) = 0.0 exactly as before. Initial hubs
+    # cover all nodes (hub0 = 1.0); the first araw inner join prunes to
+    # src nodes exactly as it always did.
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
     for _ in range(iters):
         # materialized (lazily) because TWO actions consume it — the
-        # one-row total broadcast and the update join; without the
+        # one-row total broadcast and the normalization; without the
         # lineage cut the |E| join + agg would run twice per half-step
         araw = materialize(
             es.join(
@@ -344,10 +360,8 @@ def hits(
         # lineage cut still happens at first use, so plan depth stays
         # constant in ``iters`` exactly as before.
         auths = materialize(
-            nodes.join(araw, nodes["node"] == araw["dst"], "left")
-            .crossJoin(F.broadcast(atot))
-            .select(
-                "node",
+            araw.crossJoin(F.broadcast(atot)).select(
+                F.col("dst").alias("node"),
                 F.round(
                     F.coalesce(
                         F.col("raw")
@@ -369,10 +383,8 @@ def hits(
         )
         htot = hraw.agg(F.sum("raw").alias("t"))
         hubs = materialize(
-            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
-            .crossJoin(F.broadcast(htot))
-            .select(
-                "node",
+            hraw.crossJoin(F.broadcast(htot)).select(
+                F.col("src").alias("node"),
                 F.round(
                     F.coalesce(
                         F.col("raw")
@@ -385,7 +397,15 @@ def hits(
             eager=True,
             iterative=True,
         )
-    return hubs.join(auths, "node").select("node", "hub", "auth")
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
 
 
 def label_propagation(
