@@ -8428,16 +8428,27 @@ def stream_livecheck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the verdict set hash-matches the batch oracle exactly as the
     # r8 three-batch replay did, at one fewer micro-batch and no
     # mtime-ordering sleep.
-    unified.coalesce(1).write.mode("overwrite").parquet(src)
-    # hi from the written file, not a second agg over the fixture
-    # lineage — the fixture derives from events via two shuffles, and
-    # recomputing it for one MAX costs more than rescanning the single
-    # small file just written
-    (hi, n_rows) = (
-        spark.read.parquet(src)
-        .agg(F.max("ts"), F.count(F.lit(1)).alias("n"))
-        .first()
+    # r14 (guide §1.2): hi/n_rows piggyback on the write job via
+    # observe() — the r13 shape re-scanned the just-written file with a
+    # second job for one MAX+COUNT (itself an r8 fix for re-running the
+    # two-shuffle fixture lineage). Observed metrics see exactly the
+    # written rows, so the values are identical; one fixture pass, not
+    # two. (MAX/COUNT are retry-safe observe metrics: re-executed tasks
+    # replace, not double-count, their partition's contribution.)
+    from pyspark.sql import Observation
+
+    obs = Observation("lc_fixture_stats")
+    (
+        unified.observe(
+            obs,
+            F.max("ts").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
     )
+    hi, n_rows = obs.get["hi"], obs.get["n"]
     # (no mtime-ordering sleep: both files ride one micro-batch, and
     # within a batch the state fn is row-order-invariant — see above)
     # sentinel = max fixture time + 80h: strictly past every deadline
